@@ -1,0 +1,157 @@
+"""Scalar SQL fragments shared between Spark queries and DuckDB oracles.
+
+The correctness gate hash-compares Spark results against DuckDB running
+"the same" SQL, so every numeric expression must be *bit-identical* across
+engines regardless of row order. Two building blocks make that true:
+
+- ``dsum``: double sums are order-dependent in IEEE float; casting each input
+  to DECIMAL(38,6) first makes the sum exact integer arithmetic (identical in
+  any order and in both engines), then one deterministic decimal→double cast.
+- ``portable_hash64``: both engines agree on md5; a 15-hex-digit prefix parsed
+  as an integer gives a portable unsigned-60-bit hash for minhash/simhash
+  families (the role xxHash64 plays in the reference:
+  ``RECEIVER/stage2_processing.cpp:183``, ``RECEIVER/file_utils.cpp:18`` —
+  membership/sketch results only need *a* consistent hash, not that one).
+
+Fragments take a dialect argument ``d`` ∈ {"spark", "duck"}; where the
+engines already agree the same string is returned for both.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def dsum(expr: str, d: str = SPARK) -> str:
+    """Order-independent, engine-identical SUM of a double expression."""
+    return f"cast(sum(cast(({expr}) as decimal(38,6))) as double)"
+
+
+def davg(expr: str, d: str = SPARK) -> str:
+    """Order-independent AVG: exact decimal sum divided by count, in double."""
+    return (
+        f"cast(sum(cast(({expr}) as decimal(38,6))) as double)"
+        f" / cast(count({expr}) as double)"
+    )
+
+
+def isum(expr: str, d: str = SPARK) -> str:
+    """Integer SUM pinned to bigint (DuckDB widens int sums to HUGEINT)."""
+    return f"cast(sum({expr}) as bigint)"
+
+
+def portable_hash64(expr: str, d: str = SPARK, seed: str | None = None) -> str:
+    """60-bit integer hash of a string expression, identical in both engines.
+
+    ``seed`` (a SQL string expression) is concatenated in front, giving the
+    independent hash families minhash needs.
+    """
+    arg = f"concat({seed}, '|', {expr})" if seed is not None else expr
+    if d == SPARK:
+        return f"cast(conv(substring(md5({arg}), 1, 15), 16, 10) as bigint)"
+    return f"cast(('0x' || substring(md5({arg}), 1, 15)) as bigint)"
+
+
+def fmt_date(expr: str, d: str = SPARK) -> str:
+    """Render a timestamp as 'YYYY-MM-DD' (string group keys avoid tz drift)."""
+    if d == SPARK:
+        return f"date_format({expr}, 'yyyy-MM-dd')"
+    return f"strftime({expr}, '%Y-%m-%d')"
+
+
+def fmt_month(expr: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"date_format({expr}, 'yyyy-MM')"
+    return f"strftime({expr}, '%Y-%m')"
+
+
+def fmt_ts(expr: str, d: str = SPARK) -> str:
+    """Render a timestamp as 'YYYY-MM-DD hh:mm:ss' (second precision)."""
+    if d == SPARK:
+        return f"date_format({expr}, 'yyyy-MM-dd HH:mm:ss')"
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def epoch_s(expr: str, d: str = SPARK) -> str:
+    """Timestamp → integer epoch seconds."""
+    if d == SPARK:
+        return f"unix_timestamp({expr})"
+    return f"cast(epoch({expr}) as bigint)"
+
+
+def rlike(expr: str, raw_pattern: str, d: str = SPARK) -> str:
+    """Regex-match predicate; ``raw_pattern`` is the regex itself (unquoted).
+
+    Spark SQL string literals consume backslash escapes, DuckDB's do not —
+    quote per dialect so ``\\s`` means the same thing in both.
+    """
+    if d == SPARK:
+        lit = "'" + raw_pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return f"({expr} rlike {lit})"
+    lit = "'" + raw_pattern.replace("'", "''") + "'"
+    return f"regexp_matches({expr}, {lit})"
+
+
+def json_get(expr: str, key: str, d: str = SPARK) -> str:
+    """Extract a top-level JSON field as a string (reference P4:
+    ``RECEIVER/file_utils.cpp:68-88``; JSON navigation
+    ``SERVER/ingest_prices.py:24-40``)."""
+    if d == SPARK:
+        return f"get_json_object({expr}, '$.{key}')"
+    return f"json_extract_string({expr}, '$.{key}')"
+
+
+def shift_right(expr: str, bits: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"shiftright({expr}, cast({bits} as int))"
+    return f"({expr} >> ({bits}))"
+
+
+def shift_left(expr: str, bits: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"shiftleft({expr}, cast({bits} as int))"
+    return f"({expr} << ({bits}))"
+
+
+def bit_xor2(a: str, b: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"
+
+
+def bitcount(expr: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"bit_count({expr})"
+    return f"bit_count({expr})"
+
+
+def split_ws(expr: str, d: str = SPARK) -> str:
+    """Split on single spaces → array of tokens."""
+    if d == SPARK:
+        return f"split({expr}, ' ')"
+    return f"string_split({expr}, ' ')"
+
+
+def arr_len(expr: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"size({expr})"
+    return f"len({expr})"
+
+
+def arr_distinct(expr: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"array_distinct({expr})"
+    return f"list_distinct({expr})"
+
+
+def arr_sort(expr: str, d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"array_sort({expr})"
+    return f"list_sort({expr})"
+
+
+def arr_join(expr: str, sep: str = "' '", d: str = SPARK) -> str:
+    if d == SPARK:
+        return f"array_join({expr}, {sep})"
+    return f"array_to_string({expr}, {sep})"

@@ -1,0 +1,457 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7.1 M5, BASELINE.json
+mandate): deduplication, similarity search, text analysis over the
+``documents`` / ``embeddings`` fixtures.
+
+Scale notes (the point of these designs):
+- Exact dedup is a hash-groupBy — one shuffle on the hash, partial agg first.
+- MinHash-LSH turns O(n²) near-dup into band-bucket equi-joins: candidate
+  pairs are only generated inside a bucket, which is the shuffle key. At
+  100 TB the bucket join replaces any cross join; signatures are 16×8 bytes
+  per doc regardless of doc size.
+- SimHash reduces a doc to one 60-bit int; near-dup = low Hamming distance.
+- N-gram Jaccard joins on shared shingles (inverted-index join), never a
+  cross join; frequency cap would be added for web-scale corpora.
+- Cosine top-k: brute force is the correctness baseline; the LSH/IVF variant
+  is the scale path (bucket first, rank inside bucket).
+
+Every numeric output goes through the decimal-sum / rounding discipline in
+``functions.scalars`` so DuckDB oracles hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+def _toks(d: str) -> str:
+    return S.split_ws("text", d)
+
+
+def _token_count(d: str) -> str:
+    toks = _toks(d)
+    return f"""
+    SELECT doc_id,
+        {S.arr_len(toks, d)} AS n_tokens,
+        {S.arr_len(S.arr_distinct(toks, d), d)} AS n_distinct_tokens,
+        length(text) AS n_chars_txt
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_token_count",
+    _token_count,
+    tags=("text",),
+    doc="Whitespace tokenization + distinct-token counts (token budget "
+    "accounting for training corpora).",
+)
+
+
+def _quality(d: str) -> str:
+    toks = _toks(d)
+    stop_filter = f"filter({toks}, t -> t IN {_STOPWORDS})" if d == SPARK else (
+        f"list_filter({toks}, t -> t IN {_STOPWORDS})"
+    )
+    return f"""
+    SELECT doc_id,
+        {S.arr_len(toks, d)} AS n_tokens,
+        round(cast(length(text) as double) / {S.arr_len(toks, d)}, 6) AS avg_token_len,
+        round(cast({S.arr_len(stop_filter, d)} as double) / {S.arr_len(toks, d)}, 6) AS stopword_ratio,
+        round(cast({S.arr_len(S.arr_distinct(toks, d), d)} as double) / {S.arr_len(toks, d)}, 6) AS distinct_ratio
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_quality_score",
+    _quality,
+    tags=("text",),
+    doc="Quality scoring: token-length / stopword / repetition ratios "
+    "(Gopher-style quality filters, all JVM-side expressions).",
+)
+
+
+def _lang_id(d: str) -> str:
+    toks = _toks(d)
+    # Deterministic n-gram-free marker heuristic: score membership of marker
+    # word sets; classify by the dominant set (engine-portable CASE cascade).
+    en = "('the', 'a', 'fast', 'slow', 'small')"
+    sql_m = "('table', 'scan', 'merge', 'join', 'query')"
+    stream_m = "('stream', 'batch', 'window', 'row', 'value')"
+
+    def cnt(markers: str) -> str:
+        if d == SPARK:
+            return f"size(filter({toks}, t -> t IN {markers}))"
+        return f"len(list_filter({toks}, t -> t IN {markers}))"
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            {cnt(en)} AS sc_common,
+            {cnt(sql_m)} AS sc_sql,
+            {cnt(stream_m)} AS sc_stream
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+        CASE
+            WHEN sc_sql >= sc_stream AND sc_sql >= sc_common THEN 'sqlish'
+            WHEN sc_stream >= sc_common THEN 'streamish'
+            ELSE 'common'
+        END AS predicted_class,
+        sc_common, sc_sql, sc_stream
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_lang_id_heuristic",
+    _lang_id,
+    tags=("text",),
+    doc="Language/domain ID via marker-token scoring (n-gram heuristic "
+    "family); pure built-in array ops, no UDF.",
+)
+
+
+def _fingerprint(d: str) -> str:
+    toks = _toks(d)
+    canon = S.arr_join(S.arr_sort(S.arr_distinct(f"{S.split_ws('lower(text)', d)}", d), d), "' '", d)
+    return f"""
+    SELECT doc_id,
+        md5({canon}) AS fingerprint,
+        {S.portable_hash64("text", d)} AS raw_hash
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_fingerprint",
+    _fingerprint,
+    tags=("text", "dedup"),
+    doc="Broder canonical fingerprint: sorted distinct lowercase tokens → md5 "
+    "(order/punct-insensitive doc identity).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(d: str) -> str:
+    return """
+    SELECT md5(text) AS text_hash,
+        min(doc_id) AS keep_doc_id,
+        count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY text_hash
+    """
+
+
+_pair(
+    "dedup_exact_docs",
+    _dedup_exact,
+    tags=("dedup",),
+    doc="Exact dedup: hash-groupBy on content hash, keep min doc_id. One "
+    "shuffle on the 128-bit hash; no full-text comparison.",
+)
+
+
+def _ngram_shingles(d: str) -> str:
+    """CTE text: (doc_id, sh) distinct word-3-gram shingles per doc."""
+    if d == SPARK:
+        return f"""
+        SELECT doc_id, explode(array_distinct(transform(
+            sequence(1, size(toks) - 2),
+            i -> concat_ws(' ', slice(toks, i, 3))
+        ))) AS sh
+        FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+        WHERE size(toks) >= 3
+        """
+    return f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')
+    ))) AS sh
+    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+    WHERE len(toks) >= 3
+    """
+
+
+def _dedup_ngram_jaccard(d: str) -> str:
+    return f"""
+    WITH shingles AS ({_ngram_shingles(d)}),
+    doc_sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM shingles a
+        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+        round(cast(n_inter as double)
+              / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM pair_inter
+    JOIN doc_sizes sa ON sa.doc_id = doc_a
+    JOIN doc_sizes sb ON sb.doc_id = doc_b
+    WHERE cast(n_inter as double) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_ngram_jaccard",
+    _dedup_ngram_jaccard,
+    tags=("dedup",),
+    doc="Near-dup via word-3-gram Jaccard: inverted-index join on shared "
+    "shingles (shuffle key = shingle), never a cross join.",
+)
+
+
+def _word_tokens(d: str) -> str:
+    """CTE text: (doc_id, tok) distinct word per doc."""
+    if d == SPARK:
+        return f"SELECT doc_id, explode(array_distinct({_toks(d)})) AS tok FROM documents"
+    return f"SELECT doc_id, unnest(list_distinct({_toks(d)})) AS tok FROM documents"
+
+
+_N_HASHES = 16
+_BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+def _dedup_minhash_lsh(d: str) -> str:
+    jseq = (
+        "SELECT explode(sequence(0, 15)) AS j"
+        if d == SPARK
+        else "SELECT unnest(range(0, 16)) AS j"
+    )
+    h = S.portable_hash64("tok", d, seed="cast(j as string)")
+    sig_cols = ", ".join(
+        f"min(case when j = {j} then h end) AS h{j}" for j in range(_N_HASHES)
+    )
+    band_rows = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = ", ".join(f"h{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs"
+        )
+    bands_sql = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    WITH tokens AS ({_word_tokens(d)}),
+    hashes AS (
+        SELECT doc_id, j, min({h}) AS h
+        FROM tokens CROSS JOIN ({jseq}) js
+        GROUP BY doc_id, j
+    ),
+    sigs AS (
+        SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_sql}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+    ),
+    doc_sizes AS (
+        SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM candidates c
+        JOIN tokens ta ON ta.doc_id = c.doc_a
+        JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b,
+        round(cast(v.n_inter as double)
+              / (sa.n_tok + sb.n_tok - v.n_inter), 6) AS jaccard
+    FROM verified v
+    JOIN doc_sizes sa ON sa.doc_id = v.doc_a
+    JOIN doc_sizes sb ON sb.doc_id = v.doc_b
+    WHERE cast(v.n_inter as double) / (sa.n_tok + sb.n_tok - v.n_inter) >= 0.6
+    ORDER BY v.doc_a, v.doc_b
+    """
+
+
+_pair(
+    "dedup_minhash_lsh",
+    _dedup_minhash_lsh,
+    tags=("dedup",),
+    doc="MinHash (16 portable hash fns) + LSH banding (4×4): candidate pairs "
+    "only inside band buckets, then exact-Jaccard verification. The band "
+    "bucket is the shuffle key — no cross join at any scale.",
+)
+
+
+def _dedup_simhash(d: str) -> str:
+    bseq = (
+        "SELECT explode(sequence(0, 59)) AS b"
+        if d == SPARK
+        else "SELECT unnest(range(0, 60)) AS b"
+    )
+    h = S.portable_hash64("tok", d)
+    bit_of_hash = f"({S.shift_right('h', 'b', d)} & 1)"
+    one = "cast(1 as bigint)"
+    return f"""
+    WITH tokens AS ({_word_tokens(d)}),
+    tok_hashes AS (
+        SELECT doc_id, {h} AS h FROM tokens
+    ),
+    bit_votes AS (
+        SELECT doc_id, b,
+            {S.isum(f"case when {bit_of_hash} = 1 then 1 else -1 end", d)} AS vote
+        FROM tok_hashes CROSS JOIN ({bseq}) bs
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+        {S.isum(f"case when vote > 0 then {S.shift_left(one, 'b', d)} else 0 end", d)} AS simhash
+    FROM bit_votes
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "dedup_simhash_signature",
+    _dedup_simhash,
+    tags=("dedup",),
+    doc="SimHash: 60-bit weighted-bit-vote signature per doc; one int per "
+    "document regardless of size.",
+)
+
+
+def _dedup_simhash_pairs(d: str) -> str:
+    ham = S.bitcount(S.bit_xor2("a.simhash", "b.simhash", d), d)
+    return f"""
+    WITH sigs AS (
+        {_dedup_simhash(d).replace("ORDER BY doc_id", "")}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast({ham} as integer) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 12
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_simhash_neardup",
+    _dedup_simhash_pairs,
+    tags=("dedup",),
+    doc="SimHash near-dup pairs by Hamming distance ≤ 12. (Correctness form "
+    "is all-pairs; the scale path blocks on 4 rotated 15-bit prefixes so "
+    "each block is an equi-join key.)",
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _cosine(d: str, va: str, vb: str) -> str:
+    """Engine-identical cosine: left-fold dot/norms in index order, double."""
+    if d == SPARK:
+        dot = (
+            f"aggregate(zip_with({va}, {vb}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        na = (
+            f"aggregate({va}, cast(0.0 as double), "
+            f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+        nb = (
+            f"aggregate({vb}, cast(0.0 as double), "
+            f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    else:
+        # DuckDB 1.0 list_reduce has no init arg; Spark's fold starts at
+        # 0.0 + x1 == x1 exactly, so both engines sum x1..xn left-to-right.
+        dot = (
+            f"list_reduce(list_transform(list_zip({va}, {vb}), "
+            f"p -> struct_extract(p, 1)::DOUBLE * struct_extract(p, 2)::DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+        na = f"list_reduce(list_transform({va}, v -> v::DOUBLE * v::DOUBLE), (acc, v) -> acc + v)"
+        nb = f"list_reduce(list_transform({vb}, v -> v::DOUBLE * v::DOUBLE), (acc, v) -> acc + v)"
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _sim_topk(d: str) -> str:
+    cos = _cosine(d, "q.embedding", "c.embedding")
+    return f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+            round({cos}, 6) AS cosine
+        FROM queries q
+        JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, label, cosine,
+            row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, label, cosine, rnk
+    FROM ranked WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """
+
+
+_pair(
+    "sim_cosine_topk_bruteforce",
+    _sim_topk,
+    tags=("similarity",),
+    doc="Brute-force cosine top-10 for 5 query vectors: correctness baseline "
+    "for ANN. Broadcast the query set; candidates stay partitioned — scales "
+    "linearly in corpus size.",
+)
+
+
+def _dedup_embedding(d: str) -> str:
+    cos = _cosine(d, "a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round({cos}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+        AND a.label = b.label
+    WHERE {cos} >= 0.93
+    ORDER BY vec_a, vec_b
+    """
+
+
+_pair(
+    "dedup_embedding_cosine",
+    _dedup_embedding,
+    tags=("dedup", "similarity"),
+    doc="Embedding near-dup: cosine ≥ 0.93 within a blocking key (label ≙ "
+    "coarse cluster) — the blocked equi-join is the scale path; "
+    "all-pairs-within-block only.",
+)

@@ -1,0 +1,685 @@
+"""Relational core — projections, filters, joins, aggregations, windows,
+set ops, sort/limit (SURVEY.md §2.2-2.6).
+
+The reference implements exactly three join shapes (all broadcast-hash by
+construction: watchlist semi-join ``RECEIVER/stage2_processing.cpp:358-364``,
+index→address inner join ``:366-389``, price left join
+``SERVER/flightWithRedisLatest.py:100-105``) and a handful of aggregations;
+a complete engine needs the full relational algebra, so every join type,
+window shape and set op registers here with a DuckDB oracle twin.
+
+Each query is written once as a dialect-parameterized SQL template (``q(d)``)
+so the Spark text and the oracle text cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's balance-extraction computation restated on the
+# fixture schema (SURVEY.md §7.2). Watchlist semi-join (J1) → two-key
+# conditional aggregation (A1) → broadcast dimension left joins (J3) →
+# event-time stamp (W1).
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = f"""
+WITH watch_suppliers AS (
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+SELECT
+    l_suppkey AS suppkey,
+    l_partkey AS partkey,
+    max(ws.s_name) AS supplier_name,
+    {S.dsum("case when l_returnflag = 'R' then l_quantity end", DUCK)} AS pre_qty,
+    {S.dsum("case when l_returnflag <> 'R' then l_quantity end", DUCK)} AS post_qty,
+    count(*) AS n_moves,
+    max({S.fmt_date('l_shipdate', DUCK)}) AS last_ship_day,
+    max(p.p_retailprice) AS usd_price
+FROM lineitem
+JOIN watch_suppliers ws ON l_suppkey = ws.s_suppkey
+LEFT JOIN part p ON l_partkey = p.p_partkey
+GROUP BY l_suppkey, l_partkey
+ORDER BY suppkey, partkey
+"""
+
+
+@register(
+    "flagship_balance_report",
+    oracle=FLAGSHIP_ORACLE,
+    tags=("flagship", "join", "agg"),
+    doc="Reference flagship path (SURVEY.md §3.1) on fixtures: semi-join a "
+    "broadcast watchlist, group (wallet,mint)≙(suppkey,partkey), conditional "
+    "pre/post aggregation, broadcast dim enrichment.",
+)
+def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.table("nation")
+    region = spark.table("region")
+    supplier = spark.table("supplier")
+    part = spark.table("part")
+    lineitem = spark.table("lineitem")
+
+    # Watchlist: suppliers in ASIA (stands in for the hot-address file,
+    # RECEIVER/file_utils.cpp:3-36). Tiny → broadcast everywhere, like the
+    # per-thread xxHash set in the reference.
+    watch = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+    # J1: semi-join keeps only watchlisted movements
+    # (RECEIVER/stage2_processing.cpp:358-364).
+    hot = lineitem.join(
+        F.broadcast(watch.select("s_suppkey")),
+        lineitem.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+
+    # A1: per-(wallet,mint) pre/post conditional aggregation
+    # (RECEIVER/common.h:84-86, stage2_processing.cpp:149-174). Decimal cast
+    # makes the sum order-independent (partial→final agg safe at any scale).
+    grouped = hot.groupBy("l_suppkey", "l_partkey").agg(
+        F.expr(S.dsum("case when l_returnflag = 'R' then l_quantity end")).alias("pre_qty"),
+        F.expr(S.dsum("case when l_returnflag <> 'R' then l_quantity end")).alias("post_qty"),
+        F.count(F.lit(1)).alias("n_moves"),
+        F.max(F.expr(S.fmt_date("l_shipdate"))).alias("last_ship_day"),
+    )
+
+    # J3: broadcast left joins attach supplier name + USD price
+    # (SERVER/flightWithRedisLatest.py:92-112).
+    out = (
+        grouped.join(F.broadcast(watch), grouped.l_suppkey == watch.s_suppkey, "left")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            grouped.l_partkey == F.col("p_partkey"),
+            "left",
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier_name"),
+            "pre_qty",
+            "post_qty",
+            "n_moves",
+            "last_ship_day",
+            F.col("p_retailprice").alias("usd_price"),
+        )
+        .orderBy("suppkey", "partkey")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregation suite
+# ---------------------------------------------------------------------------
+
+
+def _q01(d: str) -> str:
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+        {S.dsum('l_quantity', d)} AS sum_qty,
+        {S.dsum('l_extendedprice', d)} AS sum_base_price,
+        {S.dsum('l_extendedprice * (1 - l_discount)', d)} AS sum_disc_price,
+        {S.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', d)} AS sum_charge,
+        {S.davg('l_quantity', d)} AS avg_qty,
+        {S.davg('l_extendedprice', d)} AS avg_price,
+        count(*) AS count_order
+    FROM lineitem
+    WHERE {S.fmt_date('l_shipdate', d)} <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+_pair(
+    "q01_pricing_summary",
+    _q01,
+    tags=("agg",),
+    doc="TPC-H Q1 shape: scan-filter-groupBy with 6 aggregates; maps the "
+    "reference's per-(owner,mint) hash agg to full-table scale.",
+)
+
+
+def _q03(d: str) -> str:
+    return f"""
+    SELECT l_orderkey,
+        {S.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue,
+        max({S.fmt_date('o_orderdate', d)}) AS orderdate,
+        max(o_orderpriority) AS priority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+_pair(
+    "q03_shipping_priority",
+    _q03,
+    tags=("join", "agg", "limit"),
+    doc="3-way join + agg + top-10 by revenue (deterministic tiebreak).",
+)
+
+
+def _q05(d: str) -> str:
+    return f"""
+    SELECT n_name,
+        {S.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue,
+        count(*) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY n_name
+    ORDER BY n_name
+    """
+
+
+_pair(
+    "q05_local_supplier_volume",
+    _q05,
+    tags=("join", "agg"),
+    doc="TPC-H Q5 shape: 6-way star join with a correlated nation condition.",
+)
+
+
+def _cond(d: str) -> str:
+    return f"""
+    SELECT user_id,
+        {S.dsum("case when event_type = 'purchase' then value end", d)} AS purchase_value,
+        {S.dsum("case when event_type = 'view' then value end", d)} AS view_value,
+        {S.isum("case when event_type = 'error' then 1 else 0 end", d)} AS n_errors,
+        count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+_pair(
+    "agg_conditional_pre_post",
+    _cond,
+    tags=("agg",),
+    doc="A1 pivot-style conditional aggregation: the pre/post balance merge "
+    "(RECEIVER/stage2_processing.cpp:149-174) as sum(case when ...).",
+)
+
+
+def _lastval(d: str) -> str:
+    pick = "max_by" if d == SPARK else "arg_max"
+    return f"""
+    SELECT user_id,
+        {pick}(value, event_id) AS last_value,
+        max(event_id) AS last_event_id,
+        max({S.fmt_ts('ts', d)}) AS last_seen
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+_pair(
+    "agg_last_value_per_key",
+    _lastval,
+    tags=("agg",),
+    doc="A4 last-value-per-key: the Redis HSET latest-price semantics "
+    "(SERVER/priceAPIfiller.py:77-82) as max_by/arg_max.",
+)
+
+
+def _distinct(d: str) -> str:
+    return """
+    SELECT event_type,
+        cast(count(DISTINCT user_id) as bigint) AS n_users,
+        count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "agg_distinct_per_type",
+    _distinct,
+    tags=("agg",),
+    doc="A5 set-cardinality (SCARD, SERVER/init_redis_maps.py:110-116) as "
+    "exact distinct count.",
+)
+
+
+def _dedup_events(d: str) -> str:
+    return """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """
+
+
+_pair(
+    "dedup_exact_pairs",
+    _dedup_events,
+    tags=("agg", "dedup"),
+    doc="A2 distinct-set accumulation (Redis SADD, "
+    "SERVER/combined_subscriber.py:88-93) as DISTINCT.",
+)
+
+
+def _rollup(d: str) -> str:
+    return f"""
+    SELECT r_name, n_name,
+        {S.dsum('c_acctbal', d)} AS total_acctbal,
+        count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """
+
+
+_pair(
+    "agg_rollup_region_nation",
+    _rollup,
+    tags=("agg",),
+    doc="Hierarchical ROLLUP totals (capability uplift over the reference, "
+    "SURVEY.md §2.4 note).",
+)
+
+
+def _cube(d: str) -> str:
+    return f"""
+    SELECT l_returnflag, l_linestatus,
+        {S.dsum('l_quantity', d)} AS sum_qty,
+        count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+
+
+_pair("agg_cube_flag_status", _cube, tags=("agg",), doc="CUBE grouping sets.")
+
+
+# ---------------------------------------------------------------------------
+# Join suite (reference J1-J5 + the types it lacks, SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _join_left(d: str) -> str:
+    return f"""
+    SELECT c_custkey,
+        count(o_orderkey) AS n_orders,
+        {S.dsum('o_totalprice', d)} AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """
+
+
+_pair(
+    "join_left_outer_orders",
+    _join_left,
+    tags=("join",),
+    doc="Left outer join with null-preserving aggregation (J3/J5 shape).",
+)
+
+
+def _join_full(d: str) -> str:
+    return """
+    WITH c AS (
+        SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.k, s.k) AS nationkey, n_cust, n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    ORDER BY nationkey
+    """
+
+
+_pair("join_full_outer_nations", _join_full, tags=("join",), doc="Full outer join.")
+
+
+def _join_semi(d: str) -> str:
+    return """
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """
+
+
+_pair(
+    "join_semi_parts_in_lineitem",
+    _join_semi,
+    tags=("join",),
+    doc="J1 semi-join (existence filter, RECEIVER/stage2_processing.cpp:358-364).",
+)
+
+
+def _join_anti(d: str) -> str:
+    return """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """
+
+
+_pair(
+    "join_anti_customers_no_orders",
+    _join_anti,
+    tags=("join",),
+    doc="Anti-join (NOT EXISTS) — absent in the reference, required surface.",
+)
+
+
+def _join_semi_watchlist(d: str) -> str:
+    return f"""
+    SELECT e.user_id, count(*) AS n_events, {S.dsum('e.value', d)} AS total_value
+    FROM events e
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+    )
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """
+
+
+_pair(
+    "join_watchlist_semi_events",
+    _join_semi_watchlist,
+    tags=("join", "flagship"),
+    doc="Watchlist semi-join on the event stream: hot-address filter J1 "
+    "against a predicate-defined dimension (SERVER/flightWithRedis.py:81-99).",
+)
+
+
+def _join_enrich_tag(d: str) -> str:
+    # P10: tag-or-null enrichment — wallet stays, tag columns are NULL unless
+    # the dimension matches (SERVER/server.py:78-91).
+    return f"""
+    SELECT e.event_id, e.user_id,
+        c.c_mktsegment AS segment_tag,
+        n.n_name AS nation_tag,
+        e.value
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """
+
+
+_pair(
+    "join_tag_enrichment",
+    _join_enrich_tag,
+    tags=("join",),
+    doc="P10/J5 watchlist tagger: null-preserving tag columns via left joins.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (reference W1-W3 + ranking/frames it lacks)
+# ---------------------------------------------------------------------------
+
+
+def _lag_price(d: str) -> str:
+    return f"""
+    WITH w AS (
+        SELECT user_id, event_id, ts, value,
+            lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+    )
+    SELECT user_id, event_id, {S.fmt_ts('ts', d)} AS ts_s, value, prev_value
+    FROM w
+    WHERE prev_value IS NOT NULL
+      AND abs(value - prev_value) > 0.1 * abs(prev_value)
+    ORDER BY user_id, event_id
+    """
+
+
+_pair(
+    "window_price_change_10pct",
+    _lag_price,
+    tags=("window", "flagship"),
+    doc="P11/W2 threshold emission: the 10%% price-change detector "
+    "(SERVER/ingest_prices.py:42-55) as lag() + filter.",
+)
+
+
+def _topk_group(d: str) -> str:
+    return """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey
+            ) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 5
+    ORDER BY o_orderpriority, rn
+    """
+
+
+_pair(
+    "window_topk_per_group",
+    _topk_group,
+    tags=("window", "limit"),
+    doc="Top-K per group via row_number (ranking — capability uplift).",
+)
+
+
+def _running(d: str) -> str:
+    return f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+        cast(sum(cast(l_quantity as decimal(38,6))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) as double) AS running_qty
+    FROM lineitem
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """
+
+
+_pair(
+    "window_running_sum",
+    _running,
+    tags=("window",),
+    doc="Frame-spec running sum over a total order (decimal-exact).",
+)
+
+
+def _sessionize(d: str) -> str:
+    return f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+        {S.isum(f"case when prev_ts IS NULL or {S.epoch_s('ts', d)} - {S.epoch_s('prev_ts', d)} > 3600 then 1 else 0 end", d)} AS n_sessions,
+        count(*) AS n_events
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+_pair(
+    "window_sessionize_1h",
+    _sessionize,
+    tags=("window",),
+    doc="Sessionization: lag-gap > 1h starts a session (W3 recency semantics).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Set ops / sort / limit (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+def _intersect(d: str) -> str:
+    return """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ORDER BY custkey
+    """
+
+
+_pair("setop_intersect_buyers", _intersect, tags=("setop",), doc="INTERSECT.")
+
+
+def _except(d: str) -> str:
+    return """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    ORDER BY custkey
+    """
+
+
+_pair("setop_except_inactive", _except, tags=("setop",), doc="EXCEPT (anti set op).")
+
+
+def _union(d: str) -> str:
+    return """
+    SELECT address, kind FROM (
+        SELECT n_name AS address, 'nation' AS kind FROM nation
+        UNION ALL
+        SELECT r_name AS address, 'region' AS kind FROM region
+    ) u
+    ORDER BY kind, address
+    """
+
+
+_pair(
+    "setop_union_watchlists",
+    _union,
+    tags=("setop",),
+    doc="O2/O3 union of key sets (concatenated watchlists, "
+    "RECEIVER/stage2_processing.cpp:366-389).",
+)
+
+
+def _sort_limit(d: str) -> str:
+    return """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """
+
+
+_pair(
+    "sort_global_topn",
+    _sort_limit,
+    tags=("limit",),
+    doc="Global sort + limit (Spark plans TakeOrderedAndProject — no full sort).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (SURVEY.md §2.7): strings, regex, dates, math, hash
+# ---------------------------------------------------------------------------
+
+
+_MERGE_PATTERN = r"merge\s+(fast|part)"
+
+
+def _string_funcs(d: str) -> str:
+    pred = S.rlike("text", _MERGE_PATTERN, d)
+    return f"""
+    SELECT doc_id,
+        upper(substring(text, 1, 10)) AS head10,
+        length(text) AS n_chars_computed,
+        {S.portable_hash64('text', d)} AS text_hash
+    FROM documents
+    WHERE {pred}
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "scalar_string_regex",
+    _string_funcs,
+    tags=("scalar",),
+    doc="P8 instruction-regex filter (SERVER/combined_subscriber.py:135-137) "
+    "+ string slicing + portable hash (xxHash role).",
+)
+
+
+def _date_funcs(d: str) -> str:
+    return f"""
+    SELECT {S.fmt_month('o_orderdate', d)} AS order_month,
+        count(*) AS n_orders,
+        {S.dsum('o_totalprice', d)} AS month_total
+    FROM orders
+    GROUP BY {S.fmt_month('o_orderdate', d)}
+    ORDER BY order_month
+    """
+
+
+_pair(
+    "scalar_date_bucketing",
+    _date_funcs,
+    tags=("scalar", "agg"),
+    doc="W1 event-time handling: epoch → formatted month buckets.",
+)
+
+
+def _math_amm(d: str) -> str:
+    # S7 AMM math: quote = base / priceNative (SERVER/priceAPIfiller.py:63-75),
+    # restated on events.value with a guard, plus rounding/abs/case.
+    return """
+    SELECT event_id, user_id, value AS base_price,
+        round(cast(value as double) / 1.5, 6) AS quote_price,
+        abs(value - 50.0) AS dist_from_mid,
+        CASE WHEN value > 50.0 THEN 'high' ELSE 'low' END AS band
+    FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL AND value <> 0
+    ORDER BY event_id
+    """
+
+
+_pair(
+    "scalar_amm_price_math",
+    _math_amm,
+    tags=("scalar",),
+    doc="S7 AMM quote-price derivation with zero-guard.",
+)

@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+Local testing runs one JVM with N threads (``local[N]``); the configs below are
+chosen so the same logical plans scale to a multi-executor cluster: AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for the
+Python boundary, and explicit shuffle-partition sizing instead of the
+200-partition default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rugpull_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism; on a real
+    cluster the master URL comes from spark-submit and these local settings
+    are inert.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an externally created session.
+
+    The verification driver owns its own SparkSession; pin the conf our
+    queries depend on for oracle comparison (UTC timestamps, Arrow transfer).
+    Only runtime-mutable keys are touched.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        # testdata events.ts is parquet TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (sources/tables.py).
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark

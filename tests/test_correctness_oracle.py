@@ -1,0 +1,37 @@
+"""Every registered query must hash-match its DuckDB oracle (driver mirror)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rugpull_data_pipeline_spark.plans import registry
+
+from .oracle_harness import check_query
+
+registry._load_plan_modules()
+ALL_NAMES = sorted(registry._REGISTRY.keys())
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    problems = check_query(spark, name, sf_dir)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) == 8
+
+
+def test_registry_coverage(spark):
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert len(qs) >= 20, f"only {len(qs)} queries registered"
+    missing = set(qs) - set(oracles)
+    # every query should have an oracle unless explicitly non-SQL-expressible
+    for name in missing:
+        assert "nosql" in registry.get(name).tags, f"{name} lacks an oracle"
