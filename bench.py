@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver) — the honest analogue of cluster-side throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rugpull_data_pipeline_spark.plans import registry
+from rugpull_data_pipeline_spark.session import get_spark
+
+# Representative of every operator family: flagship chain, heavy aggregation,
+# multi-join, window, JSON extraction, dedup sketches, similarity search.
+HEADLINE = [
+    "flagship_balance_report",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "window_running_sum",
+    "window_price_change_10pct",
+    "json_extract_agg",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signature",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk_bruteforce",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="rugpull-bench")
+    qs = registry.all_queries()
+
+    # Warm up the JVM / parquet footer caches with the cheapest query so the
+    # first measured query doesn't pay one-time session costs.
+    run_noop(qs["q01_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -239,12 +239,16 @@ _BAND_SIZE = 4  # 4 bands × 4 rows
 
 
 def _dedup_minhash_lsh(d: str) -> str:
+    # MinHash over word-3-gram shingles (unigrams are degenerate on a small
+    # vocabulary: every doc contains nearly the whole vocab, so every pair
+    # collides in every band and LSH degrades to a cross join).
     jseq = (
         "SELECT explode(sequence(0, 15)) AS j"
         if d == SPARK
         else "SELECT unnest(range(0, 16)) AS j"
     )
-    h = S.portable_hash64("tok", d, seed="cast(j as string)")
+    h = S.portable_hash64("sh", d, seed="cast(j as string)")
+    shh = S.portable_hash64("sh", d)
     sig_cols = ", ".join(
         f"min(case when j = {j} then h end) AS h{j}" for j in range(_N_HASHES)
     )
@@ -255,11 +259,23 @@ def _dedup_minhash_lsh(d: str) -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs"
         )
     bands_sql = "\n        UNION ALL\n        ".join(band_rows)
+    if d == SPARK:
+        doc_sets = "SELECT doc_id, collect_set(shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        n_inter = "size(array_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "size(sa.shs)", "size(sb.shs)"
+    else:
+        doc_sets = "SELECT doc_id, list(DISTINCT shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        n_inter = "len(list_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "len(sa.shs)", "len(sb.shs)"
+    jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
     return f"""
-    WITH tokens AS ({_word_tokens(d)}),
+    WITH shingles AS ({_ngram_shingles(d)}),
+    sh_hashed AS (
+        SELECT doc_id, {shh} AS shh FROM shingles
+    ),
     hashes AS (
         SELECT doc_id, j, min({h}) AS h
-        FROM tokens CROSS JOIN ({jseq}) js
+        FROM shingles CROSS JOIN ({jseq}) js
         GROUP BY doc_id, j
     ),
     sigs AS (
@@ -274,24 +290,13 @@ def _dedup_minhash_lsh(d: str) -> str:
         JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
     ),
-    doc_sizes AS (
-        SELECT doc_id, count(*) AS n_tok FROM tokens GROUP BY doc_id
-    ),
-    verified AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-        FROM candidates c
-        JOIN tokens ta ON ta.doc_id = c.doc_a
-        JOIN tokens tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT v.doc_a, v.doc_b,
-        round(cast(v.n_inter as double)
-              / (sa.n_tok + sb.n_tok - v.n_inter), 6) AS jaccard
-    FROM verified v
-    JOIN doc_sizes sa ON sa.doc_id = v.doc_a
-    JOIN doc_sizes sb ON sb.doc_id = v.doc_b
-    WHERE cast(v.n_inter as double) / (sa.n_tok + sb.n_tok - v.n_inter) >= 0.6
-    ORDER BY v.doc_a, v.doc_b
+    doc_sets AS ({doc_sets})
+    SELECT c.doc_a, c.doc_b, round({jacc}, 6) AS jaccard
+    FROM candidates c
+    JOIN doc_sets sa ON sa.doc_id = c.doc_a
+    JOIN doc_sets sb ON sb.doc_id = c.doc_b
+    WHERE {jacc} >= 0.1
+    ORDER BY c.doc_a, c.doc_b
     """
 
 
@@ -311,11 +316,11 @@ def _dedup_simhash(d: str) -> str:
         if d == SPARK
         else "SELECT unnest(range(0, 60)) AS b"
     )
-    h = S.portable_hash64("tok", d)
+    h = S.portable_hash64("sh", d)
     bit_of_hash = f"({S.shift_right('h', 'b', d)} & 1)"
     one = "cast(1 as bigint)"
     return f"""
-    WITH tokens AS ({_word_tokens(d)}),
+    WITH tokens AS ({_ngram_shingles(d)}),
     tok_hashes AS (
         SELECT doc_id, {h} AS h FROM tokens
     ),
@@ -337,8 +342,8 @@ _pair(
     "dedup_simhash_signature",
     _dedup_simhash,
     tags=("dedup",),
-    doc="SimHash: 60-bit weighted-bit-vote signature per doc; one int per "
-    "document regardless of size.",
+    doc="SimHash: 60-bit weighted-bit-vote signature over shingle hashes; "
+    "one int per document regardless of size.",
 )
 
 
