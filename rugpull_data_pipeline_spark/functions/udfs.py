@@ -1,0 +1,79 @@
+"""Vectorized UDF surface (SURVEY.md §2.9).
+
+The reference has no pluggable UDF system — custom logic is either compiled
+C++ kernels or pandas-per-chunk code in the Flight server
+(``SERVER/server.py:78-91``). That pandas-per-batch style maps 1:1 onto
+Arrow-backed Pandas UDFs; everything here is batch-vectorized, never
+row-at-a-time Python.
+
+Rule of thumb enforced across this repo: these wrappers exist for semantics
+the built-ins cannot express (external lookups, imperative per-batch logic).
+Anything expressible as ``pyspark.sql.functions`` stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def amm_quote_price(base_usd: pd.Series, price_native: pd.Series) -> pd.Series:
+    """S7 AMM math: quote_usd = base_usd / priceNative with zero/NaN guard
+    (SERVER/priceAPIfiller.py:63-75). Vectorized over Arrow batches."""
+    out = base_usd / price_native
+    return out.where(price_native != 0.0)
+
+
+@F.pandas_udf(T.DoubleType())
+def pct_change(new: pd.Series, old: pd.Series) -> pd.Series:
+    """Relative change |new-old|/|old| (P11 threshold input,
+    SERVER/ingest_prices.py:45); null when old is 0/null."""
+    return ((new - old).abs() / old.abs()).where(old != 0.0)
+
+
+def lookup_enrich(
+    df: DataFrame,
+    key_col: str,
+    fetch: Callable[[list[str]], dict[str, dict]],
+    result_schema: str,
+    batch_size: int = 100,
+) -> DataFrame:
+    """S8 lookup-enrichment: batched external lookups from inside partitions
+    (the Raydium ``pools/key/ids?ids=a,b,c`` pattern,
+    SERVER/combined_subscriber.py:46-55) via ``mapInPandas``.
+
+    ``fetch(keys) -> {key: {field: value}}`` is injectable so tests (and
+    air-gapped runs) pass a deterministic fake instead of HTTP. Batches of
+    ``batch_size`` keys per call mirror the reference's comma-joined batch
+    GET; distinct keys are deduped per partition before fetching.
+
+    Scale: the fetch runs once per executor partition batch — N partitions →
+    N concurrent fetchers, the reference's worker-pool shape. For a true dim
+    table, pre-materialize and broadcast-join instead (J4); this operator is
+    for the cold-path first-seen lookups.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    extra = T._parse_datatype_string(result_schema)
+    schema = T.StructType(list(df.schema.fields) + list(extra.fields))
+    field_names = [f.name for f in extra.fields]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = pdf[key_col].dropna().unique().tolist()
+            results: dict[str, dict] = {}
+            for i in range(0, len(keys), batch_size):
+                results.update(fetch(keys[i : i + batch_size]))
+            for fname in field_names:
+                pdf[fname] = pdf[key_col].map(
+                    lambda k: results.get(k, {}).get(fname)
+                )
+            yield pdf
+
+    return df.mapInPandas(mapper, schema)

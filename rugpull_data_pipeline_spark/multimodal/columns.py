@@ -1,0 +1,150 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+A 100 TB training-data pipeline treats media as binary payloads with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched Pandas UDFs over ``mapInPandas``. The Spark-side plumbing here
+(schemas, partition-sized batching, UDF signatures, deterministic outputs)
+is real and tested; the actual codecs (PIL/ffmpeg/torchaudio) are NOT in
+this container, so the decode kernels are STUBS — a deterministic
+hash-derived fake behind ``use_stub=True`` (the default) and a clearly
+marked ``NotImplementedError`` otherwise. Swapping in a real codec changes
+only the inner function, never the plan shape.
+
+Scale notes: payloads never pass through the driver; each ``mapInPandas``
+batch holds ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows, so
+executor memory bounds batch size × payload size. Feature vectors are
+fixed-size arrays → columnar, shuffle-friendly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOB_METADATA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("format", T.StringType()),       # png|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_blob_column(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: derive a deterministic binary payload + metadata from
+    ``documents`` so the multimodal plumbing has real bytes to move around.
+    (In production this column comes from the lakehouse scan directly.)"""
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake-rgb8").alias("format"),
+            (F.pmod(F.col("doc_id"), F.lit(64)) + F.lit(16)).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(48)) + F.lit(16)).cast("int").alias("height"),
+            F.length(blob).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_blob_metadata(df: DataFrame) -> DataFrame:
+    """Project typed metadata out of the struct — stays fully JVM-side."""
+    return df.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+_FEATURE_DIM = 8
+
+
+def _stub_features(payload: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """Deterministic fake 'decode + embed': sha256-derived floats in [0, 1).
+
+    STUB — replace with a real codec+model when the container ships one.
+    """
+    h = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
+    ]
+
+
+def decode_image_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
+    """blob → fixed-size feature vector via mapInPandas (Arrow batches).
+
+    The partition-parallel batch shape (pdf of N rows in, pdf of N rows out,
+    payload column dropped on output so shuffles downstream move only
+    features) is the production plumbing; only the kernel is stubbed.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/torchvision — not in this "
+                    "container; run with use_stub=True"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": pdf["blob"].map(_stub_features),
+                }
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(mapper, schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_stub: bool = True) -> DataFrame:
+    """Video frame-sampling plumbing: one input row → K frame rows
+    (flatMap-shaped mapInPandas). The stub emits one 'frame' per
+    ``every_n_bytes`` chunk with its offset; a real ffmpeg kernel would emit
+    decoded keyframes at the same cadence."""
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg — not in this container"
+                )
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i in range(0, max(len(blob), 1), every_n_bytes):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // every_n_bytes)
+                    out["frame_hash"].append(
+                        hashlib.md5(blob[i : i + every_n_bytes]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "blob").mapInPandas(mapper, schema)

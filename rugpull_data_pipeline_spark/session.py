@@ -10,6 +10,9 @@ Python boundary, and explicit shuffle-partition sizing instead of the
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -53,6 +56,31 @@ def get_spark(
     return spark
 
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    Closures passed to ``mapInPandas``/``pandas_udf`` reference this module
+    by name; if the driving process wasn't launched from the repo root the
+    workers cannot import it. Shipping a zip via ``addPyFile`` works in any
+    deploy mode (local threads, standalone, YARN/K8s executors).
+    """
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"rugpull_pipeline_pkg_{os.getuid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally created session.
 
@@ -72,4 +100,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    try:
+        ship_package(spark)
+    except Exception:  # pragma: no cover - e.g. Spark Connect without SC
+        pass
     return spark

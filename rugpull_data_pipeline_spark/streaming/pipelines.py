@@ -1,0 +1,149 @@
+"""Structured Streaming pipelines mirroring the reference dataflow
+(SURVEY.md §2.8 ST1-ST7, §3).
+
+Design notes for scale:
+
+- **Balance extraction is stateless across blocks.** The reference's only
+  aggregation state (OwnerMintMap, RECEIVER/common.h:84-86) lives and dies
+  inside one transaction of one block, so a micro-batch that contains whole
+  blocks needs NO streaming state: the batch extraction operator is exact.
+  The stream is therefore `readStream → foreachBatch(extract + sink)` —
+  unbounded-state-free by construction, which is the property that survives
+  a 1000-executor deployment.
+
+- **Stream-static join refresh (ST5).** The reference re-fetches Redis
+  watchlists per chunk (SERVER/flightWithRedis.py:81-84). The Spark analogue:
+  the dimension is a parquet directory re-read inside ``foreachBatch`` each
+  micro-batch, so dimension updates are visible to the very next batch —
+  the same visibility contract.
+
+- **Stateful price-change (ST4/P11).** The 10% threshold emitter
+  (SERVER/ingest_prices.py:42-55) keeps last-emitted per pair — genuinely
+  stateful, implemented with ``applyInPandasWithState`` (bounded: one row
+  of floats per pair).
+
+- **Ordering (ST3).** The reference has no watermark and never drops late
+  data; we default to a long watermark and document the difference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.balance import extract_balance_changes, parse_blocks
+
+
+def stream_balance_pipeline(
+    spark: SparkSession,
+    blocks_dir: str,
+    watchlist_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    max_files_per_trigger: int | None = None,
+):
+    """§3.1 as a stream: block JSON files → balance changes → ``sink``.
+
+    ``watchlist_dir`` is a parquet dimension directory re-read every
+    micro-batch (ST5 refresh semantics). Returns the started query.
+    """
+    raw = spark.readStream.format("text")
+    if max_files_per_trigger:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = raw.load(f"{blocks_dir}/blocks_*.json")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        watch = batch_df.sparkSession.read.parquet(watchlist_dir)
+        out = extract_balance_changes(parse_blocks(batch_df, "value"), watch)
+        sink(out, epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{blocks_dir}/_checkpoint")
+        .start()
+    )
+
+
+# --- stateful price-change detection (P11/ST4) -----------------------------
+
+PRICE_EVENT_OUT = T.StructType(
+    [
+        T.StructField("pair", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("base_price", T.DoubleType()),
+        T.StructField("quote_price", T.DoubleType()),
+        T.StructField("base_change", T.DoubleType()),
+        T.StructField("quote_change", T.DoubleType()),
+    ]
+)
+
+_PRICE_STATE = T.StructType(
+    [
+        T.StructField("last_base", T.DoubleType()),
+        T.StructField("last_quote", T.DoubleType()),
+    ]
+)
+
+
+def _price_change_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit a row when base or quote moved >10% vs the LAST EMITTED value —
+    exactly SERVER/ingest_prices.py:42-55 (state updates only on emission)."""
+    (last_base, last_quote) = state.get if state.exists else (None, None)
+    rows = []
+    for pdf in pdfs:
+        for r in pdf.sort_values("ts").itertuples():
+            base, quote = float(r.base_price), float(r.quote_price)
+            if last_base is None:
+                emit, bc, qc = True, None, None
+            else:
+                bc = abs(base - last_base) / last_base if last_base else None
+                qc = abs(quote - last_quote) / last_quote if last_quote else None
+                emit = (bc is not None and bc > 0.10) or (qc is not None and qc > 0.10)
+            if emit:
+                rows.append((key[0], r.ts, base, quote, bc, qc))
+                last_base, last_quote = base, quote
+    state.update((last_base, last_quote))
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "pair",
+                "ts",
+                "base_price",
+                "quote_price",
+                "base_change",
+                "quote_change",
+            ],
+        )
+
+
+def price_change_events(prices: DataFrame) -> DataFrame:
+    """Streaming DataFrame of price events → threshold-filtered emissions.
+
+    State per pair is two doubles — bounded regardless of stream length.
+    """
+    from ..session import ship_package
+
+    ship_package(prices.sparkSession)
+    return prices.groupBy("pair").applyInPandasWithState(
+        _price_change_fn,
+        PRICE_EVENT_OUT,
+        _PRICE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def watermarked_dedup(events: DataFrame, keys: list[str], delay: str = "1 hour") -> DataFrame:
+    """A2 distinct-set accumulation with bounded state: the reference's Redis
+    SADD watchlists grow forever (SERVER/combined_subscriber.py:88-93); the
+    Spark build bounds dedup state with an event-time watermark."""
+    return events.withWatermark("ts", delay).dropDuplicates(keys)

@@ -1,0 +1,190 @@
+"""Streaming-semantics tests (SURVEY.md §2.8): micro-batch balance pipeline,
+stream-static dimension refresh (ST5), stateful price-change (ST4/P11),
+watermarked dedup (A2), fan-out (ST7). File sources + availableNow-style
+triggers, no live RPC/Redis."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.operators.balance import (
+    extract_balance_changes,
+    parse_blocks,
+)
+from rugpull_data_pipeline_spark.sources.solana import (
+    hot_addresses,
+    write_blocks_json,
+)
+from rugpull_data_pipeline_spark.streaming.pipelines import (
+    price_change_events,
+    stream_balance_pipeline,
+    watermarked_dedup,
+)
+
+
+def test_stream_balance_matches_batch(spark, tmp_path):
+    blocks_dir = str(tmp_path / "blocks")
+    watch_dir = str(tmp_path / "watch")
+    write_blocks_json(blocks_dir, n_blocks=12, seed=7, files=3)
+    spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    ).write.parquet(watch_dir)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    q = stream_balance_pipeline(spark, blocks_dir, watch_dir, sink)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = extract_balance_changes(
+        parse_blocks(spark.read.text(f"{blocks_dir}/blocks_*.json")),
+        spark.read.parquet(watch_dir),
+    ).collect()
+    assert len(collected) == len(batch) > 0
+    assert set(map(tuple, collected)) == set(map(tuple, batch))
+
+
+def test_st5_dimension_refresh_next_batch(spark, tmp_path):
+    """Watchlist updates must be visible to the next micro-batch — the
+    reference's per-chunk Redis re-fetch contract (ST5)."""
+    blocks_dir = str(tmp_path / "blocks")
+    watch_dir = str(tmp_path / "watch")
+    write_blocks_json(blocks_dir, n_blocks=12, seed=7, files=3)
+
+    hot = hot_addresses()
+    # v1 watchlist: only half the hot addresses
+    spark.createDataFrame([(a,) for a in hot[:4]], "address string").write.mode(
+        "overwrite"
+    ).parquet(watch_dir)
+
+    seen_per_epoch: dict[int, set] = {}
+
+    def sink(df, epoch_id):
+        seen_per_epoch[epoch_id] = {r.wallet for r in df.collect()}
+        # after the first batch, upgrade the dimension (out-of-band writer,
+        # like the pool-detector side pipeline S9)
+        if epoch_id == 0:
+            spark.createDataFrame(
+                [(a,) for a in hot], "address string"
+            ).write.mode("overwrite").parquet(watch_dir)
+
+    q = stream_balance_pipeline(
+        spark, blocks_dir, watch_dir, sink, max_files_per_trigger=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(seen_per_epoch) >= 2
+    later_wallets = set().union(
+        *(s for e, s in seen_per_epoch.items() if e >= 1)
+    )
+    # the second half of the watchlist can only be tagged after the refresh
+    assert any(w in hot[4:] for w in later_wallets)
+
+
+def test_stateful_price_change_10pct(spark, tmp_path):
+    src = str(tmp_path / "prices")
+    rows = [
+        ("P1", "2024-01-01 00:00:00", 100.0, 10.0),
+        ("P1", "2024-01-01 00:00:01", 105.0, 10.4),   # <10% vs 100 → suppressed
+        ("P1", "2024-01-01 00:00:02", 112.0, 10.8),   # >10% vs 100 → emit
+        ("P1", "2024-01-01 00:00:03", 113.0, 10.9),   # <10% vs 112 → suppressed
+        ("P2", "2024-01-01 00:00:00", 50.0, 5.0),
+        ("P2", "2024-01-01 00:00:01", 40.0, 5.0),     # 20% drop → emit
+    ]
+    df = spark.createDataFrame(
+        rows, "pair string, ts_s string, base_price double, quote_price double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(src)
+
+    schema = "pair string, base_price double, quote_price double, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = price_change_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("price_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.pair, r.base_price): r for r in spark.sql("select * from price_out").collect()
+    }
+    assert set(got) == {("P1", 100.0), ("P1", 112.0), ("P2", 50.0), ("P2", 40.0)}
+    assert got[("P1", 112.0)].base_change == pytest.approx(0.12)
+
+
+def test_watermarked_dedup(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (2, "2024-01-01 00:01:00", "a"),  # dup key
+        (3, "2024-01-01 00:02:00", "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string, addr string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.write.parquet(src)
+    stream = spark.readStream.schema("id long, addr string, ts timestamp").parquet(src)
+    q = (
+        watermarked_dedup(stream, ["addr"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    addrs = [r.addr for r in spark.sql("select * from dedup_out").collect()]
+    assert sorted(addrs) == ["a", "b"]
+
+
+def test_st7_fanout_two_queries(spark, tmp_path):
+    """Same source feeds two independent streaming queries (balance extraction
+    + instruction-log pool detector), like combined_subscriber's queue+SHM
+    fan-out (SERVER/combined_subscriber.py:200-227)."""
+    blocks_dir = str(tmp_path / "blocks")
+    write_blocks_json(blocks_dir, n_blocks=8, seed=7, files=2)
+
+    raw = spark.readStream.format("text").load(f"{blocks_dir}/blocks_*.json")
+
+    # query 1: count transactions (A3 global count)
+    q1 = (
+        parse_blocks(raw)
+        .select(F.explode("transactions").alias("tx"))
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("fan_count")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{blocks_dir}/_cp1")
+        .start()
+    )
+    # query 2: pool-detector prefilter (P8 instruction regex on logs)
+    q2 = (
+        parse_blocks(raw)
+        .select(F.explode("transactions").alias("tx"))
+        .select(F.array_join("tx.meta.logMessages", " ").alias("logs"))
+        .where(F.col("logs").rlike(r"Instruction: initialize2\b"))
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("fan_pools")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{blocks_dir}/_cp2")
+        .start()
+    )
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+    n_all = spark.sql("select * from fan_count").collect()[0]["count"]
+    n_pools = spark.sql("select * from fan_pools").collect()[0]["count"]
+    assert n_all > 0 and 0 < n_pools < n_all

@@ -1,0 +1,93 @@
+"""Tests for the vectorized UDF surface (M4) and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.udfs import (
+    amm_quote_price,
+    lookup_enrich,
+    pct_change,
+)
+from rugpull_data_pipeline_spark.multimodal import (
+    attach_blob_column,
+    decode_image_features,
+    extract_blob_metadata,
+    sample_frames,
+)
+
+
+def test_amm_quote_price(spark):
+    df = spark.createDataFrame(
+        [(10.0, 2.0), (5.0, 0.0), (7.5, 2.5)], "base double, native double"
+    )
+    got = df.select(amm_quote_price("base", "native").alias("q")).collect()
+    assert [r.q for r in got] == [5.0, None, 3.0]
+
+
+def test_pct_change(spark):
+    df = spark.createDataFrame([(110.0, 100.0), (90.0, 0.0)], "n double, o double")
+    got = [r.c for r in df.select(pct_change("n", "o").alias("c")).collect()]
+    assert got[0] == pytest.approx(0.1)
+    assert got[1] is None
+
+
+def test_lookup_enrich_batched_fake_http(spark):
+    calls = []
+
+    def fake_fetch(keys):
+        calls.append(list(keys))
+        return {
+            k: {"pool_id": f"pool_{k}", "base_mint": f"mint_{k}"}
+            for k in keys
+            if not k.endswith("9")  # simulate unknown keys → null fields
+        }
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], "addr string"
+    ).coalesce(1)
+    out = lookup_enrich(
+        df, "addr", fake_fetch, "pool_id string, base_mint string", batch_size=10
+    ).collect()
+    assert len(out) == 30
+    by_key = {r.addr: r for r in out}
+    assert by_key["k1"].pool_id == "pool_k1"
+    assert by_key["k9"].pool_id is None  # unknown key tolerated (P6-style)
+    assert all(len(c) <= 10 for c in calls)  # batched like the reference API
+
+
+def test_blob_metadata_jvm_side(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    meta = extract_blob_metadata(attach_blob_column(docs))
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r.media_type == "image" and r.n_bytes > 0 for r in rows)
+
+
+def test_decode_features_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    blobs = attach_blob_column(docs)
+    a = {r.doc_id: r.features for r in decode_image_features(blobs).collect()}
+    b = {r.doc_id: r.features for r in decode_image_features(blobs).collect()}
+    assert a == b
+    assert all(len(v) == 8 and all(0 <= x < 1 for x in v) for v in a.values())
+
+
+def test_decode_without_stub_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    blobs = attach_blob_column(docs)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_image_features(blobs, use_stub=False).collect()
+
+
+def test_sample_frames_flatmap_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    blobs = attach_blob_column(docs)
+    frames = sample_frames(blobs, every_n_bytes=64).collect()
+    n_bytes = {r.doc_id: r.n_bytes for r in extract_blob_metadata(blobs).collect()}
+    for doc_id, nb in n_bytes.items():
+        expect = max(1, -(-nb // 64))
+        got = [r for r in frames if r.doc_id == doc_id]
+        assert len(got) == expect
+        assert sorted(r.frame_idx for r in got) == list(range(expect))
