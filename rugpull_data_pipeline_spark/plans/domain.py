@@ -1,0 +1,250 @@
+"""Domain-parity queries: the reference's own computation shapes, run over
+deterministically generated Solana-shaped block JSON and oracle-checked with
+DuckDB's JSON reader on the SAME files.
+
+This is the strongest parity evidence in the registry: the full §3.1 chain
+(from_json → explode → watchlist semi-join → owner-replacement → pre/post
+merge) hash-compared against an independent engine, end to end.
+
+Generation is idempotent and seeded (sources/solana.py), so whichever side
+runs first materializes identical bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import DUCK, SPARK
+from ..operators.balance import extract_balance_changes, parse_blocks
+from ..sources.solana import hot_addresses, write_blocks_json
+from .registry import register
+
+_N_BLOCKS, _SEED, _FILES = 40, 11, 4
+
+
+def _parity_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"rugpull_solana_parity_{_N_BLOCKS}_{_SEED}_{_FILES}",
+    )
+
+
+def _ensure_blocks() -> str:
+    return write_blocks_json(_parity_dir(), _N_BLOCKS, _SEED, _FILES)
+
+
+def _hot_literal(d: str) -> str:
+    addrs = ", ".join(f"'{a}'" for a in hot_addresses())
+    return f"[{addrs}]" if d == DUCK else f"array({addrs})"
+
+
+def _read_blocks(spark: SparkSession) -> DataFrame:
+    path = _ensure_blocks()
+    return parse_blocks(spark.read.text(f"{path}/blocks_*.json"), "value")
+
+
+def _duck_tx_cte() -> str:
+    """Shared oracle CTEs: blocks → per-tx rows with the concatenated key
+    sequence (accountKeys‖readonly‖writable, continuous indexing)."""
+    path = _parity_dir()
+    return f"""
+    blocks AS (
+        SELECT result
+        FROM read_json('{path}/blocks_*.json', format='newline_delimited')
+    ),
+    tx AS (
+        SELECT result.blockTime AS block_time, unnest(result.transactions) AS t
+        FROM blocks
+    ),
+    keyed AS (
+        SELECT block_time,
+            t.transaction.signatures[1] AS signature,
+            list_concat(list_concat(
+                t.transaction.message.accountKeys,
+                t.meta.loadedAddresses.readonly),
+                t.meta.loadedAddresses.writable) AS all_keys,
+            t.meta.preTokenBalances AS pre,
+            t.meta.postTokenBalances AS post,
+            array_to_string(t.meta.logMessages, ' ') AS logs
+        FROM tx
+    )
+    """
+
+
+_BALANCE_ORACLE_TEMPLATE = """
+WITH {tx_cte},
+hot AS (
+    SELECT * FROM keyed
+    WHERE len(list_intersect(all_keys, {hot})) > 0
+),
+entries AS (
+    SELECT signature, block_time, all_keys, 'pre' AS phase, unnest(pre) AS b FROM hot
+    UNION ALL
+    SELECT signature, block_time, all_keys, 'post' AS phase, unnest(post) AS b FROM hot
+),
+resolved AS (
+    SELECT signature, block_time, phase,
+        CASE WHEN list_contains({hot}, all_keys[cast(b.accountIndex as int) + 1])
+             THEN all_keys[cast(b.accountIndex as int) + 1]
+             ELSE b.owner END AS wallet,
+        b.mint AS mint,
+        b.uiTokenAmount.uiAmountString AS amount
+    FROM entries
+    WHERE b IS NOT NULL
+)
+SELECT wallet, signature, mint,
+    max(CASE WHEN phase = 'pre' THEN amount END) AS pre_balance,
+    max(CASE WHEN phase = 'post' THEN amount END) AS post_balance,
+    cast(max(block_time) as bigint) AS ts_epoch
+FROM resolved
+GROUP BY wallet, signature, mint
+ORDER BY signature, wallet, mint
+"""
+
+
+def _balance_oracle() -> str:
+    return _BALANCE_ORACLE_TEMPLATE.format(
+        tx_cte=_duck_tx_cte(), hot=_hot_literal(DUCK)
+    )
+
+
+@register(
+    "solana_balance_extract",
+    oracle=_balance_oracle(),
+    tags=("flagship", "json", "domain"),
+    doc="The full reference chain (SURVEY.md §3.1) on generated getBlock "
+    "JSON, oracle-checked by DuckDB reading the same files: schema-pruned "
+    "from_json, J1 watchlist semi-join, J2 positional owner replacement, "
+    "A1 pre/post merge, W1 block-time stamping.",
+)
+def solana_balance_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _read_blocks(spark)
+    watch = spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    )
+    out = extract_balance_changes(blocks, watch)
+    return out.select(
+        "wallet",
+        "signature",
+        "mint",
+        "pre_balance",
+        "post_balance",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    ).orderBy("signature", "wallet", "mint")
+
+
+_POOL_ORACLE_TEMPLATE = """
+WITH {tx_cte}
+SELECT signature,
+    cast(block_time as bigint) AS ts_epoch,
+    len(all_keys) AS n_keys,
+    len(list_intersect(all_keys, {hot})) AS n_hot_keys
+FROM keyed
+WHERE regexp_matches(logs, 'Instruction: initialize2\\b')
+  AND block_time >= {min_bt}
+ORDER BY signature
+"""
+
+
+def _pool_oracle() -> str:
+    # P9 recency filter restated deterministically: keep pools from the most
+    # recent 300 s of generated block time (blocks span n_blocks*400 s).
+    min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
+    return _POOL_ORACLE_TEMPLATE.format(
+        tx_cte=_duck_tx_cte(), hot=_hot_literal(DUCK), min_bt=min_bt
+    )
+
+
+@register(
+    "solana_pool_detection",
+    oracle=_pool_oracle(),
+    tags=("json", "domain"),
+    doc="New-pool detection prefilter (SURVEY.md §3.2): P8 instruction-log "
+    "regex over array_join(logMessages) + P9 recency predicate + key "
+    "projection for the Raydium lookup (S8, mocked).",
+)
+def solana_pool_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _read_blocks(spark)
+    min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
+    hot_arr = F.expr(_hot_literal(SPARK))
+    tx = blocks.select(
+        F.col("blockTime").alias("block_time"), F.explode("transactions").alias("t")
+    ).select(
+        F.col("t.transaction.signatures")[0].alias("signature"),
+        F.col("block_time"),
+        F.concat(
+            F.coalesce(F.col("t.transaction.message.accountKeys"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.readonly"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.writable"), F.array()),
+        ).alias("all_keys"),
+        F.array_join(F.col("t.meta.logMessages"), " ").alias("logs"),
+    )
+    return (
+        tx.where(
+            F.col("logs").rlike(r"Instruction: initialize2\b")
+            & (F.col("block_time") >= F.lit(min_bt))
+        )
+        .select(
+            "signature",
+            F.col("block_time").cast("long").alias("ts_epoch"),
+            F.size("all_keys").cast("long").alias("n_keys"),
+            F.size(F.array_intersect(F.col("all_keys"), hot_arr))
+            .cast("long")
+            .alias("n_hot_keys"),
+        )
+        .orderBy("signature")
+    )
+
+
+_HOTCOUNT_ORACLE_TEMPLATE = """
+WITH {tx_cte}
+SELECT cast(block_time as bigint) AS ts_epoch,
+    count(*) AS n_tx,
+    cast(sum(CASE WHEN len(list_intersect(all_keys, {hot})) > 0
+             THEN 1 ELSE 0 END) as bigint) AS n_hot_tx
+FROM keyed
+GROUP BY block_time
+ORDER BY ts_epoch
+"""
+
+
+@register(
+    "solana_hot_tx_count",
+    oracle=_HOTCOUNT_ORACLE_TEMPLATE.format(
+        tx_cte=_duck_tx_cte(), hot="{hot}"
+    ).replace("{hot}", _hot_literal(DUCK)),
+    tags=("json", "domain", "agg"),
+    doc="A3 per-block matched-transaction counter "
+    "(RECEIVER/parser_main.cpp:121,133) as a per-block aggregate.",
+)
+def solana_hot_tx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _read_blocks(spark)
+    hot_arr = F.expr(_hot_literal(SPARK))
+    tx = blocks.select(
+        F.col("blockTime").alias("block_time"), F.explode("transactions").alias("t")
+    ).select(
+        "block_time",
+        F.concat(
+            F.coalesce(F.col("t.transaction.message.accountKeys"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.readonly"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.writable"), F.array()),
+        ).alias("all_keys"),
+    )
+    return (
+        tx.groupBy(F.col("block_time").cast("long").alias("ts_epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(
+                F.when(
+                    F.size(F.array_intersect(F.col("all_keys"), hot_arr)) > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hot_tx"),
+        )
+        .orderBy("ts_epoch")
+    )

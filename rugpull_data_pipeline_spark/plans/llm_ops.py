@@ -460,3 +460,74 @@ _pair(
     "coarse cluster) — the blocked equi-join is the scale path; "
     "all-pairs-within-block only.",
 )
+
+
+def _emb_dims(d: str, where: str = "") -> str:
+    """(vec_id, label, dim, v) — one row per embedding element, double."""
+    if d == SPARK:
+        return (
+            "SELECT vec_id, label, pos + 1 AS dim, cast(col as double) AS v "
+            f"FROM embeddings {where} LATERAL VIEW posexplode(embedding) t AS pos, col"
+        )
+    return (
+        "SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS v "
+        f"FROM embeddings {where}, unnest(range(1, len(embedding) + 1)) AS t(i)"
+    )
+
+
+def _sim_ivf(d: str) -> str:
+    cos = _cosine(d, "q.embedding", "c.embedding")
+    return f"""
+    WITH emb_dims AS ({_emb_dims(d)}),
+    centroids AS (
+        SELECT label, dim,
+            cast(sum(cast(v as decimal(38,9))) as double) / count(*) AS c
+        FROM emb_dims GROUP BY label, dim
+    ),
+    q_dims AS (
+        SELECT vec_id AS query_id, dim, v FROM ({_emb_dims(d)}) e WHERE vec_id < 5
+    ),
+    dists AS (
+        SELECT q.query_id, ct.label,
+            cast(sum(cast((q.v - ct.c) * (q.v - ct.c) as decimal(38,12))) as double) AS d2
+        FROM q_dims q JOIN centroids ct ON q.dim = ct.dim
+        GROUP BY q.query_id, ct.label
+    ),
+    assigned AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                row_number() OVER (PARTITION BY query_id ORDER BY d2, label) AS rn
+            FROM dists
+        ) t WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT a.query_id, c.vec_id, c.label, round({cos}, 6) AS cosine
+        FROM assigned a
+        JOIN queries q ON q.query_id = a.query_id
+        JOIN embeddings c ON c.label = a.label AND c.vec_id <> a.query_id
+    )
+    SELECT query_id, vec_id, label, cosine, rnk
+    FROM (
+        SELECT query_id, vec_id, label, cosine,
+            row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+        FROM scored
+    ) r
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """
+
+
+_pair(
+    "sim_cosine_ivf_bucketed",
+    _sim_ivf,
+    tags=("similarity",),
+    doc="IVF-style ANN scale path: per-label centroids (decimal-exact "
+    "element-wise mean), probe the nearest centroid's bucket only, rank "
+    "inside the bucket. Search cost drops from O(corpus) to O(bucket); "
+    "the bucket id is the shuffle/partition key at 100 TB.",
+)

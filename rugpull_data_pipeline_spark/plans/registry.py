@@ -109,5 +109,6 @@ def _load_plan_modules() -> None:
     from . import relational  # noqa: F401
     from . import semi_structured  # noqa: F401
     from . import llm_ops  # noqa: F401
+    from . import domain  # noqa: F401
 
     _LOADED = True

@@ -683,3 +683,150 @@ _pair(
     tags=("scalar",),
     doc="S7 AMM quote-price derivation with zero-guard.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot, ranking, subqueries, approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+def _pivot_spark() -> str:
+    return """
+    SELECT l_returnflag,
+        cast(O as double) AS qty_open,
+        cast(F as double) AS qty_finished
+    FROM (
+        SELECT l_returnflag, l_linestatus,
+            cast(l_quantity as decimal(38,6)) AS q
+        FROM lineitem
+    ) PIVOT (sum(q) FOR l_linestatus IN ('O' AS O, 'F' AS F))
+    ORDER BY l_returnflag
+    """
+
+
+def _pivot_duck() -> str:
+    return f"""
+    SELECT l_returnflag,
+        {S.dsum("case when l_linestatus = 'O' then l_quantity end", DUCK)} AS qty_open,
+        {S.dsum("case when l_linestatus = 'F' then l_quantity end", DUCK)} AS qty_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+sql_pair(
+    "pivot_status_quantity",
+    _pivot_spark(),
+    _pivot_duck(),
+    tags=("agg", "pivot"),
+    doc="PIVOT: per-returnflag quantities fanned into one column per status "
+    "(Spark PIVOT syntax; oracle as conditional aggregation).",
+)
+
+
+def _unpivot_spark() -> str:
+    return f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+            {S.dsum("case when l_linestatus = 'O' then l_quantity end", SPARK)} AS qty_open,
+            {S.dsum("case when l_linestatus = 'F' then l_quantity end", SPARK)} AS qty_finished
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, status, qty
+    FROM wide
+    LATERAL VIEW stack(2, 'O', qty_open, 'F', qty_finished) AS status, qty
+    ORDER BY l_returnflag, status
+    """
+
+
+def _unpivot_duck() -> str:
+    return f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+            {S.dsum("case when l_linestatus = 'O' then l_quantity end", DUCK)} AS qty_open,
+            {S.dsum("case when l_linestatus = 'F' then l_quantity end", DUCK)} AS qty_finished
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS status, qty_open AS qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F' AS status, qty_finished AS qty FROM wide
+    ORDER BY l_returnflag, status
+    """
+
+
+sql_pair(
+    "unpivot_status_quantity",
+    _unpivot_spark(),
+    _unpivot_duck(),
+    tags=("agg", "pivot"),
+    doc="UNPIVOT via stack(): wide per-status columns back to rows.",
+)
+
+
+def _rank_suite(d: str) -> str:
+    return """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk_dense, quartile
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+            dense_rank() OVER (
+                PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+            ) AS rnk_dense,
+            ntile(4) OVER (
+                PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+            ) AS quartile
+        FROM customer
+    ) t
+    WHERE rnk_dense <= 5
+    ORDER BY c_mktsegment, rnk_dense, c_custkey
+    """
+
+
+_pair(
+    "window_rank_ntile",
+    _rank_suite,
+    tags=("window",),
+    doc="dense_rank + ntile over a deterministic total order.",
+)
+
+
+def _corr_subquery(d: str) -> str:
+    return f"""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+        SELECT {S.davg('p2.p_retailprice', d)} FROM part p2
+        WHERE p2.p_brand = part.p_brand
+    )
+    ORDER BY p_partkey
+    """
+
+
+_pair(
+    "subquery_correlated_above_avg",
+    _corr_subquery,
+    tags=("join", "subquery"),
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+    "aggregate + join — capability the reference lacks entirely).",
+)
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,
+    tags=("agg", "approx", "nosql"),
+    doc="approx_count_distinct (HLL++) + percentile_approx (KLL-style) — "
+    "sketch outputs are engine-specific, so no cross-engine oracle; the "
+    "driver records a rows-only check and tests bound the relative error.",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
