@@ -103,7 +103,9 @@ def extract_balance_changes(
     # J2: owner replacement — if the address at this entry's accountIndex
     # (within the concatenated sequence) is watchlisted, it is the pool vault
     # and REPLACES the owner (stage2_processing.cpp:160-167 precedence).
-    addr_at = F.element_at(F.col("all_keys"), F.col("b.accountIndex") + F.lit(1))
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at THROW on
+    # an out-of-range index; a malformed tx must yield null → owner kept.
+    addr_at = F.try_element_at(F.col("all_keys"), F.col("b.accountIndex") + F.lit(1))
     entries = entries.select(
         "ts",
         "signature",

@@ -249,16 +249,18 @@ def _dedup_minhash_lsh(d: str) -> str:
     )
     h = S.portable_hash64("sh", d, seed="cast(j as string)")
     shh = S.portable_hash64("sh", d)
-    sig_cols = ", ".join(
-        f"min(case when j = {j} then h end) AS h{j}" for j in range(_N_HASHES)
+    # Single-pass band keys: group the 16 (doc, j, minhash) rows into 4 bands
+    # of 4 directly — a UNION ALL over a sigs CTE would re-expand the whole
+    # shingle+hash pipeline once per band (Spark does not materialize CTEs).
+    band_cols = ", ".join(
+        f"min(case when j % 4 = {r} then h end)" for r in range(_BAND_SIZE)
     )
-    band_rows = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        cols = ", ".join(f"h{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))
-        band_rows.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sigs"
-        )
-    bands_sql = "\n        UNION ALL\n        ".join(band_rows)
+    bands_sql = f"""
+        SELECT doc_id, cast(floor(j / 4) as int) AS band,
+            md5(concat_ws(',', {band_cols})) AS band_key
+        FROM hashes
+        GROUP BY doc_id, cast(floor(j / 4) as int)
+    """
     if d == SPARK:
         doc_sets = "SELECT doc_id, collect_set(shh) AS shs FROM sh_hashed GROUP BY doc_id"
         n_inter = "size(array_intersect(sa.shs, sb.shs))"
@@ -277,9 +279,6 @@ def _dedup_minhash_lsh(d: str) -> str:
         SELECT doc_id, j, min({h}) AS h
         FROM shingles CROSS JOIN ({jseq}) js
         GROUP BY doc_id, j
-    ),
-    sigs AS (
-        SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
     ),
     bands AS (
         {bands_sql}
@@ -311,29 +310,31 @@ _pair(
 
 
 def _dedup_simhash(d: str) -> str:
-    bseq = (
-        "SELECT explode(sequence(0, 59)) AS b"
-        if d == SPARK
-        else "SELECT unnest(range(0, 60)) AS b"
-    )
+    # One aggregation pass: 60 conditional vote sums per doc (no 60× row
+    # explosion — a cross join with the bit range would shuffle 60× the
+    # shingle count; conditional aggs combine map-side instead).
     h = S.portable_hash64("sh", d)
-    bit_of_hash = f"({S.shift_right('h', 'b', d)} & 1)"
-    one = "cast(1 as bigint)"
+    votes = ",\n            ".join(
+        f"sum(case when ({S.shift_right('h', str(b), d)} & 1) = 1 then 1 else -1 end) AS v{b}"
+        for b in range(60)
+    )
+    recombine = " + ".join(
+        f"(case when v{b} > 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+        for b in range(60)
+    )
     return f"""
     WITH tokens AS ({_ngram_shingles(d)}),
     tok_hashes AS (
         SELECT doc_id, {h} AS h FROM tokens
     ),
     bit_votes AS (
-        SELECT doc_id, b,
-            {S.isum(f"case when {bit_of_hash} = 1 then 1 else -1 end", d)} AS vote
-        FROM tok_hashes CROSS JOIN ({bseq}) bs
-        GROUP BY doc_id, b
+        SELECT doc_id,
+            {votes}
+        FROM tok_hashes
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-        {S.isum(f"case when vote > 0 then {S.shift_left(one, 'b', d)} else 0 end", d)} AS simhash
+    SELECT doc_id, cast({recombine} as bigint) AS simhash
     FROM bit_votes
-    GROUP BY doc_id
     ORDER BY doc_id
     """
 

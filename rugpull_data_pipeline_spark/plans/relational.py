@@ -147,7 +147,7 @@ def _q01(d: str) -> str:
         {S.davg('l_extendedprice', d)} AS avg_price,
         count(*) AS count_order
     FROM lineitem
-    WHERE {S.fmt_date('l_shipdate', d)} <= '1998-09-02'
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """
@@ -512,7 +512,6 @@ def _running(d: str) -> str:
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) as double) AS running_qty
     FROM lineitem
-    ORDER BY l_suppkey, l_orderkey, l_linenumber
     """
 
 
@@ -520,7 +519,9 @@ _pair(
     "window_running_sum",
     _running,
     tags=("window",),
-    doc="Frame-spec running sum over a total order (decimal-exact).",
+    doc="Frame-spec running sum over a total order (decimal-exact). No "
+    "global ORDER BY: the compare is order-insensitive and a full-table "
+    "range shuffle would be pure waste at scale.",
 )
 
 

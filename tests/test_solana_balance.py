@@ -121,3 +121,43 @@ def test_output_schema_is_reference_shape(spark):
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert types["pre_balance"] == "string" and types["post_balance"] == "string"
     assert types["ts"] == "timestamp"
+
+
+def test_out_of_range_account_index_tolerated(spark):
+    """ANSI mode makes element_at throw on bad indexes; the chain must keep
+    the entry's own owner instead (malformed-tx tolerance, P6 family)."""
+    import json
+
+    blk = {
+        "result": {
+            "blockTime": 1700000123,
+            "parentSlot": 1,
+            "transactions": [
+                {
+                    "transaction": {
+                        "message": {"accountKeys": [hot_addresses()[0]]},
+                        "signatures": ["sigX"],
+                    },
+                    "meta": {
+                        "loadedAddresses": {"readonly": [], "writable": []},
+                        "preTokenBalances": [
+                            {
+                                "accountIndex": 99,
+                                "mint": "M1",
+                                "owner": "OWNER1",
+                                "uiTokenAmount": {"uiAmountString": "5.0"},
+                            }
+                        ],
+                        "postTokenBalances": [],
+                        "logMessages": [],
+                    },
+                }
+            ],
+        }
+    }
+    raw = spark.createDataFrame([(json.dumps(blk),)], "value string")
+    watch = spark.createDataFrame([(a,) for a in hot_addresses()], "address string")
+    rows = extract_balance_changes(parse_blocks(raw), watch).collect()
+    assert len(rows) == 1
+    assert rows[0].wallet == "OWNER1"
+    assert rows[0].pre_balance == "5.0" and rows[0].post_balance is None
