@@ -1,0 +1,399 @@
+"""Advanced relational operators beyond the reference's inventory.
+
+The reference implements only broadcast-hash-shaped joins (SURVEY.md §2.3) and
+no temporal join of any kind; a complete engine that serves the same domain
+(time-stamped balance/price streams, SERVER/priceAPIfiller.py:63-75,
+SERVER/ingest_prices.py:42-55) needs the temporal shapes a Spark user reaches
+for: as-of joins ("price in effect at event time"), range joins ("activity
+within ±Δt"), plus the remaining ANSI surface (right/theta joins, GROUPING
+SETS, lead/frame windows, INTERSECT/EXCEPT ALL) and the skew-mitigation
+pattern (salting) that a 100 TB deployment relies on.
+
+Scale notes:
+
+- **As-of join** is implemented as union + partitioned window (one shuffle on
+  the join key, no per-key loops, no point-lookup joins). This is the shape
+  that survives a 1000-executor cluster: both sides shuffle-hash on
+  ``user_id`` once, the window scan is a single ordered pass per partition.
+  The DuckDB oracle uses its native ``ASOF LEFT JOIN`` — an independent
+  implementation agreeing on the semantics.
+- **Range join** buckets event time into fixed 300 s cells and equi-joins on
+  the cell id (exploding each probe row to its 3 neighboring cells), then
+  applies the exact ±300 s predicate. The equi-join on the bucket is the
+  shuffle key; without it Spark plans a broadcast-nested-loop join, which is
+  quadratic at scale. The oracle runs the naive inequality join.
+- **Salted join** demonstrates hot-key mitigation with a *deterministic* salt
+  (derived from ``l_linenumber``, not ``rand()``) so results are reproducible
+  and oracle-comparable; AQE skew handling makes this optional but the
+  pattern must exist for deliberate use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: last 'view' value at or before each purchase, per user.
+# The reference's price join (J3) is "latest price at processing time";
+# the event-time-correct version is exactly an as-of join.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+SELECT p.event_id, p.user_id,
+    {S.fmt_ts('p.ts', DUCK)} AS ts_s,
+    p.value AS purchase_value,
+    v.value AS last_view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+@register(
+    "join_asof_last_view",
+    oracle=_ASOF_ORACLE,
+    tags=("join", "window", "temporal"),
+    doc="As-of join (price-in-effect-at-event-time): union both sides, one "
+    "shuffle on the key, last(ignoreNulls) over an ordered window. Oracle is "
+    "DuckDB's native ASOF LEFT JOIN — two independent implementations.",
+)
+def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    # kind orders views before purchases at equal ts => "<=" as-of semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("last_view_value", F.last("view_value", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(S.fmt_ts("ts")).alias("ts_s"),
+            "purchase_value",
+            "last_view_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: clicks within ±300 s of each error, via time-bucket equi-join.
+# ---------------------------------------------------------------------------
+
+_RANGE_US = 300_000_000  # ±300 s in microseconds
+
+
+_RANGE_ORACLE = f"""
+SELECT e.event_id,
+    count(c.event_id) AS n_clicks_5min,
+    {S.dsum('c.value', DUCK)} AS click_value_5min
+FROM events e
+LEFT JOIN events c
+    ON c.event_type = 'click'
+    AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {_RANGE_US}
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "join_range_time_window",
+    oracle=_RANGE_ORACLE,
+    tags=("join", "temporal"),
+    doc="Range join (activity within ±300 s): probe rows explode to 3 "
+    "neighboring 300 s buckets, equi-join on the bucket id (the shuffle "
+    "key), exact |Δt| filter after. Avoids the O(n²) nested-loop plan the "
+    "naive inequality join produces; oracle runs that naive join.",
+)
+def join_range_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts"))
+    bucket = F.floor(us / F.lit(_RANGE_US))
+
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", us.alias("e_us"), bucket.alias("b")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        us.alias("c_us"),
+        bucket.alias("bucket"),
+    )
+    probes = errors.withColumn(
+        "bucket", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+    )
+    # Each click lives in exactly one bucket, so a (error, click) pair joins
+    # at most once — no dedup needed after the exact-range filter.
+    matched = probes.join(clicks, "bucket").where(
+        F.abs(F.col("c_us") - F.col("e_us")) <= F.lit(_RANGE_US)
+    )
+    agg = matched.groupBy("event_id").agg(
+        F.count("click_id").alias("n_clicks_5min"),
+        F.expr(S.dsum("click_value")).alias("click_value_5min"),
+    )
+    return (
+        errors.select("event_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_clicks_5min", F.lit(0)).alias("n_clicks_5min"),
+            "click_value_5min",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining ANSI join surface
+# ---------------------------------------------------------------------------
+
+
+def _theta(d: str) -> str:
+    return """
+    SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a
+    JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    ORDER BY regionkey, nation_a, nation_b
+    """
+
+
+_pair(
+    "join_theta_nation_pairs",
+    _theta,
+    tags=("join",),
+    doc="Theta join (equi + inequality conjunct): same-region nation pairs.",
+)
+
+
+def _right(d: str) -> str:
+    return """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_custkey, o_orderkey NULLS FIRST
+    """
+
+
+_pair(
+    "join_right_outer_customers",
+    _right,
+    tags=("join",),
+    doc="Right outer join (null-extending the build side).",
+)
+
+
+def _cross(d: str) -> str:
+    return f"""
+    SELECT r.r_name, t.band, count(*) AS n_parts,
+        {S.dsum('p.p_retailprice', d)} AS price_total
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT substring(p_brand, 1, 6) AS band FROM part) t
+    JOIN part p ON substring(p.p_brand, 1, 6) = t.band
+    GROUP BY r.r_name, t.band
+    ORDER BY r.r_name, t.band
+    """
+
+
+_pair(
+    "join_cross_region_bands",
+    _cross,
+    tags=("join",),
+    doc="Cross join of two small dims fanned against a fact (broadcast NLJ).",
+)
+
+
+_SALTED_ORACLE = f"""
+SELECT o_orderpriority,
+    {S.dsum('l_extendedprice * (1 - l_discount)', DUCK)} AS revenue,
+    count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_N_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle=_SALTED_ORACLE,
+    tags=("join", "scale"),
+    doc="Skew-salted equi-join: the build side replicates across "
+    f"{_N_SALTS} deterministic salts (no rand() — reproducible), the probe "
+    "side derives its salt from l_linenumber, so one hot l_orderkey spreads "
+    "over 8 reducers. Result provably identical to the plain join (oracle).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(_N_SALTS)).cast("int")
+    )
+    orders = spark.table("orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)]))
+    )
+    # Both equi keys live in the join condition so Catalyst hashes on
+    # (salt, l_orderkey) — the whole point of the salt.
+    joined = li.join(
+        orders,
+        (li.salt == orders.salt) & (li.l_orderkey == orders.o_orderkey),
+        "inner",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.expr(S.dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS, frame windows, multiset set ops
+# ---------------------------------------------------------------------------
+
+
+def _grouping_sets(d: str) -> str:
+    return f"""
+    SELECT r_name, n_name,
+        cast(grouping(r_name) as int) AS g_region,
+        cast(grouping(n_name) as int) AS g_nation,
+        {S.dsum('s_acctbal', d)} AS total_acctbal,
+        count(*) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+    """
+
+
+_pair(
+    "agg_grouping_sets",
+    _grouping_sets,
+    tags=("agg",),
+    doc="Explicit GROUPING SETS with grouping() markers (distinguishes "
+    "'NULL key' from 'superaggregate row').",
+)
+
+
+def _lead_frames(d: str) -> str:
+    us = "unix_micros(ts)" if d == SPARK else "epoch_us(ts)"
+    return f"""
+    SELECT user_id, event_id,
+        lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+        first_value(event_id) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS first_event_id,
+        cast(count(*) OVER (
+            PARTITION BY user_id ORDER BY {us}
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        ) as bigint) AS n_events_1h,
+        cast(sum(cast(value as decimal(38,6))) OVER (
+            PARTITION BY user_id ORDER BY {us}
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        ) as double) AS sum_value_1h
+    FROM events
+    ORDER BY user_id, event_id
+    """
+
+
+_pair(
+    "window_lead_range_frame",
+    _lead_frames,
+    tags=("window", "temporal"),
+    doc="lead / first_value / sliding 1-hour RANGE frame on the microsecond "
+    "event-time axis (decimal-exact sliding sum).",
+)
+
+
+def _intersect_all(d: str) -> str:
+    return """
+    SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS k FROM supplier
+    ) t
+    ORDER BY k
+    """
+
+
+_pair(
+    "setop_intersect_all",
+    _intersect_all,
+    tags=("setop",),
+    doc="INTERSECT ALL (multiset semantics — cardinality matters).",
+)
+
+
+def _except_all(d: str) -> str:
+    return """
+    SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS k FROM supplier
+    ) t
+    ORDER BY k
+    """
+
+
+_pair(
+    "setop_except_all",
+    _except_all,
+    tags=("setop",),
+    doc="EXCEPT ALL (multiset difference).",
+)
+
+
+def _scalar_subquery(d: str) -> str:
+    return f"""
+    SELECT o_orderkey, o_totalprice,
+        round(o_totalprice / (SELECT {S.davg('o_totalprice', d)} FROM orders), 6)
+            AS price_vs_avg
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT {S.davg('o_totalprice', d)} FROM orders)
+    ORDER BY o_orderkey
+    """
+
+
+_pair(
+    "subquery_uncorrelated_scalar",
+    _scalar_subquery,
+    tags=("subquery",),
+    doc="Uncorrelated scalar subquery in both projection and predicate "
+    "(planned as a broadcast of one row).",
+)

@@ -140,6 +140,38 @@ def _fingerprint(d: str) -> str:
     """
 
 
+def _token_bpe(d: str) -> str:
+    # Greedy "BPE-ish" sub-word chunking: letter runs split into ≤4-char
+    # pieces, digit runs kept whole, punctuation one token each. Greedy
+    # quantifiers behave identically in Java regex (Spark) and RE2 (DuckDB)
+    # for this alternation.
+    pat = "'[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]'"
+    if d == SPARK:
+        bpe = f"regexp_extract_all(text, {pat}, 0)"
+    else:
+        bpe = f"regexp_extract_all(text, {pat})"
+    ws = S.split_ws("text", d)
+    return f"""
+    SELECT doc_id,
+        {S.arr_len(ws, d)} AS n_ws_tokens,
+        {S.arr_len(bpe, d)} AS n_bpe_tokens,
+        round(cast({S.arr_len(bpe, d)} as double)
+              / {S.arr_len(ws, d)}, 6) AS bpe_per_word
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_token_bpe_regex",
+    _token_bpe,
+    tags=("text",),
+    doc="Sub-word token counting via a BPE-ish greedy regex "
+    "(regexp_extract_all): the cheap token-budget estimator that runs "
+    "JVM-side with no tokenizer library.",
+)
+
+
 _pair(
     "text_fingerprint",
     _fingerprint,
@@ -521,6 +553,77 @@ def _sim_ivf(d: str) -> str:
     WHERE rnk <= 10
     ORDER BY query_id, rnk
     """
+
+
+_N_PLANES = 4
+
+
+def _sim_lsh_hyperplane(d: str) -> str:
+    cos = _cosine(d, "q.embedding", "c.embedding")
+    jseq = (
+        f"SELECT explode(sequence(0, {_N_PLANES - 1})) AS j"
+        if d == SPARK
+        else f"SELECT unnest(range(0, {_N_PLANES})) AS j"
+    )
+    # Deterministic pseudo-random hyperplane signs from the portable hash —
+    # only n_planes × n_dims distinct values, computed once and broadcast.
+    sign_h = S.portable_hash64(
+        "concat('hp-', cast(j as string), ':', cast(dim as string))", d
+    )
+    return f"""
+    WITH emb_dims AS ({_emb_dims(d)}),
+    planes AS (
+        SELECT j, dim,
+            CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT DISTINCT dim FROM ({_emb_dims(d)}) e0) dims
+        CROSS JOIN ({jseq}) js
+    ),
+    bits AS (
+        SELECT e.vec_id, p.j,
+            CASE WHEN sum(cast(e.v * p.s as decimal(38,9))) >= 0
+                 THEN 1 ELSE 0 END AS bit
+        FROM emb_dims e JOIN planes p ON e.dim = p.dim
+        GROUP BY e.vec_id, p.j
+    ),
+    buckets AS (
+        SELECT vec_id,
+            cast(sum({S.shift_left('cast(bit as bigint)', 'j', d)}) as bigint)
+                AS bucket
+        FROM bits GROUP BY vec_id
+    ),
+    queries AS (
+        SELECT e.vec_id AS query_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+        WHERE e.vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label, round({cos}, 6) AS cosine
+        FROM queries q
+        JOIN buckets cb ON cb.bucket = q.bucket
+        JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine, rnk
+    FROM (
+        SELECT query_id, vec_id, label, cosine,
+            row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rnk
+        FROM scored
+    ) r
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """
+
+
+_pair(
+    "sim_lsh_hyperplane_ann",
+    _sim_lsh_hyperplane,
+    tags=("similarity",),
+    doc=f"Random-hyperplane (SimHash-for-vectors) ANN: {_N_PLANES} "
+    "deterministic hyperplanes → sign bits → bucket id; candidates are only "
+    "same-bucket vectors, ranked by exact cosine. The bucket id is the "
+    "equi-join/shuffle key — probe cost is O(bucket), not O(corpus).",
+)
 
 
 _pair(

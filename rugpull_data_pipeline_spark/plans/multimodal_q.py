@@ -1,0 +1,105 @@
+"""Multimodal-column queries: the registry surface for multimodal/columns.py.
+
+Media payloads ride as opaque ``binary`` columns with typed metadata; the
+kernels (decode / feature-extract / frame-sample) run as Arrow-batched
+``mapInPandas``. The codecs are deterministic stubs (the container has no
+PIL/ffmpeg — see multimodal/columns.py), which buys something unusual here:
+even the Pandas-UDF operators get full DuckDB oracles, because the stub
+kernels (sha256-derived features, md5 frame hashes) are expressible in SQL.
+The oracle therefore verifies the ENTIRE plumbing — binary encoding, Arrow
+batch transfer, UDF signatures, flatMap row fan-out — not just the plan shape.
+
+Scale notes: payloads never visit the driver; ``mapInPandas`` batches are
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size;
+feature vectors are fixed-width so every downstream shuffle moves small
+columnar data, never the blobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.columns import (
+    attach_blob_column,
+    decode_image_features,
+    extract_blob_metadata,
+    sample_frames,
+)
+from .registry import register
+
+# --- blob + typed metadata (fully JVM-side) --------------------------------
+
+_META_ORACLE = """
+SELECT doc_id,
+    'image' AS media_type,
+    'fake-rgb8' AS format,
+    cast(doc_id % 64 + 16 as int) AS width,
+    cast(doc_id % 48 + 16 as int) AS height,
+    cast(octet_length(encode(text)) as bigint) AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_blob_metadata",
+    oracle=_META_ORACLE,
+    tags=("multimodal",),
+    doc="Opaque binary media column + typed metadata struct, projected "
+    "JVM-side (no UDF): the scan/partition layer of the multimodal pipeline.",
+)
+def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    return extract_blob_metadata(attach_blob_column(docs)).orderBy("doc_id")
+
+
+# --- decode + feature extraction (mapInPandas, Arrow batches) ---------------
+
+_FEAT_ORACLE = "SELECT doc_id,\n" + ",\n".join(
+    f"    ('0x' || substring(sha256(text), {8 * i + 1}, 8))::bigint"
+    f" / 4294967296.0 AS f{i}"
+    for i in range(8)
+) + "\nFROM documents\nORDER BY doc_id"
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=_FEAT_ORACLE,
+    tags=("multimodal", "udf"),
+    doc="blob → fixed-size feature vector via Arrow-batched mapInPandas "
+    "(stub kernel: sha256-derived floats — deterministic, so the DuckDB "
+    "oracle checks the full UDF plumbing bit-for-bit).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    feats = decode_image_features(attach_blob_column(docs))
+    return feats.select(
+        "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
+    ).orderBy("doc_id")
+
+
+# --- video-style frame sampling (flatMap-shaped mapInPandas) ----------------
+
+_FRAME_ORACLE = """
+SELECT doc_id,
+    cast(i as int) AS frame_idx,
+    md5(substring(text, i * 64 + 1, 64)) AS frame_hash
+FROM documents,
+    unnest(range(0, cast(ceil(greatest(length(text), 1) / 64.0) as bigint))) AS t(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAME_ORACLE,
+    tags=("multimodal", "udf"),
+    doc="Frame sampling: one input row fans out to K frame rows inside "
+    "mapInPandas (flatMap shape). Stub kernel hashes 64-byte chunks; the "
+    "oracle reproduces the chunking in SQL, verifying the fan-out exactly.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    frames = sample_frames(attach_blob_column(docs), every_n_bytes=64)
+    return frames.orderBy("doc_id", "frame_idx")

@@ -83,6 +83,7 @@ def sql_pair(
 
 
 def get(name: str) -> QuerySpec:
+    _load_plan_modules()
     return _REGISTRY[name]
 
 
@@ -110,5 +111,7 @@ def _load_plan_modules() -> None:
     from . import semi_structured  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import domain  # noqa: F401
+    from . import advanced  # noqa: F401
+    from . import multimodal_q  # noqa: F401
 
     _LOADED = True
