@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_simhash_signature",
     "dedup_ngram_jaccard",
     "sim_cosine_topk_bruteforce",
+    "sim_lsh_hyperplane_ann",
+    "join_asof_last_view",
+    "join_range_time_window",
+    "multimodal_decode_features",
 ]
 
 

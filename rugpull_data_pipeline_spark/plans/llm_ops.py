@@ -228,15 +228,23 @@ def _ngram_shingles(d: str) -> str:
 
 
 def _dedup_ngram_jaccard(d: str) -> str:
+    # The inverted-index self-join runs on the 60-bit shingle hash, not the
+    # shingle string: the shuffle moves 8-byte keys instead of ~20-byte
+    # strings, and the join compares integers. Same result (both engines use
+    # the same hash; a 60-bit collision over ~1M distinct shingles has
+    # probability ~1e-7 and would have to collide identically in both).
+    shh = S.portable_hash64("sh", d)
     return f"""
-    WITH shingles AS ({_ngram_shingles(d)}),
+    WITH shingles AS (
+        SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
+    ),
     doc_sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
     ),
     pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM shingles a
-        JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN shingles b ON a.shh = b.shh AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -270,50 +278,79 @@ _N_HASHES = 16
 _BAND_SIZE = 4  # 4 bands × 4 rows
 
 
+# Universal-hash constants for the 16 minhash functions: h_j(x) = (a_j·m +
+# b_j) mod P with m = base_hash mod P. P < 2^30 and a_j < 2^31 keep the
+# product under 2^61 — no bigint overflow in either engine (Spark 4 ANSI mode
+# would raise on wraparound). Constants are fixed (seeded PRNG at import) so
+# both dialects and every run agree.
+_MINHASH_P = 1_000_000_007
+
+
+def _minhash_constants(n: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(n)
+    ]
+
+
+_MINHASH_AB = _minhash_constants(_N_HASHES)
+
+
 def _dedup_minhash_lsh(d: str) -> str:
     # MinHash over word-3-gram shingles (unigrams are degenerate on a small
     # vocabulary: every doc contains nearly the whole vocab, so every pair
     # collides in every band and LSH degrades to a cross join).
-    jseq = (
-        "SELECT explode(sequence(0, 15)) AS j"
-        if d == SPARK
-        else "SELECT unnest(range(0, 16)) AS j"
-    )
-    h = S.portable_hash64("sh", d, seed="cast(j as string)")
+    #
+    # One pass, no row explosion: a single 60-bit base hash per shingle, 16
+    # universal-hash variants as arithmetic expressions, and the 16 minimums
+    # as conditional aggregates of ONE groupBy(doc_id). The earlier shape
+    # (CROSS JOIN with a 16-row index sequence) shuffled 16× the shingle
+    # count and computed 16 md5s per shingle — at 100 TB that explosion is
+    # the bottleneck; this shape's only wide op is the one hash-agg.
     shh = S.portable_hash64("sh", d)
-    # Single-pass band keys: group the 16 (doc, j, minhash) rows into 4 bands
-    # of 4 directly — a UNION ALL over a sigs CTE would re-expand the whole
-    # shingle+hash pipeline once per band (Spark does not materialize CTEs).
-    band_cols = ", ".join(
-        f"min(case when j % 4 = {r} then h end)" for r in range(_BAND_SIZE)
+    min_cols = ",\n            ".join(
+        f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
     )
-    bands_sql = f"""
-        SELECT doc_id, cast(floor(j / 4) as int) AS band,
-            md5(concat_ws(',', {band_cols})) AS band_key
-        FROM hashes
-        GROUP BY doc_id, cast(floor(j / 4) as int)
-    """
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{4 * band + r}" for r in range(_BAND_SIZE))
+        + "))"
+        for band in range(_N_HASHES // _BAND_SIZE)
+    )
     if d == SPARK:
+        bands = f"""
+        SELECT doc_id, band, band_key
+        FROM sigs
+        LATERAL VIEW posexplode(array({band_keys})) AS band, band_key
+        """
         doc_sets = "SELECT doc_id, collect_set(shh) AS shs FROM sh_hashed GROUP BY doc_id"
         n_inter = "size(array_intersect(sa.shs, sb.shs))"
         n_a, n_b = "size(sa.shs)", "size(sb.shs)"
     else:
+        bands = f"""
+        SELECT doc_id, i AS band, [{band_keys}][i + 1] AS band_key
+        FROM sigs, unnest(range(0, {_N_HASHES // _BAND_SIZE})) t(i)
+        """
         doc_sets = "SELECT doc_id, list(DISTINCT shh) AS shs FROM sh_hashed GROUP BY doc_id"
         n_inter = "len(list_intersect(sa.shs, sb.shs))"
         n_a, n_b = "len(sa.shs)", "len(sb.shs)"
     jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
     return f"""
-    WITH shingles AS ({_ngram_shingles(d)}),
-    sh_hashed AS (
-        SELECT doc_id, {shh} AS shh FROM shingles
+    WITH sh_hashed AS (
+        SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
     ),
-    hashes AS (
-        SELECT doc_id, j, min({h}) AS h
-        FROM shingles CROSS JOIN ({jseq}) js
-        GROUP BY doc_id, j
+    sigs AS (
+        SELECT doc_id,
+            {min_cols}
+        FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM sh_hashed) t
+        GROUP BY doc_id
     ),
     bands AS (
-        {bands_sql}
+        {bands}
     ),
     candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
