@@ -147,3 +147,90 @@ def watermarked_dedup(events: DataFrame, keys: list[str], delay: str = "1 hour")
     SADD watchlists grow forever (SERVER/combined_subscriber.py:88-93); the
     Spark build bounds dedup state with an event-time watermark."""
     return events.withWatermark("ts", delay).dropDuplicates(keys)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with late-data bound.
+
+    The reference has NO windowed aggregation and NO late-data handling (ST3:
+    blocks arrive out of slot order and are processed whenever they land) —
+    this is the capability uplift Structured Streaming gives for free. State
+    per (window, event_type) is one count; the watermark expires windows, so
+    state is bounded by (watermark / slide) windows per key at any moment.
+    """
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windowed_counts(
+    events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based, W3 recency semantics) per user: the
+    streaming twin of the batch ``window_sessionize_1h`` query. Sessions
+    merge as events arrive; the watermark finalizes and evicts them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_stream_asof_purchases(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with the same user's
+    views from the preceding ``horizon``.
+
+    Both sides are watermarked so Spark can bound the join state: the views
+    buffer holds only rows newer than (purchase watermark − horizon). This is
+    the streaming analogue of the batch as-of join (join_asof_last_view) —
+    the event-time-correct version of the reference's "latest price at
+    processing time" join (J3, SERVER/flightWithRedisLatest.py:100-105).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "30 minutes")
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("v_ts", "30 minutes")
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p_user_id = v_user_id
+            AND v_ts <= p_ts
+            AND v_ts >= p_ts - interval {horizon}
+            """
+        ),
+        "inner",
+    ).select("p_event_id", "p_user_id", "p_ts", "purchase_value", "v_ts", "view_value")

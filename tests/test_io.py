@@ -1,0 +1,76 @@
+"""Batch IO layer tests: schema-explicit readers, quarantine of corrupt rows,
+partitioned writes with pruning, keyed dimension upsert (S3/S4/S9 mappings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rugpull_data_pipeline_spark.sources.io import (
+    read_address_list,
+    read_csv_typed,
+    read_json_documents,
+    upsert_dimension,
+    write_partitioned,
+)
+
+
+def test_json_reader_quarantines_corrupt(spark, tmp_path):
+    p = tmp_path / "in.json"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "v": "b"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_json_documents(spark, str(p), schema)
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert {r.id for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt
+
+
+def test_address_list_trim_dedup(spark, tmp_path):
+    p = tmp_path / "watch.txt"
+    p.write_text("addr1\n  addr2  \n\naddr1\n")
+    df = read_address_list(spark, str(p))
+    assert sorted(r.address for r in df.collect()) == ["addr1", "addr2"]
+
+
+def test_csv_typed_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("k,price\n1,1.5\n2,2.5\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("price", T.DoubleType())]
+    )
+    df = read_csv_typed(spark, str(p), schema)
+    assert {(r.k, r.price) for r in df.collect()} == {(1, 1.5), (2, 2.5)}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "part_out")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # Partition pruning: the filtered scan must read only one directory.
+    plan = (
+        back.where(F.col("event_type") == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "event_type=purchase" in plan or "PartitionFilters" in plan
+
+
+def test_upsert_dimension_last_writer_wins(spark, tmp_path):
+    dim = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([("p1", 1.0), ("p2", 2.0)], "pair string, price double")
+    upsert_dimension(spark, v1, dim, ["pair"])
+    v2 = spark.createDataFrame([("p2", 9.0), ("p3", 3.0)], "pair string, price double")
+    upsert_dimension(spark, v2, dim, ["pair"])
+    got = {r.pair: r.price for r in spark.read.parquet(dim).collect()}
+    assert got == {"p1": 1.0, "p2": 9.0, "p3": 3.0}
