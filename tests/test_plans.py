@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around (SURVEY.md §4), locked in as tests so a regression that silently
+de-optimizes a plan (lost broadcast, lost pushdown, accidental cartesian)
+fails CI rather than only showing up at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rugpull_data_pipeline_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose plan INTENTIONALLY contains a broadcast-nested-loop join:
+# the brute-force similarity baseline broadcasts a handful of query vectors
+# against the corpus (the non-equi condition is the point), and the IVF/LSH
+# variants carry tiny non-equi probes by construction.
+_NLJ_ALLOWED = {
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_ivf_bucketed",
+    "sim_lsh_hyperplane_ann",
+    "dedup_embedding_cosine",
+    "dedup_simhash_neardup",
+    # 1-row broadcast of the collected watch set (the reference's broadcast
+    # hash set, RECEIVER/file_utils.cpp:3-36) — a cross join by syntax, a
+    # map-side lookup by execution.
+    "solana_balance_extract",
+    # deliberate tiny-dim cross join (region × brand-band).
+    "join_cross_region_bands",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.get(name).builder(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a CartesianProduct — the one physical
+    operator that cannot survive a 100× scale-up."""
+    offenders = []
+    for name in registry.all_queries():
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_no_accidental_nested_loop_joins(spark):
+    """BroadcastNestedLoopJoin only where the operator is designed around a
+    tiny broadcast side (similarity probes); everywhere else a NLJ means an
+    equi-condition was lost."""
+    offenders = []
+    for name in registry.all_queries():
+        if name in _NLJ_ALLOWED:
+            continue
+        if "BroadcastNestedLoopJoin" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, f"unexpected nested-loop joins in: {offenders}"
+
+
+def test_flagship_is_all_broadcast(spark):
+    """The flagship chain joins facts only against broadcastable dims — at
+    sf0.* it must plan zero SortMergeJoins (the watchlist semi-join and both
+    enrichment joins broadcast, like the reference's per-thread hash set)."""
+    plan = _plan(spark, "flagship_balance_report")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q01_scan_pushdown_and_pruning(spark):
+    """Predicate pushdown + column pruning must reach the parquet scan:
+    the shipdate filter appears in PushedFilters and the ReadSchema keeps
+    only the 7 referenced columns (no l_comment/l_orderkey)."""
+    plan = _plan(spark, "q01_pricing_summary")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan in plan"
+    scan = scan_lines[0]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in scan
+    assert "l_comment" not in scan
+    assert "l_orderkey" not in scan
+
+
+def test_json_prefilter_pushes_like(spark):
+    """The cheap-prefilter-then-parse shape (§4 pushdown analogue): the LIKE
+    prefilter must reach the scan as a pushed StringContains filter so the
+    expensive JSON path runs on surviving rows only."""
+    plan = _plan(spark, "json_prefilter_then_parse")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines and "StringContains(props,k)" in scan_lines[0].replace("'", "")
+
+
+def test_salted_join_spreads_keys(spark):
+    """The salted join must hash-partition on BOTH (salt, l_orderkey) —
+    if the salt drops out of the join key the whole pattern is inert."""
+    plan = _plan(spark, "join_salted_skew")
+    assert "salt" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
+
+
+@pytest.mark.parametrize("name", ["flagship_balance_report", "q03_shipping_priority"])
+def test_broadcast_dims_survive_aqe(spark, name):
+    """AQE must not degrade dim joins to shuffles at test scale."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
