@@ -181,6 +181,81 @@ _pair(
 )
 
 
+def _vocab_topk(d: str) -> str:
+    toks = _word_tokens_all(d)
+    return f"""
+    WITH tok AS ({toks}),
+    vocab AS (
+        SELECT tok, count(*) AS coll_freq,
+            cast(count(DISTINCT doc_id) as bigint) AS doc_freq
+        FROM tok GROUP BY tok
+    )
+    SELECT tok, coll_freq, doc_freq
+    FROM vocab
+    ORDER BY coll_freq DESC, tok
+    LIMIT 100
+    """
+
+
+def _tfidf_topterms(d: str) -> str:
+    # Score = tf × (N / df): multiplication and division are correctly
+    # rounded in IEEE-754, so both engines produce bit-identical doubles
+    # from identical integer inputs — unlike ln(), whose libm varies. The
+    # classic log-idf would risk ulp-level rank flips across engines.
+    toks = _word_tokens_all(d)
+    return f"""
+    WITH tok AS ({toks}),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, cast(count(DISTINCT doc_id) as bigint) AS df FROM tok GROUP BY tok
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+            cast(tf.tf as double)
+                * (cast((SELECT count(*) FROM documents) as double)
+                   / cast(df.df as double)) AS score
+        FROM tf JOIN df ON tf.tok = df.tok
+    )
+    SELECT doc_id, tok, round(score, 6) AS score, rnk
+    FROM (
+        SELECT doc_id, tok, score,
+            row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok
+            ) AS rnk
+        FROM scored
+    ) r
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """
+
+
+def _word_tokens_all(d: str) -> str:
+    """CTE text: (doc_id, tok) — one row per token occurrence (with repeats)."""
+    if d == SPARK:
+        return f"SELECT doc_id, explode({_toks(d)}) AS tok FROM documents"
+    return f"SELECT doc_id, unnest({_toks(d)}) AS tok FROM documents"
+
+
+_pair(
+    "text_vocab_topk",
+    _vocab_topk,
+    tags=("text",),
+    doc="Corpus vocabulary: collection + document frequency per token, "
+    "top-100 (tokenizer-vocab construction; one shuffle on the token).",
+)
+
+_pair(
+    "text_tfidf_topterms",
+    _tfidf_topterms,
+    tags=("text",),
+    doc="Per-document top-3 terms by tf×(N/df) salience. Rational idf "
+    "instead of log-idf keeps the score bit-identical across engines "
+    "(mult/div are correctly rounded; libm ln is not).",
+)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -264,6 +339,56 @@ _pair(
     tags=("dedup",),
     doc="Near-dup via word-3-gram Jaccard: inverted-index join on shared "
     "shingles (shuffle key = shingle), never a cross join.",
+)
+
+
+def _dedup_cluster(d: str) -> str:
+    # Keep-one-per-cluster: near-dup pairs (Jaccard ≥ 0.2) are edges; the
+    # cluster label is the min doc_id reachable in ≤2 hops — label
+    # propagation unrolled twice. Full connected components iterates this
+    # same join to a fixed point (each round is one shuffle on doc_id);
+    # two rounds already collapse the chains the pair generator emits and
+    # keep the query a fixed-depth plan both engines can hash-compare.
+    pairs = _dedup_ngram_jaccard(d).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l1 AS (
+        SELECT d.doc_id,
+            least(d.doc_id, coalesce(min(e.dst), d.doc_id)) AS label
+        FROM documents d LEFT JOIN edges e ON e.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    l2 AS (
+        SELECT a.doc_id,
+            least(a.label, coalesce(min(b.label), a.label)) AS label
+        FROM l1 a
+        LEFT JOIN edges e ON e.src = a.doc_id
+        LEFT JOIN l1 b ON b.doc_id = e.dst
+        GROUP BY a.doc_id, a.label
+    )
+    SELECT label AS cluster_id,
+        cast(count(*) as bigint) AS n_members,
+        min(doc_id) AS keep_doc_id
+    FROM l2
+    GROUP BY label
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """
+
+
+_pair(
+    "dedup_cluster_neardup",
+    _dedup_cluster,
+    tags=("dedup",),
+    doc="Near-dup clustering: 2-hop min-label propagation over the Jaccard "
+    "pair graph, emitting one keeper per multi-member cluster. Fixed-depth "
+    "unrolling of the connected-components iteration (each extra hop is one "
+    "more shuffle round at scale).",
 )
 
 
