@@ -379,6 +379,109 @@ _pair(
 )
 
 
+def _collect_sorted(d: str) -> str:
+    # Engine-portable nested aggregation: the collected set is sorted then
+    # joined to a string so row-internal ordering is deterministic (bare
+    # collect_list order is partition-dependent — never comparable).
+    if d == SPARK:
+        arr = "concat_ws(',', array_sort(collect_set(event_type)))"
+    else:
+        arr = "array_to_string(list_sort(list(DISTINCT event_type)), ',')"
+    return f"""
+    SELECT user_id, {arr} AS event_types,
+        count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+_pair(
+    "agg_collect_sorted_set",
+    _collect_sorted,
+    tags=("agg",),
+    doc="Set-valued aggregation (collect_set) rendered deterministic by "
+    "sort + join — the watchlist-set materialization (A2) as a column.",
+)
+
+
+def _percentiles(d: str) -> str:
+    if d == SPARK:
+        med = "percentile(o_totalprice, 0.5)"
+        p90 = "percentile(o_totalprice, 0.9)"
+    else:
+        med = "quantile_cont(o_totalprice, 0.5)"
+        p90 = "quantile_cont(o_totalprice, 0.9)"
+    return f"""
+    SELECT o_orderpriority,
+        round({med}, 6) AS median_price,
+        round({p90}, 6) AS p90_price,
+        count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+_pair(
+    "agg_percentiles_exact",
+    _percentiles,
+    tags=("agg",),
+    doc="Exact percentiles (linear interpolation — identical IEEE ops in "
+    "both engines); the exact twin of agg_approx_sketches' KLL estimate.",
+)
+
+
+def _percent_cume(d: str) -> str:
+    return """
+    SELECT c_mktsegment, c_custkey,
+        round(percent_rank() OVER (
+            PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        ), 6) AS pct_rank,
+        round(cume_dist() OVER (
+            PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        ), 6) AS cume
+    FROM customer
+    ORDER BY c_mktsegment, c_custkey
+    """
+
+
+_pair(
+    "window_percent_cume",
+    _percent_cume,
+    tags=("window",),
+    doc="percent_rank + cume_dist over a deterministic total order "
+    "(rational-valued — engine-identical).",
+)
+
+
+def _null_safe(d: str) -> str:
+    nseq = (
+        "(o.o_custkey <=> c.c_custkey)"
+        if d == SPARK
+        else "(o.o_custkey IS NOT DISTINCT FROM c.c_custkey)"
+    )
+    return f"""
+    SELECT o.o_orderkey,
+        coalesce(c.c_name, 'UNKNOWN') AS cust_name,
+        nullif(o.o_totalprice, 0.0) AS price_or_null,
+        CASE WHEN {nseq} THEN 'matched' ELSE 'dangling' END AS match_tag
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """
+
+
+_pair(
+    "scalar_null_safe_ops",
+    _null_safe,
+    tags=("scalar",),
+    doc="Null-tolerant scalar surface: coalesce / nullif / null-safe "
+    "equality (the reference's None-tagging discipline, "
+    "SERVER/server.py:79-91, made explicit).",
+)
+
+
 def _scalar_subquery(d: str) -> str:
     return f"""
     SELECT o_orderkey, o_totalprice,
