@@ -127,18 +127,21 @@ def generate_blocks(n_blocks: int = 20, seed: int = 7) -> list[dict]:
 
 
 def write_blocks_json(
-    out_dir: str, n_blocks: int = 20, seed: int = 7, files: int = 4
+    out_dir: str, n_blocks: int = 20, seed: int = 7, files: int = 4,
+    file_offset: int = 0,
 ) -> str:
     """Write blocks as newline-delimited JSON split across ``files`` files
     (→ ``files`` source partitions, the slot-sharding analogue of
-    ``SERVER/subscriber.py:111``). Idempotent for a given (n_blocks, seed)."""
+    ``SERVER/subscriber.py:111``). Idempotent for a given (n_blocks, seed).
+    ``file_offset`` names files starting at that index so a later batch can
+    land NEW files next to existing ones (file-stream arrival semantics)."""
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done_{n_blocks}_{seed}_{files}")
+    marker = os.path.join(out_dir, f".done_{n_blocks}_{seed}_{files}_{file_offset}")
     if os.path.exists(marker):
         return out_dir
     blocks = generate_blocks(n_blocks, seed)
     for f in range(files):
-        path = os.path.join(out_dir, f"blocks_{f:02d}.json")
+        path = os.path.join(out_dir, f"blocks_{f + file_offset:02d}.json")
         with open(path, "w") as fh:
             for i, blk in enumerate(blocks):
                 if i % files == f:
