@@ -483,12 +483,14 @@ _pair(
 
 
 def _scalar_subquery(d: str) -> str:
+    # 1.9× (not 2×): order prices are ~uniform on [0, 500k] with mean ~250k,
+    # so a 2× cutoff sits above the max and returns nothing — vacuous.
     return f"""
     SELECT o_orderkey, o_totalprice,
         round(o_totalprice / (SELECT {S.davg('o_totalprice', d)} FROM orders), 6)
             AS price_vs_avg
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT {S.davg('o_totalprice', d)} FROM orders)
+    WHERE o_totalprice > 1.9 * (SELECT {S.davg('o_totalprice', d)} FROM orders)
     ORDER BY o_orderkey
     """
 

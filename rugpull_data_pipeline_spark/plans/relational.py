@@ -391,10 +391,16 @@ _pair(
 
 
 def _join_anti(d: str) -> str:
+    # "No orders at all" is empty in the fixtures (every customer orders),
+    # which would make the oracle compare vacuous — anti-join against
+    # high-value orders instead so the result is non-empty at every scale.
     return """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
     ORDER BY c_custkey
     """
 
@@ -403,7 +409,8 @@ _pair(
     "join_anti_customers_no_orders",
     _join_anti,
     tags=("join",),
-    doc="Anti-join (NOT EXISTS) — absent in the reference, required surface.",
+    doc="Anti-join (NOT EXISTS with a pushed predicate) — absent in the "
+    "reference, required surface.",
 )
 
 
@@ -570,10 +577,12 @@ _pair("setop_intersect_buyers", _intersect, tags=("setop",), doc="INTERSECT.")
 
 
 def _except(d: str) -> str:
+    # Same non-vacuity fix as the anti-join: subtract only the high-value
+    # buyers so the difference is non-empty in the fixtures.
     return """
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
     ORDER BY custkey
     """
 
