@@ -137,6 +137,58 @@ def solana_balance_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("signature", "wallet", "mint")
 
 
+@register(
+    "solana_balance_stream",
+    oracle=_balance_oracle(),
+    tags=("flagship", "json", "domain", "streaming"),
+    doc="The SAME §3.1 chain run through Structured Streaming (file source "
+    "→ foreachBatch micro-batches → per-batch watchlist refresh, ST1/ST5) "
+    "over the same generated blocks — and hash-compared against the same "
+    "DuckDB oracle as the batch form: the micro-batched execution is "
+    "provably equivalent to the batch plan.",
+)
+def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.pipelines import stream_balance_pipeline
+
+    blocks_dir = _ensure_blocks()
+    watch_dir = os.path.join(blocks_dir, "_watch_dim")
+    if not os.path.isdir(watch_dir):
+        spark.createDataFrame(
+            [(a,) for a in hot_addresses()], "address string"
+        ).write.mode("overwrite").parquet(watch_dir)
+
+    collected: list = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        collected.extend(df.collect())
+
+    # Fresh checkpoint per invocation: this query is a deterministic replay,
+    # not a resumable service (ST6 recovery is exercised in tests).
+    q = stream_balance_pipeline(
+        spark,
+        blocks_dir,
+        watch_dir,
+        sink,
+        max_files_per_trigger=1,  # force multiple micro-batches
+        checkpoint_dir=tempfile.mkdtemp(prefix="rugpull_stream_ckpt_"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.createDataFrame(collected, schema=None) if collected else None
+    assert out is not None, "stream produced no rows"
+    return out.select(
+        "wallet",
+        "signature",
+        "mint",
+        "pre_balance",
+        "post_balance",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    ).orderBy("signature", "wallet", "mint")
+
+
 _POOL_ORACLE_TEMPLATE = """
 WITH {tx_cte}
 SELECT signature,

@@ -45,11 +45,15 @@ def stream_balance_pipeline(
     watchlist_dir: str,
     sink: Callable[[DataFrame, int], None],
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """§3.1 as a stream: block JSON files → balance changes → ``sink``.
 
     ``watchlist_dir`` is a parquet dimension directory re-read every
-    micro-batch (ST5 refresh semantics). Returns the started query.
+    micro-batch (ST5 refresh semantics). ``checkpoint_dir`` defaults to a
+    subdir of ``blocks_dir`` (restart-from-offset recovery, ST6); pass a
+    fresh directory to force a from-scratch replay. Returns the started
+    query.
     """
     raw = spark.readStream.format("text")
     if max_files_per_trigger:
@@ -63,7 +67,9 @@ def stream_balance_pipeline(
 
     return (
         raw.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{blocks_dir}/_checkpoint")
+        .option(
+            "checkpointLocation", checkpoint_dir or f"{blocks_dir}/_checkpoint"
+        )
         .start()
     )
 
