@@ -189,6 +189,57 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("signature", "wallet", "mint")
 
 
+@register(
+    "price_change_stateful_stream",
+    oracle=None,
+    tags=("streaming", "stateful", "nosql"),
+    doc="P11/ST4: the 10%%-vs-last-EMITTED price-change detector as a "
+    "custom stateful streaming operator (applyInPandasWithState, bounded "
+    "two-double state per pair). Genuinely non-SQL-expressible — the "
+    "threshold chain is a fold over emission history, not a lag — so no "
+    "oracle; the Python-oracle equivalence is tested in "
+    "tests/test_streaming.py::test_stateful_price_change_10pct.",
+)
+def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.tables import load_tables
+    from ..streaming.pipelines import price_change_events
+
+    # Deterministic price stream derived from the events fixture: pair =
+    # user bucket, base/quote prices from value.
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    prices = ev.select(
+        F.concat(F.lit("pair-"), (F.col("user_id") % 5).cast("string")).alias("pair"),
+        "ts",
+        (F.col("value") + F.lit(1.0)).alias("base_price"),
+        (F.col("value") / F.lit(1.5) + F.lit(1.0)).alias("quote_price"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_price_src_")
+    prices.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(prices.schema).parquet(src_dir)
+    out = price_change_events(stream)
+    name = "price_events_sink_" + os.path.basename(src_dir)[-8:]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_price_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    return emitted.select(
+        "pair",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "base_price",
+        "quote_price",
+    ).orderBy("pair", "ts_epoch")
+
+
 _POOL_ORACLE_TEMPLATE = """
 WITH {tx_cte}
 SELECT signature,
