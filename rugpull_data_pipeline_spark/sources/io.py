@@ -73,6 +73,29 @@ def write_partitioned(
     )
 
 
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at write
+    time so equi-joins and aggregations on that column need NO shuffle at
+    read time — the pre-partitioning strategy for repeatedly-joined 100 TB
+    fact tables (SURVEY.md §4: the reference's slot-sharding does the same
+    job for its one join key). Sorted within buckets for merge-friendly
+    reads. ``path`` makes the table external (bucketing metadata still lives
+    in the catalog — bucketed reads need ``spark.table``, not ``read.parquet``).
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def upsert_dimension(
     spark: SparkSession, updates: DataFrame, dim_path: str, keys: list[str]
 ) -> None:
