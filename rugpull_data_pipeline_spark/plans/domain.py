@@ -189,6 +189,96 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("signature", "wallet", "mint")
 
 
+def _enrich_dims() -> tuple[list[str], list[str], list[tuple[str, float]]]:
+    """Deterministic enrichment dims mirroring the Redis state: the hot set
+    split into BASE_VAULTS / QUOTE_VAULTS (SERVER/init_redis_maps.py:10-20)
+    and a vault→USD price map (SERVER/flightWithRedisLatest.py:28-52)."""
+    hot = hot_addresses()
+    base_vaults = hot[: len(hot) // 2]
+    quote_vaults = hot[len(hot) // 2 :]
+    prices = [(a, round(1.5 * (i + 1), 2)) for i, a in enumerate(hot)]
+    return base_vaults, quote_vaults, prices
+
+
+_ENRICHED_ORACLE_TEMPLATE = """
+WITH balances AS ({balance_cte}),
+prices(vault, usd) AS (VALUES {price_rows})
+SELECT b.wallet, b.signature, b.mint,
+    b.pre_balance, b.post_balance,
+    CASE WHEN b.wallet IN ({base_list}) THEN b.wallet END AS base_vault,
+    CASE WHEN b.wallet IN ({quote_list}) THEN b.wallet END AS quote_vault,
+    p.usd AS usd_price,
+    b.ts_epoch
+FROM balances b
+LEFT JOIN prices p ON p.vault = b.wallet
+ORDER BY b.signature, b.wallet, b.mint
+"""
+
+
+def _enriched_oracle() -> str:
+    base_vaults, quote_vaults, prices = _enrich_dims()
+    balance_cte = _balance_oracle().replace(
+        "ORDER BY signature, wallet, mint", ""
+    )
+    return _ENRICHED_ORACLE_TEMPLATE.format(
+        balance_cte=balance_cte,
+        price_rows=", ".join(f"('{v}', {p})" for v, p in prices),
+        base_list=", ".join(f"'{a}'" for a in base_vaults),
+        quote_list=", ".join(f"'{a}'" for a in quote_vaults),
+    )
+
+
+@register(
+    "solana_enriched_report",
+    oracle=_enriched_oracle(),
+    tags=("flagship", "json", "domain"),
+    doc="The COMPLETE §3.1 chain including the Flight-server enrichment "
+    "stage: balance extraction, then P10 watchlist tagging (base/quote "
+    "vault membership → tag-or-null, SERVER/server.py:78-91) and the J3 "
+    "vault→USD price left join (SERVER/flightWithRedisLatest.py:100-105), "
+    "all against broadcast dimension tables — the reference's final output "
+    "shape, oracle-checked end to end.",
+)
+def solana_enriched_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _read_blocks(spark)
+    watch = spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    )
+    balances = extract_balance_changes(blocks, watch)
+
+    base_vaults, quote_vaults, prices = _enrich_dims()
+    price_dim = spark.createDataFrame(prices, "vault string, usd double")
+
+    out = (
+        balances
+        # P10: tag-or-null vault membership (isin over broadcast-small sets,
+        # exactly Series.where(mask, None)).
+        .withColumn(
+            "base_vault",
+            F.when(F.col("wallet").isin(base_vaults), F.col("wallet")),
+        )
+        .withColumn(
+            "quote_vault",
+            F.when(F.col("wallet").isin(quote_vaults), F.col("wallet")),
+        )
+        # J3: stream-static style price lookup as a broadcast left join.
+        .join(F.broadcast(price_dim), F.col("wallet") == F.col("vault"), "left")
+        .select(
+            "wallet",
+            "signature",
+            "mint",
+            "pre_balance",
+            "post_balance",
+            "base_vault",
+            "quote_vault",
+            F.col("usd").alias("usd_price"),
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+        .orderBy("signature", "wallet", "mint")
+    )
+    return out
+
+
 @register(
     "price_change_stateful_stream",
     oracle=None,
