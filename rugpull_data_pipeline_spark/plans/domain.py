@@ -47,10 +47,11 @@ def _read_blocks(spark: SparkSession) -> DataFrame:
     return parse_blocks(spark.read.text(f"{path}/blocks_*.json"), "value")
 
 
-def _duck_tx_cte() -> str:
+def _duck_tx_cte(path: str | None = None) -> str:
     """Shared oracle CTEs: blocks → per-tx rows with the concatenated key
     sequence (accountKeys‖readonly‖writable, continuous indexing)."""
-    path = _parity_dir()
+    if path is None:
+        path = _parity_dir()
     return f"""
     blocks AS (
         SELECT result
@@ -106,9 +107,9 @@ ORDER BY signature, wallet, mint
 """
 
 
-def _balance_oracle() -> str:
+def _balance_oracle(path: str | None = None) -> str:
     return _BALANCE_ORACLE_TEMPLATE.format(
-        tx_cte=_duck_tx_cte(), hot=_hot_literal(DUCK)
+        tx_cte=_duck_tx_cte(path), hot=_hot_literal(DUCK)
     )
 
 
@@ -187,6 +188,53 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post_balance",
         F.unix_timestamp("ts").alias("ts_epoch"),
     ).orderBy("signature", "wallet", "mint")
+
+
+# XL corpus: ~40 MB of multi-hundred-tx blocks — the byte scale the
+# reference actually ingests (≈10 MB getBlock payloads at 2.5 blocks/s ⇒
+# ≈25 MB/s, BASELINE.md). The oracle template is identical; only the path
+# and generation parameters differ.
+_XL_BLOCKS, _XL_SEED, _XL_FILES, _XL_TX_SCALE = 120, 13, 16, 55
+
+
+def _xl_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"rugpull_solana_xl_{_XL_BLOCKS}_{_XL_SEED}_{_XL_FILES}_{_XL_TX_SCALE}",
+    )
+
+
+def _ensure_xl_blocks() -> str:
+    return write_blocks_json(
+        _xl_dir(), _XL_BLOCKS, _XL_SEED, _XL_FILES, tx_scale=_XL_TX_SCALE
+    )
+
+
+@register(
+    "solana_balance_extract_xl",
+    oracle=_balance_oracle(_xl_dir()),
+    tags=("flagship", "json", "domain", "throughput"),
+    doc="The §3.1 extraction chain at reference byte scale: ~40 MB of "
+    "block JSON (hundreds of txs per block) through schema-pruned "
+    "from_json → semi-join → owner replacement → pre/post merge. The bench "
+    "entry for parse+filter+agg throughput vs the reference's ≈25 MB/s "
+    "anchor (BASELINE.md); same DuckDB oracle template as the small corpus.",
+)
+def solana_balance_extract_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_xl_blocks()
+    blocks = parse_blocks(spark.read.text(f"{path}/blocks_*.json"), "value")
+    watch = spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    )
+    out = extract_balance_changes(blocks, watch)
+    return out.select(
+        "wallet",
+        "signature",
+        "mint",
+        "pre_balance",
+        "post_balance",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
 
 
 def _enrich_dims() -> tuple[list[str], list[str], list[tuple[str, float]]]:

@@ -38,7 +38,9 @@ def mints() -> list[str]:
     return [_addr("MNT", i) for i in range(6)]
 
 
-def generate_blocks(n_blocks: int = 20, seed: int = 7) -> list[dict]:
+def generate_blocks(
+    n_blocks: int = 20, seed: int = 7, tx_scale: int = 1
+) -> list[dict]:
     """Build getBlock-shaped dicts with hot/cold txs and edge cases:
 
     - txs with no watchlisted key (must be filtered by J1)
@@ -46,6 +48,11 @@ def generate_blocks(n_blocks: int = 20, seed: int = 7) -> list[dict]:
       replacement) vs a cold one (owner kept)
     - missing pre or post entry for an (owner, mint) (A1 emits with null)
     - missing uiAmountString (null balance, P6 tolerance)
+
+    ``tx_scale`` multiplies the per-block transaction count (default 1 keeps
+    historical corpora byte-identical) — used to build the multi-MB blocks
+    the reference actually ingests (~10 MB getBlock payloads,
+    SERVER/subscriber.py:13-16) for throughput benchmarking.
     """
     rng = random.Random(seed)
     hot, cold, mnts = hot_addresses(), cold_addresses(), mints()
@@ -53,7 +60,7 @@ def generate_blocks(n_blocks: int = 20, seed: int = 7) -> list[dict]:
     for b in range(n_blocks):
         block_time = 1_700_000_000 + b * 400  # ~2.5 blocks/s cadence
         txs = []
-        for t in range(rng.randint(3, 8)):
+        for t in range(rng.randint(3, 8) * tx_scale):
             n_keys = rng.randint(3, 6)
             keys = rng.sample(cold, n_keys)
             is_hot = rng.random() < 0.6
@@ -128,7 +135,7 @@ def generate_blocks(n_blocks: int = 20, seed: int = 7) -> list[dict]:
 
 def write_blocks_json(
     out_dir: str, n_blocks: int = 20, seed: int = 7, files: int = 4,
-    file_offset: int = 0,
+    file_offset: int = 0, tx_scale: int = 1,
 ) -> str:
     """Write blocks as newline-delimited JSON split across ``files`` files
     (→ ``files`` source partitions, the slot-sharding analogue of
@@ -136,10 +143,12 @@ def write_blocks_json(
     ``file_offset`` names files starting at that index so a later batch can
     land NEW files next to existing ones (file-stream arrival semantics)."""
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done_{n_blocks}_{seed}_{files}_{file_offset}")
+    marker = os.path.join(
+        out_dir, f".done_{n_blocks}_{seed}_{files}_{file_offset}_{tx_scale}"
+    )
     if os.path.exists(marker):
         return out_dir
-    blocks = generate_blocks(n_blocks, seed)
+    blocks = generate_blocks(n_blocks, seed, tx_scale)
     for f in range(files):
         path = os.path.join(out_dir, f"blocks_{f + file_offset:02d}.json")
         with open(path, "w") as fh:

@@ -26,6 +26,7 @@ _NLJ_ALLOWED = {
     # hash set, RECEIVER/file_utils.cpp:3-36) — a cross join by syntax, a
     # map-side lookup by execution.
     "solana_balance_extract",
+    "solana_balance_extract_xl",
     "solana_enriched_report",
     # deliberate tiny-dim cross join (region × brand-band).
     "join_cross_region_bands",
