@@ -214,6 +214,57 @@ _pair(
 )
 
 
+def _q06(d: str) -> str:
+    return f"""
+    SELECT
+        {S.dsum('l_extendedprice * l_discount', d)} AS revenue,
+        count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1994-01-01 00:00:00'
+      AND l_shipdate < timestamp '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+_pair(
+    "q06_forecast_revenue",
+    _q06,
+    tags=("agg", "scan"),
+    doc="TPC-H Q6 shape: highly selective conjunctive scan → single "
+    "aggregate. All four predicates must reach the parquet scan "
+    "(PushedFilters) — the pure pushdown benchmark.",
+)
+
+
+def _q18(d: str) -> str:
+    return f"""
+    SELECT c_custkey, c_name, o_orderkey,
+        max(o_totalprice) AS totalprice,
+        {S.dsum('l_quantity', d)} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(cast(l_quantity as decimal(38,6))) > 200
+    )
+    GROUP BY c_custkey, c_name, o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 20
+    """
+
+
+_pair(
+    "q18_large_volume_customers",
+    _q18,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q18 shape: IN-subquery with HAVING over a decimal-exact sum "
+    "(planned as a semi-join), then a 3-way join + group + top-20.",
+)
+
+
 def _cond(d: str) -> str:
     return f"""
     SELECT user_id,
