@@ -256,6 +256,89 @@ _pair(
 )
 
 
+def _train_val_split(d: str) -> str:
+    # Deterministic hash-bucket splitting: the reproducible alternative to
+    # rand()-sampling for train/val carve-outs — the same doc lands in the
+    # same split on every run, every engine, every cluster size.
+    h = S.portable_hash64("concat('split:', cast(doc_id as string))", d)
+    return f"""
+    WITH assigned AS (
+        SELECT doc_id, length(text) AS n_chars_txt,
+            CASE WHEN {h} % 100 < 90 THEN 'train'
+                 WHEN {h} % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+        {S.isum('n_chars_txt', d)} AS n_chars_total,
+        min(doc_id) AS first_doc
+    FROM assigned
+    GROUP BY split
+    ORDER BY split
+    """
+
+
+_pair(
+    "text_train_val_split",
+    _train_val_split,
+    tags=("text", "sampling"),
+    doc="Deterministic 90/5/5 train/val/test split via hash buckets — "
+    "reproducible sampling (no rand()), stable under reshuffling and "
+    "engine-portable.",
+)
+
+
+def _corpus_curation(d: str) -> str:
+    # The end-to-end curation composite: quality gates (length, stopword
+    # ratio, repetition) → exact-dup keep-list (min doc_id per content hash)
+    # → surviving corpus stats per source. Each stage is a shuffle-planar
+    # DataFrame op; nothing touches the driver.
+    toks = _toks(d)
+    stop_filter = f"filter({toks}, t -> t IN {_STOPWORDS})" if d == SPARK else (
+        f"list_filter({toks}, t -> t IN {_STOPWORDS})"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+            {S.arr_len(toks, d)} AS n_tokens,
+            cast({S.arr_len(stop_filter, d)} as double)
+                / {S.arr_len(toks, d)} AS stop_ratio,
+            cast({S.arr_len(S.arr_distinct(toks, d), d)} as double)
+                / {S.arr_len(toks, d)} AS distinct_ratio
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 20
+          AND stop_ratio <= 0.5
+          AND distinct_ratio >= 0.2
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM quality
+        GROUP BY md5(text)
+    )
+    SELECT q.source,
+        count(*) AS n_docs,
+        {S.isum('q.n_tokens', d)} AS n_tokens_total,
+        round(min(q.distinct_ratio), 6) AS min_distinct_ratio
+    FROM quality q
+    JOIN keepers k ON k.doc_id = q.doc_id
+    GROUP BY q.source
+    ORDER BY q.source
+    """
+
+
+_pair(
+    "text_corpus_curation",
+    _corpus_curation,
+    tags=("text", "dedup"),
+    doc="End-to-end curation composite: quality gates → exact-dup "
+    "keep-list → per-source corpus stats. The 'prepare training data' "
+    "pipeline as one shuffle-planar query.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

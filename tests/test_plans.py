@@ -84,6 +84,25 @@ def test_q01_scan_pushdown_and_pruning(spark):
     assert "l_orderkey" not in scan
 
 
+def test_q06_all_predicates_pushed(spark):
+    """Q6's four conjunctive predicates must ALL reach the parquet scan."""
+    plan = _plan(spark, "q06_forecast_revenue")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan in plan"
+    scan = scan_lines[0]
+    # The rendered filter list is truncated, so assert the stable prefix
+    # (all three columns present in PushedFilters) + the 4-column pruned
+    # ReadSchema (no l_tax/l_returnflag/l_comment reach the reader).
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in scan
+    )
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in scan
+    )
+
+
 def test_json_prefilter_pushes_like(spark):
     """The cheap-prefilter-then-parse shape (§4 pushdown analogue): the LIKE
     prefilter must reach the scan as a pushed StringContains filter so the
