@@ -69,13 +69,20 @@ def main() -> None:
     # corpus so the XL throughput entry measures parsing, not compilation.
     run_noop(qs["solana_balance_extract"](spark, sf_dir))
 
+    # Best-of-2 per query: single runs swing ±15% on a shared box; the min
+    # is the repeatable steady-state number (each run still executes the
+    # full plan against the noop sink — nothing is cached between runs).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        run_noop(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_noop(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
