@@ -74,10 +74,15 @@ def fmt_ts(expr: str, d: str = SPARK) -> str:
 
 
 def epoch_s(expr: str, d: str = SPARK) -> str:
-    """Timestamp → integer epoch seconds."""
+    """Timestamp → integer epoch seconds.
+
+    Spark's unix_timestamp TRUNCATES fractional seconds; DuckDB's
+    epoch()::BIGINT ROUNDS them — a ±1 s divergence that flips boundary
+    predicates (found at sf0.1 on the 3600 s sessionization gap). floor()
+    before the cast makes DuckDB truncate too."""
     if d == SPARK:
         return f"unix_timestamp({expr})"
-    return f"cast(epoch({expr}) as bigint)"
+    return f"cast(floor(epoch({expr})) as bigint)"
 
 
 def rlike(expr: str, raw_pattern: str, d: str = SPARK) -> str:

@@ -565,11 +565,15 @@ _pair(
 
 
 def _running(d: str) -> str:
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # l_quantity joins the sort key: rows that still tie then contribute
+    # EQUAL increments, making every prefix sum engine-independent even
+    # where the tie order differs (found as a 1-row divergence at sf0.1).
     return f"""
     SELECT l_suppkey, l_orderkey, l_linenumber,
         cast(sum(cast(l_quantity as decimal(38,6))) OVER (
             PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) as double) AS running_qty
     FROM lineitem
