@@ -379,6 +379,99 @@ _pair(
 )
 
 
+def _resample_gapfill(d: str) -> str:
+    # Hypertable-style daily rollup with gap filling: the day grid comes
+    # from sequence/generate_series between the observed bounds, left-joined
+    # to the per-day aggregates so silent days appear as zero rows. The grid
+    # is tiny (one row per day per user-bucket) — generated, not shuffled.
+    day = S.fmt_date("ts", d)
+    if d == SPARK:
+        grid = """
+        SELECT b.bucket, explode(sequence(
+            (SELECT min(to_date(ts)) FROM events),
+            (SELECT max(to_date(ts)) FROM events),
+            interval 1 day)) AS day
+        FROM (SELECT DISTINCT user_id % 4 AS bucket FROM events) b
+        """
+        day_str = "date_format(g.day, 'yyyy-MM-dd')"
+    else:
+        grid = """
+        SELECT b.bucket, unnest(generate_series(
+            (SELECT min(ts::date) FROM events),
+            (SELECT max(ts::date) FROM events),
+            interval 1 day))::date AS day
+        FROM (SELECT DISTINCT user_id % 4 AS bucket FROM events) b
+        """
+        day_str = "strftime(g.day, '%Y-%m-%d')"
+    return f"""
+    WITH per_day AS (
+        SELECT user_id % 4 AS bucket, {day} AS day_s,
+            count(*) AS n_events,
+            {S.dsum('value', d)} AS day_value
+        FROM events
+        GROUP BY user_id % 4, {day}
+    ),
+    grid AS ({grid})
+    SELECT g.bucket, {day_str} AS day_s,
+        coalesce(p.n_events, 0) AS n_events,
+        coalesce(p.day_value, 0.0) AS day_value
+    FROM grid g
+    LEFT JOIN per_day p ON p.bucket = g.bucket AND p.day_s = {day_str}
+    ORDER BY g.bucket, day_s
+    """
+
+
+_pair(
+    "window_resample_gapfill",
+    _resample_gapfill,
+    tags=("window", "temporal"),
+    doc="Time-series resampling with gap filling (hypertable-rollup shape): "
+    "per-bucket daily aggregates left-joined onto a generated day grid so "
+    "empty periods emit zeros. The grid is generated per group, never "
+    "shuffled at data scale.",
+)
+
+
+def _higher_order(d: str) -> str:
+    toks = S.split_ws("text", d)
+    if d == SPARK:
+        longs = f"filter({toks}, t -> length(t) > 4)"
+        upped = f"transform({toks}, t -> upper(t))"
+        has_merge = f"exists({toks}, t -> t = 'merge')"
+        total_len = (
+            f"aggregate({toks}, 0, (acc, t) -> acc + length(t))"
+        )
+    else:
+        longs = f"list_filter({toks}, t -> length(t) > 4)"
+        upped = f"list_transform({toks}, t -> upper(t))"
+        has_merge = f"list_contains({toks}, 'merge')"
+        # DuckDB list_reduce has no init: prepend a zero-length sentinel.
+        total_len = (
+            f"list_reduce(list_prepend(0, list_transform({toks}, "
+            f"t -> length(t))), (acc, v) -> acc + v)"
+        )
+    return f"""
+    SELECT doc_id,
+        {S.arr_len(longs, d)} AS n_long_tokens,
+        {S.arr_join(S.arr_sort(S.arr_distinct(longs, d), d), "','", d)} AS long_tokens_csv,
+        substring({S.arr_join(upped, "' '", d)}, 1, 30) AS upper_head,
+        cast({has_merge} as boolean) AS mentions_merge,
+        cast({total_len} as bigint) AS total_token_chars
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "scalar_higher_order_funcs",
+    _higher_order,
+    tags=("scalar",),
+    doc="Higher-order array functions made explicit: filter / transform / "
+    "exists / aggregate lambdas, all JVM-side (no UDF) — the building "
+    "blocks the sketch and similarity operators compose.",
+)
+
+
 def _collect_sorted(d: str) -> str:
     # Engine-portable nested aggregation: the collected set is sorted then
     # joined to a string so row-internal ordering is deterministic (bare
