@@ -25,6 +25,10 @@ from .registry import register
 
 _N_BLOCKS, _SEED, _FILES = 40, 11, 4
 
+# The oracle SQL strings read these directories directly — materialize them
+# at import time (idempotent, seeded) so the DuckDB side works even if the
+# driver runs an oracle BEFORE its Spark twin.
+
 
 def _parity_dir() -> str:
     return os.path.join(
@@ -489,3 +493,9 @@ def solana_hot_tx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_epoch")
     )
+
+
+# Materialize the generated corpora now (see note at top): oracle SQL must
+# be runnable before any Spark builder has executed.
+_ensure_blocks()
+_ensure_xl_blocks()
