@@ -36,6 +36,44 @@ def pct_change(new: pd.Series, old: pd.Series) -> pd.Series:
     return ((new - old).abs() / old.abs()).where(old != 0.0)
 
 
+def groupwise_minmax_scale(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Grouped-map UDF (``applyInPandas``): per-key min-max scaling of
+    ``value_col`` to [0, 1].
+
+    The kernel deliberately uses only order-insensitive IEEE ops (min, max,
+    one subtraction, one division) so the result is bit-identical to the SQL
+    window form regardless of row order or partitioning — which is what lets
+    a DuckDB oracle verify the grouped-map plumbing exactly. Groups shuffle
+    once on the key; each group materializes as one pandas frame, so the
+    operator is for keys whose group fits an executor (per-user, per-pair
+    state — the reference's chunk shapes), not whole-table groups.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("scaled", T.DoubleType()),
+        ]
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf[value_col].min(), pdf[value_col].max()
+        span = hi - lo
+        out = pdf[[key_col, "event_id", value_col]].copy()
+        out["scaled"] = (pdf[value_col] - lo) / span if span != 0.0 else None
+        return out
+
+    return (
+        df.select(key_col, "event_id", value_col)
+        .groupBy(key_col)
+        .applyInPandas(scale, schema)
+    )
+
+
 def lookup_enrich(
     df: DataFrame,
     key_col: str,

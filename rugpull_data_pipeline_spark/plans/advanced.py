@@ -379,6 +379,38 @@ _pair(
 )
 
 
+_MINMAX_ORACLE = """
+WITH p AS (
+    SELECT user_id, event_id, value,
+        min(value) OVER (PARTITION BY user_id) AS lo,
+        max(value) OVER (PARTITION BY user_id) AS hi
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, value,
+    CASE WHEN hi - lo <> 0.0 THEN (value - lo) / (hi - lo) END AS scaled
+FROM p
+ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "udf_groupmap_minmax_scale",
+    oracle=_MINMAX_ORACLE,
+    tags=("udf",),
+    doc="Grouped-map applyInPandas (per-user min-max scaling) verified "
+    "bit-for-bit against the SQL window form: the kernel uses only "
+    "order-insensitive IEEE ops, so the DuckDB oracle checks the grouped "
+    "Arrow plumbing exactly (SURVEY.md §2.9 applyInPandas surface).",
+)
+def udf_groupmap_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import groupwise_minmax_scale
+
+    ev = spark.table("events").where(F.col("event_type") == "purchase")
+    return groupwise_minmax_scale(ev, "user_id", "value").orderBy(
+        "user_id", "event_id"
+    )
+
+
 def _resample_gapfill(d: str) -> str:
     # Hypertable-style daily rollup with gap filling: the day grid comes
     # from sequence/generate_series between the observed bounds, left-joined
