@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -424,13 +424,53 @@ def _dedup_ngram_jaccard(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "dedup_ngram_jaccard",
-    _dedup_ngram_jaccard,
+    oracle=_dedup_ngram_jaccard(DUCK),
     tags=("dedup",),
     doc="Near-dup via word-3-gram Jaccard: inverted-index join on shared "
-    "shingles (shuffle key = shingle), never a cross join.",
+    "shingles (shuffle key = shingle), never a cross join. The hashed "
+    "shingle table is materialized ONCE (localCheckpoint) and reused by "
+    "the self-join and the size aggregate — at scale this is the persisted "
+    "inverted-index table, not three recomputations of the explode.",
 )
+def dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    sh = spark.sql(
+        f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
+        f"FROM ({_ngram_shingles(SPARK)}) raw"
+    ).localCheckpoint()
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jacc >= 0.2)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def _dedup_cluster(d: str) -> str:
