@@ -131,6 +131,41 @@ def bitcount(expr: str, d: str = SPARK) -> str:
     return f"bit_count({expr})"
 
 
+def idiv(a: str, b: str, d: str = SPARK) -> str:
+    """Integer division (both operands integer-typed)."""
+    if d == SPARK:
+        return f"(({a}) div ({b}))"
+    return f"(({a}) // ({b}))"
+
+
+def re_replace(expr: str, raw_pattern: str, repl: str, d: str = SPARK) -> str:
+    """regexp_replace with dialect-correct escaping of the pattern literal.
+
+    ``raw_pattern`` is the regex itself (unquoted); ``repl`` is the quoted
+    SQL string for the replacement. Spark string literals consume
+    backslashes, DuckDB's do not (same rule as :func:`rlike`).
+    """
+    if d == SPARK:
+        lit = "'" + raw_pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    else:
+        lit = "'" + raw_pattern.replace("'", "''") + "'"
+    return f"regexp_replace({expr}, {lit}, {repl})"
+
+
+def int_vec(expr: str, d: str = SPARK, scale: str = "1000000.0") -> str:
+    """Float array → exact integer array (floor at fixed scale).
+
+    float→double cast is exact, one double multiply is IEEE-identical in
+    both engines, floor is deterministic — so integer vector math downstream
+    (distances, quantization) is bit-identical across engines, unlike float
+    accumulation which is order- and engine-dependent.
+    """
+    lam = f"x -> cast(floor(cast(x as double) * {scale}) as bigint)"
+    if d == SPARK:
+        return f"transform({expr}, {lam})"
+    return f"list_transform({expr}, {lam})"
+
+
 def split_ws(expr: str, d: str = SPARK) -> str:
     """Split on single spaces → array of tokens."""
     if d == SPARK:

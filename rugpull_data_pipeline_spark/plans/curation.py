@@ -1,0 +1,400 @@
+"""Corpus-curation and vector-index operators (round-1 widening batch).
+
+Extends the LLM-data-pipeline surface (SURVEY.md §7.1 M5, BASELINE.json
+mandate) with the remaining curation primitives a 100 TB training-data
+pipeline needs, plus two more classic analytics shapes (Q4/Q10-style):
+
+- PII redaction (regex scrub + match counting) — the filter every public
+  corpus pass runs before training.
+- Deterministic stratified sampling — hash-bucket downsampling per language
+  (rebalancing overrepresented strata without a global shuffle: the keep
+  decision is a pure function of the row).
+- Edit-distance near-dup with candidate blocking — Levenshtein is O(len²)
+  per pair, so the scale path is never all-pairs: block on (lang,
+  length-bucket) and only compare within a block (same pigeonhole idea as
+  the blocked-SimHash query).
+- Int8-style embedding quantization — the memory-bandwidth lever for ANN at
+  scale (4× smaller vectors); exact integer math (fixed-point floor) so both
+  engines agree bit-for-bit.
+- IVF coarse-quantizer assignment — the "train" half of the IVF index that
+  ``sim_cosine_ivf_bucketed`` queries: assign every vector to its nearest
+  centroid (broadcast the centroid table; one narrow pass at scale).
+- Per-group z-score outlier detection — numeric quality filtering over the
+  events stream (decimal-exact moments, so the oracle hash-matches).
+- Connected-components to a FIXED POINT (driver-side iteration) — the full
+  version of the 2-hop label propagation in ``dedup_cluster_neardup``;
+  genuinely iterative, so registered rows-only (non-SQL-expressible) and
+  union-find-verified in tests.
+
+Reference anchors (the reference has no curation ops — this is the mandated
+uplift; its closest analogues are the watchlist membership filters
+``SERVER/flightWithRedis.py:84-99`` and the dedup-by-SADD sets
+``SERVER/combined_subscriber.py:86-98``).
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+def _str(expr: str, d: str) -> str:
+    return f"cast({expr} as string)" if d == SPARK else f"cast({expr} as varchar)"
+
+
+# ---------------------------------------------------------------------------
+# Classic analytics shapes: priority-bucketed EXISTS; top-k revenue rollup
+# ---------------------------------------------------------------------------
+
+
+def _q04(d: str) -> str:
+    # Q4 shape: EXISTS-correlated semi-join with an event-time lag predicate
+    # ("order had at least one late-shipping line"). The epoch comparison is
+    # dialect-bridged (Spark truncates, DuckDB rounds — see scalars.epoch_s).
+    return f"""
+    SELECT o_orderpriority, cast(count(*) as bigint) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= timestamp '1996-01-01'
+      AND o.o_orderdate < timestamp '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND {S.epoch_s('l.l_shipdate', d)} > {S.epoch_s('o.o_orderdate', d)} + 90 * 86400
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+_pair(
+    "q04_order_priority",
+    _q04,
+    tags=("relational",),
+    doc="TPC-H Q4 shape: EXISTS semi-join (late-shipping lines) bucketed by "
+    "order priority. Catalyst rewrites EXISTS to a left-semi hash join; at "
+    "scale the lineitem side carries the shuffle and the date filter prunes "
+    "the orders scan.",
+)
+
+
+def _q10(d: str) -> str:
+    return f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+        round({S.dsum('l.l_extendedprice * (1 - l.l_discount)', d)}, 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= timestamp '1997-01-01'
+      AND o.o_orderdate < timestamp '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """
+
+
+_pair(
+    "q10_returned_items",
+    _q10,
+    tags=("relational",),
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
+    "Star join (nation broadcasts), decimal-exact revenue sum so the "
+    "DESC sort is deterministic; tie-break on c_custkey.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Curation: PII redaction, stratified sampling, z-score outliers
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately avoid backslash classes so the identical literal is
+# valid in both dialects (Spark string literals consume backslashes).
+_EMAIL_PAT = "[a-z0-9.]+@[a-z0-9.]+"
+_LONGNUM_PAT = "[0-9][0-9][0-9][0-9]+"
+
+
+def _pii_redact(d: str) -> str:
+    # The fixture text carries no PII, so synthesize a deterministic
+    # per-document contact line first (concat coerces ints in both engines);
+    # the operator under test is the scrub itself.
+    t = (
+        "concat(text, ' contact: user', doc_id, '@example.com id ', "
+        "doc_id * 7919)"
+    )
+    redacted = S.re_replace(
+        S.re_replace("t", _EMAIL_PAT, "'<EMAIL>'", d), _LONGNUM_PAT, "'<NUM>'", d
+    )
+    # Spark needs the explicit group index 0 for group-free patterns
+    # (its default idx=1 requires a capture group); DuckDB defaults to 0.
+    g = ", 0" if d == SPARK else ""
+    return f"""
+    WITH docs AS (SELECT doc_id, {t} AS t FROM documents)
+    SELECT doc_id,
+        {S.arr_len(f"regexp_extract_all(t, '{_EMAIL_PAT}'{g})", d)} AS n_emails,
+        {S.arr_len(f"regexp_extract_all(t, '{_LONGNUM_PAT}'{g})", d)} AS n_long_numbers,
+        length({redacted}) AS redacted_len,
+        substring({redacted}, length({redacted}) - 29, 30) AS redacted_tail
+    FROM docs
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_pii_redact",
+    _pii_redact,
+    tags=("text",),
+    doc="PII scrub: regex-redact emails and long digit runs, count matches. "
+    "Pure JVM-side regexp_replace/extract_all — embarrassingly parallel, "
+    "no shuffle at any scale.",
+)
+
+
+def _stratified_sample(d: str) -> str:
+    # Rebalance the corpus: keep 25% of the dominant language, 75% of the
+    # rest. The keep decision hashes only the row key — no global state, no
+    # shuffle, reproducible across engines and runs (same discipline as
+    # text_train_val_split).
+    bucket = f"({S.portable_hash64(_str('doc_id', d), d, seed=chr(39) + 'strat' + chr(39))} % 100)"
+    return f"""
+    SELECT doc_id, lang, source, {bucket} AS bucket
+    FROM documents
+    WHERE {bucket} < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_stratified_sample",
+    _stratified_sample,
+    tags=("text",),
+    doc="Deterministic stratified sampling: hash-bucket keep decision with "
+    "per-language rates (downsample the overrepresented stratum). Map-only "
+    "at any scale.",
+)
+
+
+def _zscore_outliers(d: str) -> str:
+    # Two-pass: decimal-exact per-type moments, then a broadcast join back.
+    # Both moments come from order-independent decimal sums, so mu/sigma are
+    # bit-identical across engines and the strict > cut cannot flip.
+    mu = "cast(sum(cast((value) as decimal(38,6))) as double) / cast(count(*) as double)"
+    ex2 = "cast(sum(cast((value * value) as decimal(38,6))) as double) / cast(count(*) as double)"
+    return f"""
+    WITH stats AS (
+        SELECT event_type, {mu} AS mu, {ex2} AS ex2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+        round(e.value, 6) AS value,
+        round((e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu), 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(e.value - s.mu) > 2.5 * sqrt(s.ex2 - s.mu * s.mu)
+    ORDER BY e.event_id
+    """
+
+
+_pair(
+    "agg_zscore_outliers",
+    _zscore_outliers,
+    tags=("agg",),
+    doc="Per-group z-score outlier detection (numeric quality filter). "
+    "One partial-agg pass for moments, broadcast join back — two narrow "
+    "shuffles total regardless of scale.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: blocked edit-distance
+# ---------------------------------------------------------------------------
+
+
+def _dedup_levenshtein(d: str) -> str:
+    lb = S.idiv("length(text)", "64", d)
+    return f"""
+    WITH blocked AS (
+        SELECT doc_id, lang, text, {lb} AS lb FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(levenshtein(a.text, b.text) as bigint) AS edit_dist
+    FROM blocked a
+    JOIN blocked b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 60
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_levenshtein_blocked",
+    _dedup_levenshtein,
+    tags=("dedup",),
+    doc="Edit-distance near-dup with candidate blocking: pairs are only "
+    "generated inside a (lang, length-bucket) block — the block key is the "
+    "shuffle key, never an all-pairs cross join. Levenshtein itself is the "
+    "expensive kernel, so the blocking IS the scale strategy.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Vector index: int8-style quantization + IVF coarse assignment
+# ---------------------------------------------------------------------------
+
+
+def _embedding_quantize(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        mn, mx = "array_min(v)", "array_max(v)"
+        codes = (
+            "transform(v, x -> ((x - array_min(v)) * 254) "
+            "div greatest(array_max(v) - array_min(v), cast(1 as bigint)))"
+        )
+        code_sum = f"aggregate({codes}, cast(0 as bigint), (acc, x) -> acc + x)"
+        code_0 = f"element_at({codes}, 1)"
+    else:
+        mn, mx = "list_min(v)", "list_max(v)"
+        codes = (
+            "list_transform(v, x -> ((x - list_min(v)) * 254) "
+            "// greatest(list_max(v) - list_min(v), 1))"
+        )
+        code_sum = f"cast(list_sum({codes}) as bigint)"
+        code_0 = f"cast({codes}[1] as bigint)"
+    return f"""
+    WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings)
+    SELECT vec_id,
+        {mn} AS min_q, {mx} AS max_q,
+        {code_sum} AS code_sum,
+        {code_0} AS code_0
+    FROM iv
+    ORDER BY vec_id
+    """
+
+
+_pair(
+    "sim_embedding_quantize",
+    _embedding_quantize,
+    tags=("similarity",),
+    doc="Int8-style scalar quantization of embeddings: per-vector min/max "
+    "range, 0..254 codes via exact fixed-point integer math (floor at 1e-6 "
+    "then pure bigint ops — bit-identical across engines). At scale this is "
+    "the 4x memory-bandwidth lever for the ANN index; map-only, no shuffle.",
+)
+
+
+_N_CENTROIDS = 8
+
+
+def _centroid_assign(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        l2 = (
+            "aggregate(zip_with(p.v, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+    else:
+        l2 = (
+            "cast(list_sum(list_transform(list_zip(p.v, c.cv), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2]))) as bigint)"
+        )
+    return f"""
+    WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < {_N_CENTROIDS}),
+    dists AS (
+        SELECT p.vec_id, c.cid, {l2} AS d2
+        FROM iv p CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, cid, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists
+    )
+    SELECT vec_id, cid AS centroid_id, d2 AS dist2_q
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+_pair(
+    "sim_centroid_assign",
+    _centroid_assign,
+    tags=("similarity",),
+    doc="IVF coarse-quantizer assignment: nearest of 8 fixed centroids per "
+    "vector, exact integer L2 (fixed-point), deterministic tie-break on "
+    "centroid id. The centroid table broadcasts at any scale; the scan is "
+    "one narrow pass. Feeds the bucketed ANN path (sim_cosine_ivf_bucketed).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Connected components to a fixed point (iterative; rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cc_fixpoint",
+    oracle=None,
+    tags=("dedup", "nosql"),
+    doc="Connected components over the near-dup pair graph, iterated to a "
+    "FIXED POINT (min-label propagation; one shuffle round per hop, "
+    "localCheckpoint per round to truncate lineage). The full version of "
+    "the fixed-depth dedup_cluster_neardup; genuinely iterative, hence "
+    "rows-only (union-find-verified in tests/test_curation.py).",
+)
+def dedup_cc_fixpoint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .registry import get
+
+    pairs = (
+        get("dedup_ngram_jaccard")
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    docs = spark.table("documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    # Min-label propagation: each round pulls the smallest label reachable in
+    # one hop. The pair generator's chains are short, but the loop runs until
+    # a genuine fixed point, not a guessed depth.
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("label").alias("cluster_id"), "n_members", "keep_doc_id")
+        .orderBy("cluster_id")
+    )

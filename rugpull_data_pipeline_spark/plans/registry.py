@@ -113,5 +113,6 @@ def _load_plan_modules() -> None:
     from . import domain  # noqa: F401
     from . import advanced  # noqa: F401
     from . import multimodal_q  # noqa: F401
+    from . import curation  # noqa: F401
 
     _LOADED = True

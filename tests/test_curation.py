@@ -1,0 +1,107 @@
+"""Semantics checks for the curation/vector-index batch beyond the oracle
+hash-compare (tests/test_correctness_oracle.py covers every registered
+query; these assert the properties the hash can't express)."""
+
+from __future__ import annotations
+
+from rugpull_data_pipeline_spark.plans import registry
+
+from .conftest import SF_ORACLE
+
+
+def test_cc_fixpoint_matches_union_find(spark, sf_dir):
+    """The iterative CC labels must equal a driver-side union-find ground
+    truth over the same edge set (the non-SQL query's oracle)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in registry.get("dedup_ngram_jaccard")
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    clusters: dict[int, list[int]] = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), []).append(x)
+    expected = sorted(
+        (root, len(members), min(members))
+        for root, members in clusters.items()
+        if len(members) > 1
+    )
+
+    got = [
+        (r.cluster_id, r.n_members, r.keep_doc_id)
+        for r in registry.get("dedup_cc_fixpoint").builder(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # Min-label CC invariant: every cluster is labeled by its smallest member.
+    assert all(cid == keep for cid, _, keep in got)
+
+
+def test_quantize_codes_bounded(spark, sf_dir):
+    """Quantized codes are 0..254, so code_sum fits 64 codes x 254 and the
+    per-vector range brackets the first element's code."""
+    rows = registry.get("sim_embedding_quantize").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_q <= r.max_q
+        assert 0 <= r.code_0 <= 254
+        assert 0 <= r.code_sum <= 64 * 254
+
+
+def test_centroid_self_assignment(spark, sf_dir):
+    """Each centroid vector must assign to itself at distance 0 (exact
+    integer L2 guarantees this; float math would not)."""
+    rows = {
+        r.vec_id: r
+        for r in registry.get("sim_centroid_assign").builder(spark, sf_dir).collect()
+    }
+    for cid in range(8):
+        assert rows[cid].centroid_id == cid
+        assert rows[cid].dist2_q == 0
+    # total coverage: every vector got exactly one assignment
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_ORACLE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Hash-bucket sampling keeps ~25% of 'en', ~75% of the rest, and the
+    decision is a pure row function (same doc never flips)."""
+    import duckdb
+
+    df = registry.get("text_stratified_sample").builder(spark, sf_dir)
+    kept = df.groupBy("lang").count().collect()
+    kept_by_lang = {r.lang: r["count"] for r in kept}
+    totals = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM '{SF_ORACLE}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    en_rate = kept_by_lang.get("en", 0) / totals["en"]
+    rest_kept = sum(v for k, v in kept_by_lang.items() if k != "en")
+    rest_total = sum(v for k, v in totals.items() if k != "en")
+    assert 0.10 <= en_rate <= 0.40, en_rate
+    assert 0.60 <= rest_kept / rest_total <= 0.90
+    # determinism: a second evaluation returns the identical sample
+    ids1 = sorted(r.doc_id for r in df.collect())
+    ids2 = sorted(r.doc_id for r in df.collect())
+    assert ids1 == ids2
