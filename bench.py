@@ -24,6 +24,7 @@ from rugpull_data_pipeline_spark.session import get_spark
 # multi-join, window, JSON extraction, dedup sketches, similarity search.
 HEADLINE = [
     "flagship_balance_report",
+    "solana_rugpull_score",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",

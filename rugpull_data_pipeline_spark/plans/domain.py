@@ -495,6 +495,95 @@ def solana_hot_tx_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUGPULL_ORACLE_TEMPLATE = """
+WITH {tx_cte},
+hot_tx AS (
+    SELECT * FROM keyed
+    WHERE len(list_intersect(all_keys, {hot})) > 0
+),
+entries AS (
+    SELECT signature, all_keys, 'pre' AS phase, unnest(pre) AS b FROM hot_tx
+    UNION ALL
+    SELECT signature, all_keys, 'post' AS phase, unnest(post) AS b FROM hot_tx
+),
+resolved AS (
+    SELECT signature, phase,
+        CASE WHEN list_contains({hot}, all_keys[cast(b.accountIndex as int) + 1])
+             THEN all_keys[cast(b.accountIndex as int) + 1]
+             ELSE b.owner END AS wallet,
+        b.mint AS mint,
+        b.uiTokenAmount.uiAmountString AS amount
+    FROM entries
+    WHERE b IS NOT NULL
+),
+bal AS (
+    SELECT wallet, signature, mint,
+        max(CASE WHEN phase = 'pre' THEN amount END) AS pre_balance,
+        max(CASE WHEN phase = 'post' THEN amount END) AS post_balance
+    FROM resolved
+    GROUP BY wallet, signature, mint
+),
+vault AS (
+    SELECT mint,
+        cast(count(*) as bigint) AS n_rows,
+        cast(count(DISTINCT wallet) as bigint) AS n_vault_wallets,
+        sum(cast(pre_balance as decimal(38,6))) AS sp,
+        sum(cast(post_balance as decimal(38,6))) AS spo
+    FROM bal
+    WHERE list_contains({hot}, wallet)
+    GROUP BY mint
+)
+SELECT mint, n_rows, n_vault_wallets,
+    round(cast(sp as double), 6) AS total_pre,
+    round(cast(spo as double), 6) AS total_post,
+    round(cast(sp - spo as double) / cast(nullif(sp, 0) as double), 6) AS drain_pct,
+    cast(CASE WHEN cast(sp - spo as double) / cast(nullif(sp, 0) as double) > 0.1
+         THEN 1 ELSE 0 END as int) AS rug_flag
+FROM vault
+ORDER BY mint
+"""
+
+
+@register(
+    "solana_rugpull_score",
+    oracle=_RUGPULL_ORACLE_TEMPLATE.format(
+        tx_cte=_duck_tx_cte(), hot="{hot}"
+    ).replace("{hot}", _hot_literal(DUCK)),
+    tags=("json", "domain", "agg", "flagship"),
+    doc="The detection composite the whole reference pipeline exists to "
+    "feed (its stages end at the enriched balance table; the rug signal is "
+    "the consumer): per mint, the liquidity drained from watchlisted pool "
+    "vaults = (sum pre - sum post) / sum pre over J2-resolved vault rows, "
+    "decimal-exact so the flag threshold cannot flip between engines. "
+    "One groupBy(mint) shuffle over the extraction chain at any scale.",
+)
+def solana_rugpull_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blocks = _read_blocks(spark)
+    watch = spark.createDataFrame([(a,) for a in hot_addresses()], "address string")
+    bal = extract_balance_changes(blocks, watch)
+    hot_arr = F.expr(_hot_literal(SPARK))
+    vault = (
+        bal.where(F.array_contains(hot_arr, F.col("wallet")))
+        .groupBy("mint")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("wallet").alias("n_vault_wallets"),
+            F.sum(F.col("pre_balance").cast("decimal(38,6)")).alias("sp"),
+            F.sum(F.col("post_balance").cast("decimal(38,6)")).alias("spo"),
+        )
+    )
+    drain = F.expr("cast(sp - spo as double) / cast(nullif(sp, 0) as double)")
+    return vault.select(
+        "mint",
+        "n_rows",
+        "n_vault_wallets",
+        F.round(F.col("sp").cast("double"), 6).alias("total_pre"),
+        F.round(F.col("spo").cast("double"), 6).alias("total_post"),
+        F.round(drain, 6).alias("drain_pct"),
+        F.when(drain > 0.1, 1).otherwise(0).cast("int").alias("rug_flag"),
+    ).orderBy("mint")
+
+
 # Materialize the generated corpora now (see note at top): oracle SQL must
 # be runnable before any Spark builder has executed.
 _ensure_blocks()

@@ -28,6 +28,10 @@ _NLJ_ALLOWED = {
     "solana_balance_extract",
     "solana_balance_extract_xl",
     "solana_enriched_report",
+    "solana_rugpull_score",
+    # 8-row centroid table broadcast against every vector — the IVF coarse
+    # quantizer is definitionally an all-centroids probe.
+    "sim_centroid_assign",
     # deliberate tiny-dim cross join (region × brand-band).
     "join_cross_region_bands",
 }
