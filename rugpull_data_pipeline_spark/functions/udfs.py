@@ -115,3 +115,56 @@ def lookup_enrich(
             yield pdf
 
     return df.mapInPandas(mapper, schema)
+
+
+def arrow_vec_fixedpoint_sum(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``mapInArrow`` kernel: per-row fixed-point sum of a float-vector
+    column, computed directly on Arrow buffers (no pandas materialization).
+
+    This is the zero-copy half of the §2.9 UDF surface — the same Arrow
+    RecordBatch shape the reference's C++ builders emit
+    (``RECEIVER/common.h:66-82``, flushed per 10k rows at
+    ``RECEIVER/stage2_processing.cpp:405-411``), consumed batch-at-a-time in
+    Python. The math is exact integer (floor at 1e-6 then int64 segment
+    sums over the list offsets), so a SQL oracle can verify the Arrow
+    plumbing bit-for-bit.
+
+    Scale: map-only, no shuffle; Arrow batches stream through bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def mapper(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            vec = tbl.column(vec_col).combine_chunks()
+            arr = vec.chunk(0) if isinstance(vec, pa.ChunkedArray) else vec
+            import pyarrow.compute as pc
+
+            # flatten() + list_value_length respect slice offsets, unlike the
+            # raw offsets buffer
+            lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+            values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.floor(values * 1_000_000.0).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(q)))
+            ends = np.cumsum(lengths)
+            vsum = csum[ends] - csum[ends - lengths]
+            n_dims = lengths.astype(np.int32)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("vec_id").combine_chunks(),
+                    pa.array(n_dims, pa.int32()),
+                    pa.array(vsum, pa.int64()),
+                ],
+                names=["vec_id", "n_dims", "vsum"],
+            )
+            yield out
+
+    return df.select("vec_id", vec_col).mapInArrow(
+        mapper, "vec_id long, n_dims int, vsum long"
+    )

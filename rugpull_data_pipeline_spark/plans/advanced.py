@@ -627,3 +627,177 @@ _pair(
     doc="Uncorrelated scalar subquery in both projection and predicate "
     "(planned as a broadcast of one row).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-series OHLC candles (the price-stream rollup the domain consumes)
+# ---------------------------------------------------------------------------
+
+
+def _ohlc(d: str) -> str:
+    # Deterministic open/close: total order (ts, event_id) within each
+    # (event_type, hour) bucket; one window shuffle + one group-by on the
+    # same key — Spark reuses the partitioning across both.
+    hour = (
+        "date_format(ts, 'yyyy-MM-dd HH')"
+        if d == SPARK
+        else "strftime(ts, '%Y-%m-%d %H')"
+    )
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, {hour} AS bucket_hour, value, ts, event_id,
+            row_number() OVER (
+                PARTITION BY event_type, {hour} ORDER BY ts, event_id
+            ) AS rn_a,
+            row_number() OVER (
+                PARTITION BY event_type, {hour} ORDER BY ts DESC, event_id DESC
+            ) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bucket_hour,
+        round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+        round(max(value), 6) AS high,
+        round(min(value), 6) AS low,
+        round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+        cast(count(*) as bigint) AS n_ticks,
+        round({S.dsum('value', d)}, 6) AS volume
+    FROM ranked
+    GROUP BY event_type, bucket_hour
+    ORDER BY event_type, bucket_hour
+    """
+
+
+_pair(
+    "window_ohlc_candles",
+    _ohlc,
+    tags=("window", "domain"),
+    doc="OHLC candlestick rollup per (event_type, hour): first/last by a "
+    "total order, min/max/volume per bucket — the aggregation a price "
+    "stream (SERVER/priceAPIfiller.py) feeds into dashboards. Window and "
+    "group-by share one hash partitioning on the bucket key.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (novel sketch as a DataFrame composition)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 32  # buckets per row
+_CMS_D = 4  # hash rows
+
+
+def _cms_heavy_hitters(d: str) -> str:
+    # The sketch is D counter rows of W buckets; est(x) = min over rows of
+    # bucket counts. Built entirely from group-bys (one shuffle of D*W
+    # counters regardless of input size); the point query joins each
+    # candidate's D buckets back against the sketch. Estimates are exact
+    # upper bounds: est >= true count always (verified in tests).
+    key = (
+        "cast(user_id as string)" if d == SPARK else "cast(user_id as varchar)"
+    )
+    h = S.portable_hash64(key, d, seed="r")  # seed varies per sketch row
+    if d == SPARK:
+        # explode is a generator — map-side row expansion, no join operator
+        # (a VALUES cross join would plan a BroadcastNestedLoopJoin).
+        fanout = f"""
+        SELECT user_id, r FROM (
+            SELECT user_id, explode(array({', '.join(str(r) for r in range(_CMS_D))})) AS r
+            FROM events
+        ) g"""
+    else:
+        rows = ", ".join(f"({r})" for r in range(_CMS_D))
+        fanout = f"SELECT user_id, r FROM events CROSS JOIN (VALUES {rows}) AS t(r)"
+    return f"""
+    WITH hashed AS (
+        SELECT user_id, r, ({h}) % {_CMS_W} AS b
+        FROM ({fanout}) f
+    ),
+    cms AS (
+        SELECT r, b, cast(count(*) as bigint) AS c
+        FROM hashed GROUP BY r, b
+    ),
+    exact AS (
+        SELECT user_id, cast(count(*) as bigint) AS true_count
+        FROM events GROUP BY user_id
+    ),
+    est AS (
+        SELECT h.user_id, min(c.c) AS est_count
+        FROM (SELECT DISTINCT user_id, r, b FROM hashed) h
+        JOIN cms c ON c.r = h.r AND c.b = h.b
+        GROUP BY h.user_id
+    )
+    SELECT e.user_id, x.true_count, e.est_count
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    ORDER BY x.true_count DESC, e.user_id
+    LIMIT 10
+    """
+
+
+_pair(
+    "agg_cms_heavy_hitters",
+    _cms_heavy_hitters,
+    tags=("agg", "sketch"),
+    doc="Count-min sketch (4x32) heavy hitters over the event stream, "
+    "composed from group-bys: the sketch is D*W counters total regardless "
+    "of cardinality — the mergeable-summary scale path when exact per-key "
+    "counts don't fit. est >= true by construction (one-sided error).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape: conditional agg over a star join)
+# ---------------------------------------------------------------------------
+
+
+def _q14(d: str) -> str:
+    promo = "CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+    return f"""
+    SELECT round(
+        100.0 * {S.dsum(promo, d)}
+        / {S.dsum('l.l_extendedprice * (1 - l.l_discount)', d)}, 6
+    ) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= timestamp '1997-09-01'
+      AND l.l_shipdate < timestamp '1997-10-01'
+    """
+
+
+_pair(
+    "q14_promo_revenue",
+    _q14,
+    tags=("relational",),
+    doc="TPC-H Q14 shape: promo revenue share for one month — conditional "
+    "decimal-exact aggregation over a broadcast part join with a pushed-down "
+    "shipdate range.",
+)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow surface (zero-copy Arrow batch kernel)
+# ---------------------------------------------------------------------------
+
+_ARROW_VECSUM_ORACLE = """
+SELECT vec_id,
+    cast(len(embedding) as int) AS n_dims,
+    cast(list_sum(list_transform(
+        embedding, x -> cast(floor(cast(x as double) * 1000000.0) as bigint)
+    )) as bigint) AS vsum
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register(
+    "udf_arrowmap_vecsum",
+    oracle=_ARROW_VECSUM_ORACLE,
+    tags=("udf", "similarity"),
+    doc="mapInArrow kernel (functions/udfs.arrow_vec_fixedpoint_sum): "
+    "per-row fixed-point vector sum computed on raw Arrow list buffers "
+    "(no pandas), oracle-verified bit-for-bit — completing the §2.9 UDF "
+    "surface (pandas_udf / applyInPandas / applyInPandasWithState / "
+    "mapInPandas / mapInArrow).",
+)
+def udf_arrowmap_vecsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import arrow_vec_fixedpoint_sum
+
+    return arrow_vec_fixedpoint_sum(spark.table("embeddings")).orderBy("vec_id")

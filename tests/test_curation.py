@@ -105,3 +105,29 @@ def test_stratified_sample_rates(spark, sf_dir):
     ids1 = sorted(r.doc_id for r in df.collect())
     ids2 = sorted(r.doc_id for r in df.collect())
     assert ids1 == ids2
+
+
+def test_cms_estimates_are_upper_bounds(spark, sf_dir):
+    """Count-min guarantees est >= true count (one-sided error)."""
+    rows = registry.get("agg_cms_heavy_hitters").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est_count >= r.true_count
+
+
+def test_q14_single_nonnull_row(spark, sf_dir):
+    rows = registry.get("q14_promo_revenue").builder(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].promo_revenue_pct is not None
+    assert 0.0 <= rows[0].promo_revenue_pct <= 100.0
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """low <= open/close <= high, and volume aggregates all ticks."""
+    rows = registry.get("window_ohlc_candles").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_ticks >= 1
