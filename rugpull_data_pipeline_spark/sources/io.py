@@ -132,3 +132,39 @@ def upsert_dimension(
 def show_chunk(df: DataFrame, n: int = 10) -> None:
     """S11: console pretty-print sink (SERVER/flightWithRedis.py:101-121)."""
     df.show(n, truncate=False)
+
+
+def read_orc_typed(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC batch source — the other columnar format large lakes carry
+    alongside parquet. Vectorized reader + predicate pushdown come free
+    (same Catalyst paths the parquet scans use)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, max_records: int = 5_000_000) -> None:
+    """ORC sink with bounded file sizes (zlib default compression)."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records))
+        .orc(path)
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file source: each file becomes one row of
+    ``(path, modificationTime, length, content binary)`` — the canonical
+    landing pattern for media blobs (images/audio/video) feeding the
+    multimodal kernels (multimodal/columns.py): ingest here, attach typed
+    metadata, and keep payloads out of shuffles from the first stage.
+
+    Scale: one task per file (small files coalesce per
+    ``spark.sql.files.maxPartitionBytes``); pair with
+    ``pathGlobFilter`` so non-media droppings never enter the scan.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

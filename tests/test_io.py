@@ -74,3 +74,40 @@ def test_upsert_dimension_last_writer_wins(spark, tmp_path):
     upsert_dimension(spark, v2, dim, ["pair"])
     got = {r.pair: r.price for r in spark.read.parquet(dim).collect()}
     assert got == {"p1": 1.0, "p2": 9.0, "p3": 3.0}
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC write/read roundtrip preserves values; filters reach the scan."""
+    from rugpull_data_pipeline_spark.sources.io import read_orc_typed, write_orc
+
+    src = spark.range(0, 1000).selectExpr(
+        "id", "cast(id % 7 as int) AS bucket", "concat('v', id) AS label"
+    )
+    path = str(tmp_path / "orc_t")
+    write_orc(src, path)
+    back = read_orc_typed(spark, path)
+    assert back.count() == 1000
+    got = back.where("bucket = 3").count()
+    assert got == src.where("bucket = 3").count()
+    plan = back.where("bucket = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "bucket" in plan
+
+
+def test_binary_file_source_blob_shape(spark, tmp_path):
+    """binaryFile rows carry (path, length, content) for media landing."""
+    from rugpull_data_pipeline_spark.sources.io import read_binary_files
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    payloads = {f"img_{i:02d}.bin": bytes([i] * (16 + i)) for i in range(5)}
+    (blob_dir / "ignore.txt").write_text("not media")
+    for name, data in payloads.items():
+        (blob_dir / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(blob_dir), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    for name, data in payloads.items():
+        assert by_name[name].length == len(data)
+        assert bytes(by_name[name].content) == data
