@@ -103,3 +103,77 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     frames = sample_frames(attach_blob_column(docs), every_n_bytes=64)
     return frames.orderBy("doc_id", "frame_idx")
+
+
+# --- binary-file landing zone (binaryFile source vs read_blob oracle) -------
+
+_N_BLOBS, _BLOB_SEED = 64, 17
+
+
+def _blob_dir() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"rugpull_blobs_{_N_BLOBS}_{_BLOB_SEED}")
+
+
+def _ensure_blobs() -> str:
+    """Deterministic media-like blob corpus (idempotent, seeded): stand-in
+    for an image/audio landing directory. Same contract as the domain block
+    corpora — whichever engine reads first, the bytes are identical."""
+    import os
+    import random
+
+    d = _blob_dir()
+    marker = os.path.join(d, ".done")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = random.Random(_BLOB_SEED)
+    for i in range(_N_BLOBS):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(32, 512)))
+        with open(os.path.join(d, f"blob_{i:03d}.bin"), "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+_BINARY_INGEST_ORACLE_TEMPLATE = """
+SELECT regexp_extract(filename, '[^/]+$') AS fname,
+    cast(size as bigint) AS n_bytes,
+    substring(hex(content), 1, 16) AS head_hex,
+    md5(hex(content)) AS checksum
+FROM read_blob('{d}/*.bin')
+ORDER BY fname
+"""
+
+
+@register(
+    "multimodal_binary_ingest",
+    # materialized at import so the oracle path is readable either side
+    oracle=_BINARY_INGEST_ORACLE_TEMPLATE.format(d=_ensure_blobs()),
+    tags=("multimodal",),
+    doc="Media landing zone: Spark's binaryFile source over a blob "
+    "directory (sources/io.read_binary_files), checksummed row-per-file — "
+    "oracle-checked against DuckDB's independent read_blob on the SAME "
+    "files, so the binary payload path is verified byte-for-byte. At scale "
+    "this is the first stage of every image/audio pipeline; payloads stay "
+    "executor-side from the very first scan.",
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import read_binary_files
+
+    d = _ensure_blobs()
+    df = read_binary_files(spark, d, glob="*.bin")
+    hx = F.hex(F.col("content"))
+    return (
+        df.select(
+            F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("fname"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.substring(hx, 1, 16).alias("head_hex"),
+            F.md5(hx).alias("checksum"),
+        )
+        .orderBy("fname")
+    )
+
