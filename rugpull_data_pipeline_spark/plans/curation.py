@@ -447,3 +447,102 @@ def dedup_cc_fixpoint(spark, sf_dir):
         .select(F.col("label").alias("cluster_id"), "n_members", "keep_doc_id")
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style single-scan column statistics)
+# ---------------------------------------------------------------------------
+
+# (name, kind) — kind drives which min/max channel the column reports in:
+# numeric/timestamp stats go to min_num/max_num (doubles; epoch seconds for
+# ts), string stats to min_str/max_str. Typed channels avoid cross-engine
+# float→string formatting drift entirely.
+_PROFILE_COLS = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_stats(d: str) -> str:
+    # ONE scan computes every aggregate (count/distinct/min/max per column);
+    # the long-format fan-out is a projection of that single 1-row result —
+    # stack() in Spark, a UNION ALL over the materialized CTE in DuckDB.
+    # At 100 TB this is the profile you can actually afford: no per-column
+    # rescans.
+    null_str = "cast(NULL as string)" if d == SPARK else "cast(NULL as varchar)"
+    aggs, rows = [], []
+    for i, (c, kind) in enumerate(_PROFILE_COLS):
+        aggs.append(f"count({c}) AS c{i}")
+        aggs.append(f"cast(count(DISTINCT {c}) as bigint) AS d{i}")
+        if kind == "num":
+            aggs.append(f"cast(min({c}) as double) AS mn{i}")
+            aggs.append(f"cast(max({c}) as double) AS mx{i}")
+            mn_num, mx_num = f"mn{i}", f"mx{i}"
+            mn_str = mx_str = null_str
+        elif kind == "ts":
+            aggs.append(f"cast({S.epoch_s(f'min({c})', d)} as double) AS mn{i}")
+            aggs.append(f"cast({S.epoch_s(f'max({c})', d)} as double) AS mx{i}")
+            mn_num, mx_num = f"mn{i}", f"mx{i}"
+            mn_str = mx_str = null_str
+        else:
+            aggs.append(f"min({c}) AS mn{i}")
+            aggs.append(f"max({c}) AS mx{i}")
+            mn_num = mx_num = "cast(NULL as double)"
+            mn_str, mx_str = f"mn{i}", f"mx{i}"
+        rows.append(
+            (
+                f"'{c}'",
+                f"cast(n_rows - c{i} as bigint)",
+                f"d{i}",
+                mn_num,
+                mx_num,
+                mn_str,
+                mx_str,
+            )
+        )
+    agg_sql = ",\n        ".join(["cast(count(*) as bigint) AS n_rows"] + aggs)
+    out_names = ("col", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str")
+    if d == SPARK:
+        stack_args = ",\n        ".join(", ".join(r) for r in rows)
+        body = f"""
+        SELECT stack({len(rows)},
+        {stack_args}
+        ) AS ({', '.join(out_names)})
+        FROM s
+        """
+    else:
+        body = "\n        UNION ALL ".join(
+            "SELECT "
+            + ", ".join(f"{expr} AS {name}" for expr, name in zip(r, out_names))
+            + " FROM s"
+            for r in rows
+        )
+    return f"""
+    WITH s AS (
+        SELECT {agg_sql}
+        FROM lineitem
+    )
+    SELECT col, n_nulls, n_distinct, min_num, max_num, min_str, max_str
+    FROM ({body}) p
+    ORDER BY col
+    """
+
+
+_pair(
+    "profile_table_stats",
+    _profile_stats,
+    tags=("agg", "quality"),
+    doc="ANALYZE-style table profile: per-column null/distinct/min/max in "
+    "ONE scan (conditional aggregates fanned out to long format by a "
+    "projection, not by per-column rescans). The first query run against "
+    "any new 100 TB table.",
+)
