@@ -198,7 +198,9 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference actually ingests (≈10 MB getBlock payloads at 2.5 blocks/s ⇒
 # ≈25 MB/s, BASELINE.md). The oracle template is identical; only the path
 # and generation parameters differ.
-_XL_BLOCKS, _XL_SEED, _XL_FILES, _XL_TX_SCALE = 120, 13, 16, 55
+# 32 files = 32 scan partitions — one per local[32] thread (slot-sharding
+# analogue; 16 left half the cores idle and cost ~15% wall-clock at bench).
+_XL_BLOCKS, _XL_SEED, _XL_FILES, _XL_TX_SCALE = 120, 13, 32, 55
 
 
 def _xl_dir() -> str:
