@@ -546,3 +546,64 @@ _pair(
     "projection, not by per-column rescans). The first query run against "
     "any new 100 TB table.",
 )
+
+
+def _q13(d: str) -> str:
+    # Distribution-of-counts shape: two chained aggregations (per-customer
+    # order count, then histogram of counts). The left join keeps
+    # zero-order customers in the c_count=0 bucket.
+    return """
+    WITH per_cust AS (
+        SELECT c.c_custkey, cast(count(o.o_orderkey) as bigint) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, cast(count(*) as bigint) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+_pair(
+    "q13_order_count_dist",
+    _q13,
+    tags=("relational",),
+    doc="TPC-H Q13 shape: customer order-count distribution — left join "
+    "preserving empty groups, then an aggregation OF an aggregation. Both "
+    "group-bys shuffle on their own key; the second input is one row per "
+    "customer, tiny at any scale.",
+)
+
+
+def _q15(d: str) -> str:
+    # Top-supplier-by-revenue with a scalar-subquery max: the classic
+    # "view + max over view" shape. Revenue sums are decimal-exact, so the
+    # max comparison cannot diverge between engines.
+    rev = S.dsum("l_extendedprice * (1 - l_discount)", d)
+    return f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """
+
+
+_pair(
+    "q15_top_supplier",
+    _q15,
+    tags=("relational", "subquery"),
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue via a scalar "
+    "MAX subquery over a derived revenue relation (planned as a one-row "
+    "broadcast); decimal-exact sums make the argmax deterministic.",
+)
