@@ -81,6 +81,36 @@ def test_matches_python_oracle(result_rows):
     assert len(got) > 0
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47, 101])
+def test_matches_python_oracle_many_seeds(spark, tmp_path_factory, seed):
+    """Property sweep (SURVEY.md §7.3 hard part ii): the J2 precedence /
+    A1 merge / P6 tolerance semantics must agree with the pure-Python
+    reference on corpora from independent seeds, not just the fixture one.
+    Each seeded corpus exercises a different random mix of the generator's
+    edge cases (missing pre/post, missing amounts, hot-index collisions)."""
+    out_dir = str(tmp_path_factory.mktemp(f"solana_seed{seed}"))
+    write_blocks_json(out_dir, n_blocks=20, seed=seed, files=3)
+    raw = spark.read.text(f"{out_dir}/blocks_*.json")
+    watch_df = spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    )
+    rows = extract_balance_changes(parse_blocks(raw, "value"), watch_df).collect()
+    expected = python_oracle(generate_blocks(20, seed), set(hot_addresses()))
+    got = {
+        (
+            r.wallet,
+            r.signature,
+            r.mint,
+            r.pre_balance,
+            r.post_balance,
+            int(r.ts.timestamp()),
+        )
+        for r in rows
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_j2_owner_replacement_present(result_rows):
     hot = set(hot_addresses())
     assert any(r.wallet in hot for r in result_rows), (
