@@ -35,3 +35,27 @@ def test_registry_coverage(spark):
     # every query should have an oracle unless explicitly non-SQL-expressible
     for name in missing:
         assert "nosql" in registry.get(name).tags, f"{name} lacks an oracle"
+
+
+def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
+    """The driver may execute oracle SQL BEFORE any Spark builder runs, in a
+    fresh process. Every oracle must therefore be valid, runnable DuckDB SQL
+    on its own (generated corpora are materialized at plan-module import,
+    which this test exercises by importing the registry first)."""
+    import duckdb
+
+    from rugpull_data_pipeline_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, sql in registry.all_oracles().items():
+        try:
+            con.execute(sql).fetchone()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {ex}")
+    con.close()
+    assert not failures, "\n".join(failures)
