@@ -95,56 +95,76 @@ _PRICE_STATE = T.StructType(
 )
 
 
-def _price_change_fn(
-    key: Tuple[str],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Emit a row when base or quote moved >10% vs the LAST EMITTED value —
-    exactly SERVER/ingest_prices.py:42-55 (state updates only on emission)."""
-    (last_base, last_quote) = state.get if state.exists else (None, None)
-    rows = []
-    for pdf in pdfs:
-        for r in pdf.sort_values("ts").itertuples():
-            base, quote = float(r.base_price), float(r.quote_price)
-            if last_base is None:
-                emit, bc, qc = True, None, None
-            else:
-                bc = abs(base - last_base) / last_base if last_base else None
-                qc = abs(quote - last_quote) / last_quote if last_quote else None
-                emit = (bc is not None and bc > 0.10) or (qc is not None and qc > 0.10)
-            if emit:
-                rows.append((key[0], r.ts, base, quote, bc, qc))
-                last_base, last_quote = base, quote
-    state.update((last_base, last_quote))
-    if rows:
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "pair",
-                "ts",
-                "base_price",
-                "quote_price",
-                "base_change",
-                "quote_change",
-            ],
-        )
+def _make_price_change_fn(ttl_ms: int | None):
+    """Build the stateful kernel with the TTL captured in the closure
+    (cloudpickle ships closures by value, so the executor-side function sees
+    the configured TTL — a module global would reset on executor import)."""
+
+    def _price_change_fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Emit a row when base or quote moved >10% vs the LAST EMITTED
+        value — exactly SERVER/ingest_prices.py:42-55 (state updates only on
+        emission). With a TTL, an idle pair's state is evicted on timeout —
+        the bounded-state guard the reference lacks (its price map lives
+        forever, SERVER/ingest_prices.py:8); after eviction the next price
+        is first-seen and emits unconditionally."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last_base, last_quote) = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("ts").itertuples():
+                base, quote = float(r.base_price), float(r.quote_price)
+                if last_base is None:
+                    emit, bc, qc = True, None, None
+                else:
+                    bc = abs(base - last_base) / last_base if last_base else None
+                    qc = abs(quote - last_quote) / last_quote if last_quote else None
+                    emit = (bc is not None and bc > 0.10) or (qc is not None and qc > 0.10)
+                if emit:
+                    rows.append((key[0], r.ts, base, quote, bc, qc))
+                    last_base, last_quote = base, quote
+        state.update((last_base, last_quote))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "pair",
+                    "ts",
+                    "base_price",
+                    "quote_price",
+                    "base_change",
+                    "quote_change",
+                ],
+            )
+
+    return _price_change_fn
 
 
-def price_change_events(prices: DataFrame) -> DataFrame:
+def price_change_events(prices: DataFrame, state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming DataFrame of price events → threshold-filtered emissions.
 
-    State per pair is two doubles — bounded regardless of stream length.
+    State per pair is two doubles — bounded regardless of stream length;
+    ``state_ttl_ms`` additionally evicts idle pairs (processing-time
+    timeout), bounding state by the ACTIVE key set, not the ever-seen one.
     """
     from ..session import ship_package
 
     ship_package(prices.sparkSession)
     return prices.groupBy("pair").applyInPandasWithState(
-        _price_change_fn,
+        _make_price_change_fn(state_ttl_ms),
         PRICE_EVENT_OUT,
         _PRICE_STATE,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

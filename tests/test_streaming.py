@@ -188,3 +188,56 @@ def test_st7_fanout_two_queries(spark, tmp_path):
     n_all = spark.sql("select * from fan_count").collect()[0]["count"]
     n_pools = spark.sql("select * from fan_pools").collect()[0]["count"]
     assert n_all > 0 and 0 < n_pools < n_all
+
+
+def test_stateful_price_change_ttl_eviction(spark, tmp_path):
+    """ST4 bounded-state uplift: with a processing-time TTL, an idle pair's
+    state is evicted, so a later sub-threshold price is treated as
+    first-seen and emits — without TTL it would stay suppressed. (The
+    reference's price map lives forever, SERVER/ingest_prices.py:8.)"""
+    import time as _time
+
+    src = str(tmp_path / "prices_ttl")
+    batch1 = [("PX", "2024-01-01 00:00:00", 100.0, 10.0)]
+    batch2 = [("PX", "2024-01-01 00:05:00", 104.0, 10.2)]  # <10% vs 100
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(
+            rows, "pair string, ts_s string, base_price double, quote_price double"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(batch1, "b1")
+    schema = "pair string, base_price double, quote_price double, ts timestamp"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = price_change_events(stream, state_ttl_ms=500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("price_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+
+    # With a processing-time timeout armed, the query self-triggers empty
+    # batches to fire evictions, so processAllAvailable() never settles —
+    # poll the sink for the expected row count instead.
+    def await_rows(n, deadline_s=60):
+        for _ in range(deadline_s * 4):
+            if spark.sql("select count(*) c from price_ttl_out").collect()[0].c >= n:
+                return
+            _time.sleep(0.25)
+        raise AssertionError(
+            f"sink never reached {n} rows: "
+            + str(spark.sql("select * from price_ttl_out").collect())
+        )
+
+    await_rows(1)                    # batch 1: first-seen → emit, TTL armed
+    _time.sleep(2.0)                 # let the 500 ms TTL expire (evicts PX)
+    write_batch(batch2, "b2")
+    await_rows(2)                    # post-eviction price is first-seen again
+    q.stop()
+    got = sorted(
+        (r.pair, r.base_price)
+        for r in spark.sql("select * from price_ttl_out").collect()
+    )
+    assert got == [("PX", 100.0), ("PX", 104.0)], got
