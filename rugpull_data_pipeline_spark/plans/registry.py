@@ -108,6 +108,7 @@ def _load_plan_modules() -> None:
     if _LOADED:
         return
     from . import relational  # noqa: F401
+    from . import tpch_shapes  # noqa: F401
     from . import semi_structured  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import domain  # noqa: F401
