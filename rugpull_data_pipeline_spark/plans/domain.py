@@ -586,7 +586,70 @@ def solana_rugpull_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mint")
 
 
+# ---------------------------------------------------------------------------
+# S1 as a Spark Python DataSource: the extraction chain fed by the custom
+# `solana_blocks` source (sources/block_datasource.py) instead of a file
+# landing zone. The DuckDB oracle reads a file corpus generated with the SAME
+# (n_blocks, seed) — the datasource emits byte-identical payloads (proven in
+# tests/test_python_datasource.py), so the full chain gets a real oracle even
+# though DuckDB cannot speak the datasource protocol itself.
+# ---------------------------------------------------------------------------
+
+_DS_BLOCKS, _DS_SEED, _DS_WORKERS = 24, 13, 3
+
+
+def _ds_dir() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"rugpull_solana_ds_{_DS_BLOCKS}_{_DS_SEED}"
+    )
+
+
+def _ensure_ds_blocks() -> str:
+    return write_blocks_json(_ds_dir(), _DS_BLOCKS, _DS_SEED, _DS_WORKERS)
+
+
+@register(
+    "solana_balance_from_datasource",
+    oracle=_BALANCE_ORACLE_TEMPLATE.format(
+        tx_cte=_duck_tx_cte(_ds_dir()), hot=_hot_literal(DUCK)
+    ),
+    tags=("flagship", "source", "domain"),
+    doc="S1 re-expressed as a Spark Python DataSource: batch read of the "
+    "`solana_blocks` custom source (worker shards = slot % n_workers, "
+    "SERVER/subscriber.py:111) piped into the unchanged §3.1 extraction "
+    "chain; oracle = DuckDB over a byte-identical generated file corpus.",
+)
+def solana_balance_from_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.block_datasource import register_block_datasource
+
+    _ensure_ds_blocks()  # the oracle reads these files
+    register_block_datasource(spark)
+    raw = (
+        spark.read.format("solana_blocks")
+        .option("n_blocks", _DS_BLOCKS)
+        .option("n_slots", _DS_BLOCKS)
+        .option("n_workers", _DS_WORKERS)
+        # first_slot ≡ 0 (mod n_blocks): each block appears exactly once.
+        .option("first_slot", 10 * _DS_BLOCKS)
+        .option("seed", _DS_SEED)
+        .load()
+    )
+    watch = spark.createDataFrame(
+        [(a,) for a in hot_addresses()], "address string"
+    )
+    out = extract_balance_changes(parse_blocks(raw, "payload"), watch)
+    return out.select(
+        "wallet",
+        "signature",
+        "mint",
+        "pre_balance",
+        "post_balance",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    ).orderBy("signature", "wallet", "mint")
+
+
 # Materialize the generated corpora now (see note at top): oracle SQL must
 # be runnable before any Spark builder has executed.
 _ensure_blocks()
 _ensure_xl_blocks()
+_ensure_ds_blocks()

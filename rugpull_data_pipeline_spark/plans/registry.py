@@ -109,6 +109,7 @@ def _load_plan_modules() -> None:
         return
     from . import relational  # noqa: F401
     from . import tpch_shapes  # noqa: F401
+    from . import spark4_features  # noqa: F401
     from . import semi_structured  # noqa: F401
     from . import llm_ops  # noqa: F401
     from . import domain  # noqa: F401

@@ -1,0 +1,185 @@
+"""Spark 4 surface: VARIANT, recursive CTEs, LATERAL joins, Python UDTFs.
+
+The reference is a fixed-pipeline engine with no SQL surface at all; a
+Spark-first rebuild should expose the *current* Spark feature set, not just
+the ANSI core. Four operators land here, each oracle-checked:
+
+- **VARIANT** (``parse_json``/``variant_get``): the open-schema alternative
+  to ``from_json`` for payloads whose shape drifts — exactly the defensive
+  posture the reference takes against schema drift (``if 'wallet' in
+  df.columns``, SERVER/server.py:79). Shredded access stays JVM-side.
+- **Recursive CTE** (``WITH RECURSIVE``): generates the month spine the
+  gap-fill resampler (window_resample_gapfill) otherwise builds with
+  ``sequence()`` — the iterative-plan shape SQL-only users reach for.
+- **LATERAL correlated subquery**: per-group top-k without a window function
+  — planned as a correlated join, the third top-k strategy in the repo
+  (vs window rank and max_by).
+- **Python UDTF**: the table-function UDF surface (SURVEY §2.9 lists the
+  scalar/grouped/stateful/map surfaces; UDTF completes the set) — a
+  whitespace tokenizer exploding documents, LATERAL-joined per row.
+
+Scale notes: variant shredding and recursion are driver-free JVM plans; the
+lateral top-k decorrelates to a ranked join (no per-row subquery execution);
+the UDTF is Arrow-batched like any Python UDF — and the oracle twin
+(`text_vocab_topk`) keeps the JVM-side split+explode as the fast path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name, q, tags=(), doc=""):
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: open-schema JSON shredding
+# ---------------------------------------------------------------------------
+
+
+def _variant(d: str) -> str:
+    k = (
+        "variant_get(parse_json(props), '$.k', 'int')"
+        if d == SPARK
+        else "cast(json_extract(props, '$.k') as int)"
+    )
+    return f"""
+    SELECT cast(({k}) % 10 as int) AS k_bucket,
+           count(*) AS n_events,
+           cast(sum(cast(({k}) as bigint)) as bigint) AS k_total
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """
+
+
+_pair(
+    "variant_shred_events",
+    _variant,
+    tags=("json", "spark4"),
+    doc="VARIANT path (Spark 4 parse_json/variant_get) over events.props — "
+    "the open-schema alternative to from_json for drifting payloads "
+    "(SERVER/server.py:79's defensive posture); DuckDB oracle shreds the "
+    "same JSON with json_extract.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: month spine with zero-filled order counts
+# ---------------------------------------------------------------------------
+
+
+def _rec_spine(d: str) -> str:
+    return """
+    WITH RECURSIVE spine(month_start) AS (
+        SELECT timestamp '1995-01-01'
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH
+        FROM spine
+        WHERE month_start < timestamp '2001-08-01'
+    )
+    SELECT s.month_start,
+           count(o.o_orderkey) AS n_orders
+    FROM spine s
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = s.month_start
+    GROUP BY s.month_start
+    ORDER BY s.month_start
+    """
+
+
+_pair(
+    "recursive_cte_month_spine",
+    _rec_spine,
+    tags=("relational", "spark4"),
+    doc="WITH RECURSIVE month spine (80 iterations) left-joined to monthly "
+    "order counts — zero-filled months included; identical SQL runs on both "
+    "engines.",
+)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL: per-nation top-2 customers as a correlated subquery
+# ---------------------------------------------------------------------------
+
+
+def _lateral(d: str) -> str:
+    return """
+    SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) t
+    ORDER BY nation, acctbal DESC, customer
+    """
+
+
+_pair(
+    "lateral_top2_per_nation",
+    _lateral,
+    tags=("relational", "subquery", "spark4"),
+    doc="Correlated LATERAL subquery with ORDER BY + LIMIT: per-nation top-2 "
+    "customers — the decorrelated-join top-k strategy (vs window_topk_per_"
+    "group's rank and agg_last_value_per_key's max_by).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: whitespace tokenizer LATERAL-joined over documents
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT token, count(*) AS n
+FROM (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''
+    )) AS token
+    FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+"""
+
+
+@register(
+    "udtf_token_explode_topk",
+    oracle=_UDTF_ORACLE,
+    tags=("udf", "text", "spark4"),
+    doc="Python UDTF (table function) surface: a tokenizer UDTF exploding "
+    "each document into rows via LATERAL, then a top-25 vocabulary count. "
+    "Completes SURVEY §2.9's UDF matrix (scalar/grouped/stateful/map/table).",
+)
+def udtf_token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @udtf(returnType="token string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for tok in re.split(r"\s+", (text or "").lower()):
+                if tok:
+                    yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        GROUP BY t.token
+        ORDER BY n DESC, t.token
+        LIMIT 25
+        """
+    )

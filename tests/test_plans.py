@@ -27,6 +27,7 @@ _NLJ_ALLOWED = {
     # map-side lookup by execution.
     "solana_balance_extract",
     "solana_balance_extract_xl",
+    "solana_balance_from_datasource",
     "solana_enriched_report",
     "solana_rugpull_score",
     # 8-row centroid table broadcast against every vector — the IVF coarse
