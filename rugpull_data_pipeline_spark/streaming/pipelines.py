@@ -168,6 +168,100 @@ def price_change_events(prices: DataFrame, state_ttl_ms: int | None = None) -> D
     )
 
 
+def price_change_events_tws(
+    prices: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """The SAME P11/ST4 semantics on the modern ``transformWithStateInPandas``
+    API (Spark 4 StatefulProcessor): typed ValueState holding the last
+    EMITTED (base, quote) per pair — exactly SERVER/ingest_prices.py:42-55 —
+    with optional built-in state TTL instead of the hand-rolled timeout
+    handling ``applyInPandasWithState`` needs.
+
+    Kept alongside :func:`price_change_events` deliberately: tests assert the
+    two APIs produce identical emissions on identical input, which pins the
+    semantics independently of either API's quirks.
+
+    Requires ``protobuf`` (the TWS state-server protocol is protobuf-encoded:
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py``); raises
+    ``NotImplementedError`` up front when it's absent rather than crashing
+    the query's schema-validation worker mid-flight.
+    """
+    import importlib.util
+
+    try:
+        _has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        _has_pb = False
+    if not _has_pb:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark.sql.streaming.proto); install protobuf or use "
+            "price_change_events (applyInPandasWithState) instead."
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ..session import ship_package
+
+    ttl = state_ttl_ms
+
+    class PriceChange(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last_emitted", _PRICE_STATE, ttlDurationMs=ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get() if self._last.exists() else (None, None)
+            last_base, last_quote = last
+            out = []
+            for pdf in rows:
+                for r in pdf.sort_values("ts").itertuples():
+                    base, quote = float(r.base_price), float(r.quote_price)
+                    if last_base is None:
+                        emit, bc, qc = True, None, None
+                    else:
+                        bc = abs(base - last_base) / last_base if last_base else None
+                        qc = (
+                            abs(quote - last_quote) / last_quote
+                            if last_quote
+                            else None
+                        )
+                        emit = (bc is not None and bc > 0.10) or (
+                            qc is not None and qc > 0.10
+                        )
+                    if emit:
+                        out.append((key[0], r.ts, base, quote, bc, qc))
+                        last_base, last_quote = base, quote
+            self._last.update((last_base, last_quote))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "pair",
+                        "ts",
+                        "base_price",
+                        "quote_price",
+                        "base_change",
+                        "quote_change",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    ship_package(prices.sparkSession)
+    return prices.groupBy("pair").transformWithStateInPandas(
+        PriceChange(),
+        outputStructType=PRICE_EVENT_OUT,
+        outputMode="Append",
+        timeMode="ProcessingTime" if ttl is not None else "None",
+    )
+
+
 def watermarked_dedup(events: DataFrame, keys: list[str], delay: str = "1 hour") -> DataFrame:
     """A2 distinct-set accumulation with bounded state: the reference's Redis
     SADD watchlists grow forever (SERVER/combined_subscriber.py:88-93); the

@@ -20,6 +20,7 @@ from rugpull_data_pipeline_spark.sources.solana import (
 )
 from rugpull_data_pipeline_spark.streaming.pipelines import (
     price_change_events,
+    price_change_events_tws,
     stream_balance_pipeline,
     watermarked_dedup,
 )
@@ -119,6 +120,85 @@ def test_stateful_price_change_10pct(spark, tmp_path):
     }
     assert set(got) == {("P1", 100.0), ("P1", 112.0), ("P2", 50.0), ("P2", 40.0)}
     assert got[("P1", 112.0)].base_change == pytest.approx(0.12)
+
+
+def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
+    """ST4 on BOTH stateful APIs: the Spark 4 StatefulProcessor
+    (transformWithStateInPandas) must emit exactly what the
+    applyInPandasWithState implementation emits on the same input —
+    pinning the P11 semantics independently of either API.
+
+    Skipped where protobuf is unavailable (the TWS state protocol needs it;
+    this container ships pyspark without it) — the guard in
+    price_change_events_tws is itself exercised below either way."""
+    pytest.importorskip("google.protobuf")
+    src = str(tmp_path / "prices_tws")
+    rows = [
+        ("P1", "2024-01-01 00:00:00", 100.0, 10.0),
+        ("P1", "2024-01-01 00:00:01", 105.0, 10.4),
+        ("P1", "2024-01-01 00:00:02", 112.0, 10.8),
+        ("P1", "2024-01-01 00:00:03", 113.0, 10.9),
+        ("P2", "2024-01-01 00:00:00", 50.0, 5.0),
+        ("P2", "2024-01-01 00:00:01", 40.0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair string, ts_s string, base_price double, quote_price double"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(src)
+
+    schema = "pair string, base_price double, quote_price double, ts timestamp"
+
+    def run(builder, sink_name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            builder(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{sink_name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            (r.pair, r.ts, r.base_price, r.quote_price, r.base_change, r.quote_change)
+            for r in spark.sql(f"select * from {sink_name}").collect()
+        )
+
+    # TWS requires the RocksDB state store; scope the conf to this test.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got_tws = run(price_change_events_tws, "tws_out")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    got_apips = run(price_change_events, "apips_out")
+    assert got_tws == got_apips
+    assert {(p, b) for (p, _, b, *_rest) in got_tws} == {
+        ("P1", 100.0), ("P1", 112.0), ("P2", 50.0), ("P2", 40.0)
+    }
+
+
+def test_tws_guard_without_protobuf(spark):
+    """In environments without protobuf the TWS builder must fail fast with
+    a clear message, not crash the query's schema-validation worker."""
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf installed — guard not reachable")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(
+        [("P", 1.0, 1.0)], "pair string, base_price double, quote_price double"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        price_change_events_tws(df)
 
 
 def test_watermarked_dedup(spark, tmp_path):
