@@ -996,3 +996,101 @@ _pair(
     "inside the bucket. Search cost drops from O(corpus) to O(bucket); "
     "the bucket id is the shuffle/partition key at 100 TB.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk documents into fixed token windows
+# ---------------------------------------------------------------------------
+
+
+def _pack_sequences(d: str) -> str:
+    # Concat-and-chunk packing (the standard LM pretraining layout): within
+    # each source, documents are laid end-to-end in doc_id order; a document
+    # starting at token offset o lands in pack floor(o / B). The window
+    # cumsum is partitioned by source, so packing parallelizes across
+    # sources at 100 TB — no global sort, one shuffle on source. Offsets
+    # stay far below 2^53, so the floor-division is exact in both engines.
+    toks = S.arr_len(S.split_ws("text", d), d)
+    start = (
+        "coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    pack_of = lambda off: f"cast(floor(({off}) / 2048.0) as bigint)"  # noqa: E731
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {toks} AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, source, n_tokens, {start} AS start_off
+        FROM toks
+    )
+    SELECT source,
+        {pack_of('start_off')} AS pack_id,
+        count(*) AS n_docs,
+        {S.isum('n_tokens', d)} AS pack_tokens,
+        {S.isum(f"case when {pack_of('start_off')} <> {pack_of('start_off + n_tokens - 1')} then 1 else 0 end", d)} AS n_straddling,
+        min(doc_id) AS first_doc
+    FROM placed
+    GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """
+
+
+_pair(
+    "text_pack_sequences",
+    _pack_sequences,
+    tags=("text", "sampling"),
+    doc="Sequence packing for LM pretraining: documents laid end-to-end per "
+    "source, chunked into 2048-token packs via a partitioned window cumsum "
+    "— per-pack doc counts, token totals, and boundary-straddle counts. "
+    "Packing is per-source, so it parallelizes without a global sort.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling: per-source keep rates from a broadcast weights dim
+# ---------------------------------------------------------------------------
+
+
+def _mixture_sample(d: str) -> str:
+    # Dataset-mixture construction: a tiny weights table (the mixture
+    # config) broadcast-joined to the corpus; the keep decision is a
+    # deterministic hash bucket per doc — reproducible across engines,
+    # runs, and cluster sizes (same discipline as text_train_val_split).
+    h = S.portable_hash64(
+        "concat('mix:', cast(doc_id as string))", d
+    )
+    return f"""
+    WITH weights AS (
+        SELECT * FROM (VALUES (0, 100), (1, 60), (2, 20))
+            AS w(wclass, keep_pct)
+    ),
+    classed AS (
+        SELECT doc_id, source,
+            cast(substr(source, 4) as int) % 3 AS wclass
+        FROM documents
+    ),
+    decided AS (
+        SELECT c.doc_id, c.source, c.wclass, w.keep_pct,
+            CASE WHEN ({h} % 100) < w.keep_pct THEN 1 ELSE 0 END AS keep
+        FROM classed c
+        JOIN weights w ON w.wclass = c.wclass
+    )
+    SELECT source, max(keep_pct) AS keep_pct,
+        count(*) AS n_total,
+        {S.isum('keep', d)} AS n_kept
+    FROM decided
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+_pair(
+    "text_mixture_sample",
+    _mixture_sample,
+    tags=("text", "sampling"),
+    doc="Mixture sampling: per-source keep rates from a broadcast weights "
+    "dimension (the mixture config), applied as deterministic hash-bucket "
+    "keeps — map-only over the corpus, reproducible at any scale.",
+)
