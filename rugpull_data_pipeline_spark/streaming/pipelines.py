@@ -262,11 +262,27 @@ def price_change_events_tws(
     )
 
 
-def watermarked_dedup(events: DataFrame, keys: list[str], delay: str = "1 hour") -> DataFrame:
+def watermarked_dedup(
+    events: DataFrame,
+    keys: list[str],
+    delay: str = "1 hour",
+    within_watermark: bool = False,
+) -> DataFrame:
     """A2 distinct-set accumulation with bounded state: the reference's Redis
     SADD watchlists grow forever (SERVER/combined_subscriber.py:88-93); the
-    Spark build bounds dedup state with an event-time watermark."""
-    return events.withWatermark("ts", delay).dropDuplicates(keys)
+    Spark build bounds dedup state with an event-time watermark.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``: the key
+    set need not include the event-time column — duplicates arriving within
+    the watermark delay of the first sighting are dropped, and each key's
+    state carries an explicit expiry instead of relying on the key embedding
+    its timestamp. This is the right form for the reference's semantics
+    (an address is an address; its arrival time is not part of its identity).
+    """
+    wm = events.withWatermark("ts", delay)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
 
 
 def windowed_counts(

@@ -226,7 +226,40 @@ def test_watermarked_dedup(spark, tmp_path):
     assert sorted(addrs) == ["a", "b"]
 
 
-def test_st7_fanout_two_queries(spark, tmp_path):
+def test_watermarked_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark form: duplicates of a key arriving
+    across micro-batches but within the watermark delay are dropped; the
+    key's identity does not need to embed its timestamp (the reference's
+    address semantics — SERVER/combined_subscriber.py:88-93)."""
+    src = str(tmp_path / "ev_within")
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, ts_s string, addr string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, "2024-01-01 00:00:00", "a"), (2, "2024-01-01 00:01:00", "b")])
+    stream = (
+        spark.readStream.schema("id long, addr string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        watermarked_dedup(stream, ["addr"], delay="1 hour", within_watermark=True)
+        .writeStream.format("memory")
+        .queryName("dedup_within_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # Second batch: a duplicate 10 min after first sighting (within the
+    # 1 h delay → dropped) and a fresh key (→ emitted).
+    write([(3, "2024-01-01 00:10:00", "a"), (4, "2024-01-01 00:11:00", "c")])
+    q.processAllAvailable()
+    q.stop()
+    addrs = sorted(r.addr for r in spark.sql("select * from dedup_within_out").collect())
+    assert addrs == ["a", "b", "c"]
     """Same source feeds two independent streaming queries (balance extraction
     + instruction-log pool detector), like combined_subscriber's queue+SHM
     fan-out (SERVER/combined_subscriber.py:200-227)."""
