@@ -260,6 +260,60 @@ def test_watermarked_dedup_within_watermark(spark, tmp_path):
     q.stop()
     addrs = sorted(r.addr for r in spark.sql("select * from dedup_within_out").collect())
     assert addrs == ["a", "b", "c"]
+
+
+def test_streaming_query_listener_metrics(spark, tmp_path):
+    """A3 observability on streams: a StreamingQueryListener receives
+    per-micro-batch progress (numInputRows) — the Spark-native form of the
+    reference's per-block matched-tx counter prints
+    (RECEIVER/parser_main.cpp:121,133-137)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    rows_seen = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            rows_seen.append(event.progress.numInputRows)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "ev_listener")
+        spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in range(30)], "id long, user string"
+        ).coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema("id long, user string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            stream.groupBy("user").count()
+            .writeStream.format("memory")
+            .queryName("listener_out")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # Listener events are delivered asynchronously.
+        for _ in range(40):
+            if sum(rows_seen) >= 30:
+                break
+            time.sleep(0.25)
+        assert sum(rows_seen) >= 30, rows_seen
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_st7_fanout_two_queries(spark, tmp_path):
     """Same source feeds two independent streaming queries (balance extraction
     + instruction-log pool detector), like combined_subscriber's queue+SHM
     fan-out (SERVER/combined_subscriber.py:200-227)."""
