@@ -135,6 +135,13 @@ class SolanaBlockStreamReader(DataSourceStreamReader):
         return {"slot": self._frontier}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Restart safety: after recovery Spark replays from checkpointed
+        # offsets, but this reader object is fresh (frontier back at
+        # first_slot). Fast-forward the frontier so latestOffset never runs
+        # behind an already-committed slot.
+        self._frontier = max(
+            getattr(self, "_frontier", self.o.first_slot), int(end["slot"])
+        )
         return [
             _WorkerShard(w, int(start["slot"]), int(end["slot"]))
             for w in range(self.o.n_workers)
