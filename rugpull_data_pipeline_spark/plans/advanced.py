@@ -801,3 +801,39 @@ def udf_arrowmap_vecsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import arrow_vec_fixedpoint_sum
 
     return arrow_vec_fixedpoint_sum(spark.table("embeddings")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (the warehouse-grade form of A4/S9)
+# ---------------------------------------------------------------------------
+
+
+def _scd2(d: str) -> str:
+    # The reference's price dimension keeps only the latest value per key
+    # (Redis HSET, SERVER/priceAPIfiller.py:77-82 — A4 last-writer-wins).
+    # The warehouse-grade equivalent is a type-2 slowly-changing dimension:
+    # every update becomes a validity interval, closed by the next update's
+    # timestamp. One window over (key, ts) — a single shuffle, no state.
+    lead_ts = "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+    SELECT user_id,
+           value AS price,
+           ts AS valid_from,
+           {lead_ts} AS valid_to,
+           CASE WHEN {lead_ts} IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, valid_from, event_id
+    """
+
+
+_pair(
+    "dim_scd2_price_history",
+    _scd2,
+    tags=("window", "dimension"),
+    doc="SCD2 dimension history: each price update becomes a validity "
+    "interval closed by the successor's timestamp (deterministic tie-break "
+    "on event_id), flagged is_current on the open row — the versioned "
+    "upgrade of the reference's last-writer-wins price HSET (A4/S9). "
+    "Pairs with join_asof_last_view for as-of lookups into the history.",
+)
