@@ -131,3 +131,36 @@ def test_ohlc_invariants(spark, sf_dir):
         assert r.low <= r.open <= r.high
         assert r.low <= r.close <= r.high
         assert r.n_ticks >= 1
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants the oracle hash can't express: token totals are
+    conserved, pack ids are dense from 0 per source, and every pack except
+    a source's last holds ≥ the 2048-token budget once its straddling doc
+    (which began inside the window) is counted."""
+    packs = registry.get("text_pack_sequences").builder(spark, sf_dir).collect()
+    docs = spark.sql(
+        "select source, sum(size(split(trim(text), '\\\\s+'))) as n "
+        "from documents group by source"
+    ).collect()
+    total_by_source = {r.source: r.n for r in docs}
+
+    by_source: dict[str, list] = {}
+    for r in packs:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(total_by_source)
+    for source, rows in by_source.items():
+        rows.sort(key=lambda r: r.pack_id)
+        # conservation: every token lands in exactly one pack
+        assert sum(r.pack_tokens for r in rows) == total_by_source[source]
+        # density: pack ids are 0..n-1 with no gaps (packs fill in order)
+        assert [r.pack_id for r in rows] == list(range(len(rows)))
+        # fill: pack ids being dense means the first doc of pack p+1 starts
+        # at offset ≥ (p+1)·2048, and that offset IS the prefix sum of
+        # pack_tokens through pack p — so every non-final prefix crosses
+        # its pack boundary (no underfilled pack except the source's last)
+        prefix = 0
+        for r in rows[:-1]:
+            prefix += r.pack_tokens
+            assert prefix >= (r.pack_id + 1) * 2048, (source, r.pack_id, prefix)
+        assert all(r.n_docs >= 1 for r in rows)
