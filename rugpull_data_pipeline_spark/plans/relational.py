@@ -88,23 +88,34 @@ def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
 
-    # J1: the watchlist filter — one broadcast INNER join carrying s_name,
-    # which is simultaneously the semi-join (only watchlisted rows survive,
-    # RECEIVER/stage2_processing.cpp:358-364) and the name enrichment a
-    # separate post-agg left join would otherwise re-broadcast for.
+    # J1: the watchlist filter — a broadcast semi-join (only watchlisted
+    # rows survive, RECEIVER/stage2_processing.cpp:358-364). s_name is NOT
+    # carried into the aggregation: a string-typed max() buffer forces
+    # SortAggregate (immutable buffer), adding a fact-side sort on both
+    # sides of the exchange; aggregating on native types keeps the plan
+    # HashAggregate and the name comes back via a post-agg broadcast join
+    # on the (already tiny) watchlist.
     hot = lineitem.join(
-        F.broadcast(watch), lineitem.l_suppkey == watch.s_suppkey, "inner"
+        F.broadcast(watch.select("s_suppkey")),
+        lineitem.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
     )
 
     # A1: per-(wallet,mint) pre/post conditional aggregation
     # (RECEIVER/common.h:84-86, stage2_processing.cpp:149-174). Decimal cast
-    # makes the sum order-independent (partial→final agg safe at any scale).
+    # makes the sum order-independent (partial→final agg safe at any scale);
+    # max over the native timestamp (formatted AFTER the agg) keeps every
+    # aggregation buffer mutable → HashAggregate.
     grouped = hot.groupBy("l_suppkey", "l_partkey").agg(
         F.expr(S.dsum("case when l_returnflag = 'R' then l_quantity end")).alias("pre_qty"),
         F.expr(S.dsum("case when l_returnflag <> 'R' then l_quantity end")).alias("post_qty"),
         F.count(F.lit(1)).alias("n_moves"),
-        F.max(F.expr(S.fmt_date("l_shipdate"))).alias("last_ship_day"),
-        F.max("s_name").alias("s_name"),
+        F.max("l_shipdate").alias("last_ship_ts"),
+    )
+    grouped = grouped.join(
+        F.broadcast(watch), grouped.l_suppkey == watch.s_suppkey, "inner"
+    ).withColumn(
+        "last_ship_day", F.expr(S.fmt_date("last_ship_ts"))
     )
 
     # J3: broadcast left join attaches the USD price
