@@ -183,3 +183,49 @@ def udtf_token_explode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* dirty-data functions: the SQL-level form of P6/P12 tolerance
+# ---------------------------------------------------------------------------
+
+
+def _try_safe(d: str) -> str:
+    # The reference tolerates malformed input by emitting nulls (missing
+    # balance -> AppendNull, RECEIVER/stage2_processing.cpp:46-56; bogus
+    # payloads rejected, parser_main.cpp:92-97). The SQL-level analogue is
+    # the try_* family: casts and arithmetic that yield NULL instead of
+    # failing the job — essential at 100 TB, where some rows ARE dirty.
+    # try_cast has identical syntax in both engines; try_divide's oracle
+    # form is division with a null'd-out zero denominator.
+    dirty = (
+        "concat(cast(user_id as string), "
+        "case when event_id % 7 = 0 then 'x' else '' end)"
+    )
+    div = (
+        "try_divide(value, cast(event_id % 5 as double))"
+        if d == SPARK
+        else "value / nullif(cast(event_id % 5 as double), 0.0)"
+    )
+    from ..functions import scalars as S
+
+    return f"""
+    SELECT event_type,
+        count(try_cast({dirty} AS int)) AS n_clean_ids,
+        count(*) AS n_rows,
+        round({S.dsum(div, d)}, 6) AS sum_safe_ratio
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "scalar_try_safe_ops",
+    _try_safe,
+    tags=("scalar", "spark4"),
+    doc="try_cast / try_divide dirty-data tolerance: malformed values and "
+    "zero denominators become NULLs instead of failed jobs — the SQL-level "
+    "form of the reference's null-on-missing parsing (P6/P12). count() "
+    "skips the nulls, so the clean-row tally falls out directly.",
+)
