@@ -1,0 +1,418 @@
+"""Round-2 corpus / pipeline operators: substring-span dedup, benchmark
+contamination detection, n-gram LM quality scoring, paragraph-level dedup,
+CDC MERGE application, fixed-bin histograms, and Z-order layout keys.
+
+These extend the LLM-training-data operator families (``llm_ops`` /
+``curation``) with the remaining shapes a 100 TB curation pipeline runs
+daily. Reference anchor: the pipeline's dimension upserts
+(``SERVER/init_redis_maps.py:62-104``) are the degenerate form of the CDC
+merge implemented here; everything else is capability uplift mandated by
+BASELINE.json ("dedup, similarity search, multimodal columns, text
+analysis").
+
+Scale notes:
+- Substring-span dedup is the suffix-array dedup of Lee et al. 2022
+  ("Deduplicating Training Data Makes Language Models Better") re-expressed
+  as a rolling-window hash join: windows are generated partition-parallel
+  (REPARTITION before the explode), the duplicate test is one hash-groupBy,
+  and the per-doc rollup joins on the 8-byte window hash — never a cross
+  join, never full-text comparison.
+- Contamination check broadcasts the eval-set n-gram table (small by
+  construction) against the training corpus — the train side never shuffles.
+- The unigram-LM scorer is two hash aggregations plus one inverted-index
+  join on the token; the model (vocab counts) is corpus-wide state that
+  Spark materializes as a shuffle, not driver state.
+- CDC merge is the MERGE INTO shape: one window argmax over the changelog
+  (shuffle on key), one full outer join against the snapshot — both sides
+  partitioned by the merge key, so at scale this is a co-partitioned join.
+- Z-order keys are pure per-row bit arithmetic (no shuffle at all); the
+  payoff is at write time — range-partition + sort by zval clusters both
+  dimensions into every file, so min/max row-group stats prune scans on
+  EITHER predicate column (tested in tests/test_zorder_layout.py).
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+def _toks(d: str) -> str:
+    return S.split_ws("text", d)
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (suffix-array dedup, Spark-first)
+# ---------------------------------------------------------------------------
+
+_WIN = 8  # tokens per window
+_STRIDE = 2  # window stride
+
+
+def _windows(d: str) -> str:
+    """CTE text: (doc_id, pos, wh) rolling 8-token windows, stride 2.
+
+    REPARTITION before the explode for the same reason as llm_ops'
+    shingle generator: the window fan-out must run partition-parallel,
+    and the shuffle moves compact documents, not exploded windows.
+    """
+    if d == SPARK:
+        win = f"concat_ws(' ', slice(toks, i, {_WIN}))"
+        # CASE guard: sequence(1, negative) throws, so short docs must map
+        # to an empty array BEFORE explode, not be filtered after it.
+        seq = (
+            f"CASE WHEN size(toks) >= {_WIN} "
+            f"THEN sequence(1, size(toks) - {_WIN - 1}, {_STRIDE}) "
+            f"ELSE array() END"
+        )
+        return f"""
+        SELECT doc_id, i AS pos, {S.portable_hash64(win, d)} AS wh
+        FROM (SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks
+              FROM documents) t
+        LATERAL VIEW explode({seq}) w AS i
+        """
+    win = f"array_to_string(toks[i:i+{_WIN - 1}], ' ')"
+    return f"""
+    SELECT doc_id, i AS pos, {S.portable_hash64(win, d)} AS wh
+    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t,
+         unnest(range(1, len(toks) - {_WIN - 2}, {_STRIDE})) w(i)
+    WHERE len(toks) >= {_WIN}
+    """
+
+
+def _dedup_substring(d: str) -> str:
+    return f"""
+    WITH wins AS ({_windows(d)}),
+    dup AS (
+        SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT w.doc_id,
+        count(*) AS n_windows,
+        count(dup.wh) AS n_dup_windows,
+        round(cast(count(dup.wh) as double) / count(*), 6) AS dup_ratio
+    FROM wins w LEFT JOIN dup ON w.wh = dup.wh
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """
+
+
+_pair(
+    "dedup_substring_spans",
+    _dedup_substring,
+    tags=("dedup", "text"),
+    doc="Exact duplicated-substring detection (suffix-array dedup analogue, "
+    "Lee et al. 2022): rolling 8-token window hashes, stride 2; a window is "
+    "duplicated iff its hash occurs in >1 document. Per-doc duplicated-span "
+    "ratio. All joins are on the 60-bit window hash.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check
+# ---------------------------------------------------------------------------
+
+
+def _grams(d: str) -> str:
+    """(doc_id, source, gh) distinct word-5-gram hashes per doc."""
+    gram_sp = "concat_ws(' ', slice(toks, i, 5))"
+    gram_dk = "array_to_string(toks[i:i+4], ' ')"
+    if d == SPARK:
+        seq = "CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4) ELSE array() END"
+        return f"""
+        SELECT doc_id, source, gh FROM (
+            SELECT doc_id, source, explode(array_distinct(transform(
+                {seq},
+                i -> {S.portable_hash64(gram_sp, d)}
+            ))) AS gh
+            FROM (SELECT /*+ REPARTITION */ doc_id, source, {_toks(d)} AS toks
+                  FROM documents) t
+        ) g
+        """
+    return f"""
+    SELECT doc_id, source, gh FROM (
+        SELECT doc_id, source,
+            unnest(list_distinct(list_transform(
+                range(1, len(toks) - 3),
+                i -> {S.portable_hash64(gram_dk, d)}
+            ))) AS gh
+        FROM (SELECT doc_id, source, {_toks(d)} AS toks FROM documents) t
+        WHERE len(toks) >= 5
+    ) g
+    """
+
+
+def _contamination(d: str) -> str:
+    # src0 plays the held-out benchmark; everything else is training data.
+    return f"""
+    WITH grams AS ({_grams(d)}),
+    eval_g AS (
+        SELECT DISTINCT gh FROM grams WHERE source = 'src0'
+    )
+    SELECT g.doc_id,
+        count(*) AS n_grams,
+        count(e.gh) AS n_hits,
+        round(cast(count(e.gh) as double) / count(*), 6) AS contamination,
+        cast(count(e.gh) * 10 >= count(*) as int) AS is_contaminated
+    FROM grams g LEFT JOIN eval_g e ON g.gh = e.gh
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """
+
+
+_pair(
+    "text_contamination_ngram",
+    _contamination,
+    tags=("text", "dedup"),
+    doc="Benchmark-contamination detection: fraction of each training doc's "
+    "distinct 5-gram hashes that appear in the held-out eval set (source "
+    "src0). Eval gram table is broadcast-sized; the train side never "
+    "shuffles. Flag at >=10% overlap.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def _lm_score(d: str) -> str:
+    tok_src = (
+        f"SELECT doc_id, explode({_toks(d)}) AS tok FROM documents"
+        if d == SPARK
+        else f"SELECT doc_id, unnest({_toks(d)}) AS tok FROM documents"
+    )
+    # Add-one smoothed unigram logprob; each token's ln() is rounded to
+    # 6 decimals inside dsum, killing cross-libm ulp drift.
+    lp = "ln((cnt.c + 1.0) / (tot.n + tot.v))"
+    return f"""
+    WITH tok AS ({tok_src}),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (
+        SELECT cast(sum(c) as double) AS n, cast(count(*) as double) AS v
+        FROM cnt
+    )
+    SELECT t.doc_id,
+        count(*) AS n_tokens,
+        round(-({S.dsum(lp, d)}) / count(*), 6) AS avg_nll
+    FROM tok t
+    JOIN cnt ON t.tok = cnt.tok
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+_pair(
+    "text_ngram_lm_score",
+    _lm_score,
+    tags=("text",),
+    doc="CCNet-style quality signal: add-one-smoothed unigram LM fit on the "
+    "corpus itself, per-doc mean negative log-likelihood. Two hash aggs + "
+    "one token-key join; the LM is distributed state, never driver state.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (chunk keep-first + reconstruction)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 16  # tokens per paragraph-chunk
+
+
+def _chunks(d: str) -> str:
+    if d == SPARK:
+        ctext = f"concat_ws(' ', slice(toks, (i - 1) * {_CHUNK} + 1, {_CHUNK}))"
+        return f"""
+        SELECT doc_id, i AS cidx, {ctext} AS ctext,
+            {S.portable_hash64(ctext, d)} AS ch
+        FROM (SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks
+              FROM documents) t
+        LATERAL VIEW explode(
+            sequence(1, cast(ceil(size(toks) / {_CHUNK}.0) as int))) c AS i
+        """
+    ctext = f"array_to_string(toks[(i - 1) * {_CHUNK} + 1 : i * {_CHUNK}], ' ')"
+    return f"""
+    SELECT doc_id, i AS cidx, {ctext} AS ctext,
+        {S.portable_hash64(ctext, d)} AS ch
+    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t,
+         unnest(range(1, ceil(len(toks) / {_CHUNK}.0)::BIGINT + 1)) c(i)
+    """
+
+
+def _para_dedup(d: str) -> str:
+    if d == SPARK:
+        kept_text = (
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN first_key = doc_id * 100000 + cidx "
+            "THEN struct(cidx, ctext) END)), x -> x.ctext), ' ')"
+        )
+    else:
+        kept_text = (
+            "coalesce(string_agg(CASE WHEN first_key = doc_id * 100000 + cidx "
+            "THEN ctext END, ' ' ORDER BY cidx), '')"
+        )
+    return f"""
+    WITH chunks AS ({_chunks(d)}),
+    owner AS (
+        SELECT ch, min(doc_id * 100000 + cidx) AS first_key
+        FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+        count(*) AS n_chunks,
+        {S.isum('CASE WHEN o.first_key = c.doc_id * 100000 + c.cidx '
+                'THEN 1 ELSE 0 END', d)} AS n_kept,
+        {kept_text} AS kept_text
+    FROM chunks c JOIN owner o ON c.ch = o.ch
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """
+
+
+_pair(
+    "text_paragraph_dedup",
+    _para_dedup,
+    tags=("text", "dedup"),
+    doc="Paragraph-granularity exact dedup: fixed 16-token chunks, global "
+    "keep-first on chunk hash (corpus-wide first occurrence wins), then "
+    "per-doc reconstruction of the surviving text in original order. The "
+    "keep-first rule is one hash-groupBy; reconstruction is a sorted "
+    "collect within the doc group.",
+)
+
+
+# ---------------------------------------------------------------------------
+# CDC / MERGE INTO application
+# ---------------------------------------------------------------------------
+
+
+def _cdc_merge(d: str) -> str:
+    # events is the changelog: key = user_id, op = delete on 'error' else
+    # upsert with the event's value; customer rows with key in [50, 199]
+    # are the snapshot (so inserts, updates, deletes AND untouched snapshot
+    # rows all occur). Last op per key wins (ts DESC, event_id tiebreak).
+    return f"""
+    WITH log AS (
+        SELECT user_id AS key, ts, event_id,
+            CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+            cast(value as double) AS val
+        FROM events
+    ),
+    last_op AS (
+        SELECT key, op, val FROM (
+            SELECT key, op, val,
+                row_number() OVER (
+                    PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+            FROM log
+        ) x WHERE rn = 1
+    ),
+    snap AS (
+        SELECT c_custkey AS key, cast(c_acctbal as double) AS bal
+        FROM customer WHERE c_custkey BETWEEN 50 AND 199
+    )
+    SELECT key, round(val, 6) AS final_value, origin FROM (
+        SELECT coalesce(l.key, s.key) AS key,
+            CASE WHEN l.key IS NOT NULL THEN l.val ELSE s.bal END AS val,
+            CASE WHEN l.key IS NULL THEN 'unchanged'
+                 WHEN s.key IS NULL THEN 'insert'
+                 ELSE 'update' END AS origin,
+            l.op AS op
+        FROM snap s FULL JOIN last_op l ON s.key = l.key
+    ) m
+    WHERE op IS NULL OR op <> 'D'
+    ORDER BY key
+    """
+
+
+_pair(
+    "cdc_merge_apply",
+    _cdc_merge,
+    tags=("etl",),
+    doc="MERGE INTO / CDC apply: events as a keyed changelog (error = "
+    "delete, else upsert), window-argmax for last-op-per-key, full outer "
+    "join against the snapshot, delete filter. The relational form of the "
+    "reference's Redis dimension upserts (SERVER/init_redis_maps.py:62-104)"
+    " with delete support. Both sides hash-partition on the merge key.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram
+# ---------------------------------------------------------------------------
+
+
+def _hist(d: str) -> str:
+    bucket = (
+        "least(greatest(cast(floor(l_extendedprice / 5000) as int), 0), 19)"
+    )
+    return f"""
+    SELECT {bucket} AS bucket,
+        count(*) AS n_rows,
+        round({S.dsum('l_extendedprice', d)}, 2) AS sum_price
+    FROM lineitem
+    GROUP BY {bucket}
+    ORDER BY bucket
+    """
+
+
+_pair(
+    "agg_histogram_fixed_bins",
+    _hist,
+    tags=("agg",),
+    doc="Fixed-bin histogram (width_bucket shape) over l_extendedprice: "
+    "20 x 5000-wide bins, clamped tails. One hash agg on the bin id; "
+    "map-side partial aggregation bounds shuffle rows at n_bins per task.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------------
+
+
+def _zval(a: str, b: str, d: str, bits: int = 8) -> str:
+    """Bit-interleaved Morton code of two small ints (a even bits, b odd)."""
+    terms = []
+    for i in range(bits):
+        bit_a = f"({S.shift_right(a, str(i), d)} % 2)"
+        bit_b = f"({S.shift_right(b, str(i), d)} % 2)"
+        terms.append(S.shift_left(bit_a, str(2 * i), d))
+        terms.append(S.shift_left(bit_b, str(2 * i + 1), d))
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key_sql(a: str, b: str, d: str = SPARK, bits: int = 8) -> str:
+    """Public helper: the Morton key used by the layout writer and tests."""
+    return _zval(a, b, d, bits)
+
+
+def _zorder(d: str) -> str:
+    za = "cast(l_partkey % 256 as bigint)"
+    zb = "cast(l_suppkey % 256 as bigint)"
+    z = _zval(za, zb, d)
+    return f"""
+    SELECT {S.idiv(z, '1024', d)} AS z_bucket,
+        count(*) AS n_rows,
+        min(l_partkey % 256) AS min_a, max(l_partkey % 256) AS max_a,
+        min(l_suppkey % 256) AS min_b, max(l_suppkey % 256) AS max_b
+    FROM lineitem
+    GROUP BY {S.idiv(z, '1024', d)}
+    ORDER BY z_bucket
+    """
+
+
+_pair(
+    "layout_zorder_stats",
+    _zorder,
+    tags=("layout",),
+    doc="Z-order (Morton) clustering key over (l_partkey, l_suppkey) mod "
+    "256: per z-bucket min/max of BOTH dimensions stays narrow, which is "
+    "exactly why writing files range-partitioned by zval lets parquet "
+    "row-group stats prune on either predicate column. Pure per-row bit "
+    "arithmetic — no shuffle in the key itself.",
+)
