@@ -416,3 +416,157 @@ _pair(
     "row-group stats prune on either predicate column. Pure per-row bit "
     "arithmetic — no shuffle in the key itself.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (64-dim fixture embeddings)
+_PQ_K = 8  # codebook entries per subspace
+
+
+def _pq_encode(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        sub_p = f"slice(p.v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+        sub_c = f"slice(c.cv, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+        l2 = (
+            f"aggregate(zip_with({sub_p}, {sub_c}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+        # LATERAL VIEW must follow the joins in Spark SQL's FROM clause.
+        from_clause = (
+            "FROM iv p CROSS JOIN cb c LATERAL VIEW explode(sequence(0, 3)) t AS s"
+        )
+    else:
+        sub_p = f"p.v[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
+        sub_c = f"c.cv[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
+        l2 = (
+            f"cast(list_sum(list_transform(list_zip({sub_p}, {sub_c}), "
+            "e -> (e[1] - e[2]) * (e[1] - e[2]))) as bigint)"
+        )
+        from_clause = "FROM iv p, unnest(range(0, 4)) t(s) CROSS JOIN cb c"
+    codes = ", ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS code_{s}" for s in range(_PQ_M)
+    )
+    return f"""
+    WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings),
+    cb AS (
+        SELECT vec_id AS cid, v AS cv FROM iv
+        WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    dists AS (
+        SELECT p.vec_id, s, c.cid, {l2} AS d2
+        {from_clause}
+    ),
+    best AS (
+        SELECT vec_id, s, cid, d2 FROM (
+            SELECT vec_id, s, cid, d2,
+                row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM dists
+        ) x WHERE rn = 1
+    )
+    SELECT vec_id, {codes},
+        {S.isum('d2', d)} AS distortion
+    FROM best
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+_pair(
+    "sim_pq_encode",
+    _pq_encode,
+    tags=("similarity",),
+    doc="Product-quantization encoding: 64-dim embedding split into 4 x "
+    "16-dim subspaces, each assigned to the nearest of 8 codebook entries "
+    "(deterministic codebook = vectors 1..8; exact fixed-point integer L2, "
+    "tie-break on code id). Output is a 4-byte code + total distortion — "
+    "the 64x compression that makes billion-vector ANN RAM-resident. The "
+    "codebook broadcasts; the scan is map-only.",
+)
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd's algorithm), iterated on the cluster — rows-only
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_lloyd_fit",
+    oracle=None,
+    tags=("similarity", "nosql"),
+    doc="K-means (k=8, 4 Lloyd iterations) over the embeddings, "
+    "deterministic init (vectors 0..7). Each round: broadcast the k x 64 "
+    "centroid table, map-side nearest-centroid assignment (posexplode + "
+    "conditional agg), one shuffle to re-average. Only the k x 64 centroid "
+    "matrix ever reaches the driver — the assignment never does. Genuinely "
+    "iterative, hence rows-only; verified bit-for-bit against a NumPy "
+    "replica in tests/test_corpus_ops.py.",
+)
+def kmeans_lloyd_fit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    k, iters = 8, 4
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # Deterministic init: the first k vectors by vec_id (0..k-1).
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    ]
+    centroids = [v for _, v in sorted(cents)]
+
+    def assign(df, centroids):
+        # Distance to each centroid as a literal column; argmin via least()
+        # over (dist, cid) structs — all JVM-side, no Python in the loop.
+        dcols = []
+        for cid, cv in enumerate(centroids):
+            lit_c = F.array(*[F.lit(float(x)) for x in cv])
+            dist = F.aggregate(
+                F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+            dcols.append(F.struct(dist.alias("d2"), F.lit(cid).alias("cid")))
+        best = F.least(*dcols)
+        return df.withColumn("cluster", best["cid"]).withColumn("d2", best["d2"])
+
+    for _ in range(iters):
+        assigned = assign(emb, centroids)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select("cluster", F.col("dm.m").alias("cv"))
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in means:
+            new_centroids[r["cluster"]] = list(r["cv"])
+        centroids = new_centroids
+
+    final = assign(emb, centroids)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,9)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
