@@ -419,6 +419,98 @@ _pair(
 
 
 # ---------------------------------------------------------------------------
+# Event analytics: funnel + retention cohorts + deterministic sampling
+# ---------------------------------------------------------------------------
+
+_FUNNEL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e
+    JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e
+    JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'stage1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 'stage2_click', count(*) FROM c
+UNION ALL SELECT 'stage3_purchase', count(*) FROM p
+ORDER BY stage
+"""
+
+sql_pair(
+    "events_funnel_stages",
+    _FUNNEL,
+    tags=("analytics",),
+    doc="Ordered funnel (view -> click -> purchase): each stage requires an "
+    "event strictly after the user's previous-stage entry. Three hash aggs "
+    "on user_id + two co-partitioned joins — the user_id partitioning is "
+    "reused across every stage, so at scale this is one shuffle then "
+    "narrow. ANSI text shared verbatim by both engines.",
+)
+
+
+def _retention(d: str) -> str:
+    wk = "date_trunc('week', ts)"
+    off = S.idiv(
+        f"({S.epoch_s('a.wk', d)} - {S.epoch_s('c.c0', d)})", "604800", d
+    )
+    return f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, {wk} AS wk FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS c0 FROM active GROUP BY user_id
+    )
+    SELECT {S.fmt_date('c.c0', d)} AS cohort_week,
+        cast({off} as int) AS week_offset,
+        count(*) AS n_active
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY {S.fmt_date('c.c0', d)}, cast({off} as int)
+    ORDER BY cohort_week, week_offset
+    """
+
+
+_pair(
+    "events_retention_cohorts",
+    _retention,
+    tags=("analytics",),
+    doc="Weekly retention cohorts: users bucketed by first-active week, "
+    "active-user counts per week offset. distinct + two aggs, all "
+    "partitioned on user_id; the cohort dim never leaves the cluster.",
+)
+
+
+def _sample_per_key(d: str) -> str:
+    h = S.portable_hash64("cast(doc_id as string)", d, seed="'sample-v1'")
+    return f"""
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+        FROM documents
+    ) x WHERE rn <= 5
+    ORDER BY source, doc_id
+    """
+
+
+_pair(
+    "sample_reservoir_per_key",
+    _sample_per_key,
+    tags=("sampling",),
+    doc="Deterministic fixed-size per-key sample (reservoir-sampling "
+    "semantics, reproducible): keep the 5 docs per source with the "
+    "smallest keyed hash. One window per partition key; at scale a "
+    "partial top-k per partition bounds the shuffle to k rows per key "
+    "per task.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) encoding
 # ---------------------------------------------------------------------------
 

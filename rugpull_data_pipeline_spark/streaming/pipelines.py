@@ -370,3 +370,41 @@ def stream_stream_asof_purchases(
         ),
         "inner",
     ).select("p_event_id", "p_user_id", "p_ts", "purchase_value", "v_ts", "view_value")
+
+
+def stream_stream_left_outer_purchases(
+    purchases: DataFrame, views: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits, with
+    null view columns when no view preceded it within ``horizon``.
+
+    The outer semantics are only decidable once the view-side watermark has
+    passed the purchase's interval — Spark holds the purchase in state until
+    then and emits the null-padded row on timeout. This is the uplift the
+    reference cannot express: its J3 lookup (SERVER/
+    flightWithRedisLatest.py:100-105) silently null-tags against whatever
+    state is present at processing time; here the null is event-time-correct.
+    State on both sides stays bounded by watermark + interval.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", "30 minutes")
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("v_ts", "30 minutes")
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p_user_id = v_user_id
+            AND v_ts <= p_ts
+            AND v_ts >= p_ts - interval {horizon}
+            """
+        ),
+        "leftOuter",
+    ).select("p_event_id", "p_user_id", "p_ts", "purchase_value", "v_ts", "view_value")

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from rugpull_data_pipeline_spark.streaming.pipelines import (
     session_windowed_counts,
     stream_stream_asof_purchases,
+    stream_stream_left_outer_purchases,
     windowed_counts,
 )
 
@@ -120,3 +121,45 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     # Inner interval join with availableNow processes all data; results must
     # match the batch join exactly.
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_null_pads(spark, events_dir):
+    """LEFT OUTER interval join: matched rows equal the batch join; purchases
+    with no preceding view emit ONCE with null view columns, but only after
+    the view watermark makes the absence decidable — trailing purchases may
+    still be held in state at end-of-stream."""
+    ev = _stream(spark, events_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    joined = stream_stream_left_outer_purchases(purchases, views, "1 hour")
+    _run_to_memory(joined, "ss_left_join", "append")
+    rows = spark.table("ss_left_join").collect()
+
+    b = spark.read.parquet(events_dir)
+    bp = b.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    bv = b.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("v_ts")
+    )
+    matched_expected = {
+        (r.p_event_id, r.v_ts)
+        for r in bp.join(
+            bv,
+            (F.col("p_user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("interval 1 hour")),
+        ).collect()
+    }
+    matched_purchases = {p for p, _ in matched_expected}
+
+    got_matched = {(r.p_event_id, r.v_ts) for r in rows if r.v_ts is not None}
+    got_null = [r for r in rows if r.v_ts is None]
+    assert got_matched == matched_expected
+    assert got_null, "no null-padded outer rows emitted"
+    # Null-padding only for genuinely unmatched purchases, at most once each.
+    null_ids = [r.p_event_id for r in got_null]
+    assert len(null_ids) == len(set(null_ids))
+    assert not (set(null_ids) & matched_purchases)
