@@ -246,31 +246,36 @@ def _chunks(d: str) -> str:
 
 
 def _para_dedup(d: str) -> str:
+    # Keep-first is row_number() over (doc_id, cidx) within each chunk-hash
+    # partition: a true lexicographic tuple order (no arithmetic composite
+    # key to overflow at any chunk count), and it replaces the former
+    # groupBy+self-join with a single window shuffle on ch.
     if d == SPARK:
         kept_text = (
             "array_join(transform(array_sort(collect_list("
-            "CASE WHEN first_key = doc_id * 100000 + cidx "
-            "THEN struct(cidx, ctext) END)), x -> x.ctext), ' ')"
+            "CASE WHEN rn = 1 THEN struct(cidx, ctext) END)), "
+            "x -> x.ctext), ' ')"
         )
     else:
         kept_text = (
-            "coalesce(string_agg(CASE WHEN first_key = doc_id * 100000 + cidx "
+            "coalesce(string_agg(CASE WHEN rn = 1 "
             "THEN ctext END, ' ' ORDER BY cidx), '')"
         )
     return f"""
     WITH chunks AS ({_chunks(d)}),
-    owner AS (
-        SELECT ch, min(doc_id * 100000 + cidx) AS first_key
-        FROM chunks GROUP BY ch
+    ranked AS (
+        SELECT doc_id, cidx, ctext,
+            row_number() OVER (
+                PARTITION BY ch ORDER BY doc_id, cidx) AS rn
+        FROM chunks
     )
-    SELECT c.doc_id,
+    SELECT doc_id,
         count(*) AS n_chunks,
-        {S.isum('CASE WHEN o.first_key = c.doc_id * 100000 + c.cidx '
-                'THEN 1 ELSE 0 END', d)} AS n_kept,
+        {S.isum('CASE WHEN rn = 1 THEN 1 ELSE 0 END', d)} AS n_kept,
         {kept_text} AS kept_text
-    FROM chunks c JOIN owner o ON c.ch = o.ch
-    GROUP BY c.doc_id
-    ORDER BY c.doc_id
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
     """
 
 
@@ -279,10 +284,11 @@ _pair(
     _para_dedup,
     tags=("text", "dedup"),
     doc="Paragraph-granularity exact dedup: fixed 16-token chunks, global "
-    "keep-first on chunk hash (corpus-wide first occurrence wins), then "
-    "per-doc reconstruction of the surviving text in original order. The "
-    "keep-first rule is one hash-groupBy; reconstruction is a sorted "
-    "collect within the doc group.",
+    "keep-first on chunk hash (corpus-wide first occurrence wins, ordered "
+    "by the true (doc_id, cidx) tuple), then per-doc reconstruction of the "
+    "surviving text in original order. Keep-first is one window shuffle on "
+    "the chunk hash; reconstruction is a sorted collect within the doc "
+    "group.",
 )
 
 
@@ -520,38 +526,52 @@ _PQ_K = 8  # codebook entries per subspace
 
 
 def _pq_encode(d: str) -> str:
+    # The codebook is pre-split per subspace and the probe side pre-sliced,
+    # so the distance computation is an EQUI-join on the subspace id `s`
+    # (BroadcastHashJoin, 32-row build side) — not a nested-loop cross join.
+    # Fan-out is still exactly k codes per (vector, subspace), but via hash
+    # lookup, and the pattern stays a hash join at any corpus size.
     iv = S.int_vec("embedding", d)
     if d == SPARK:
-        sub_p = f"slice(p.v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
-        sub_c = f"slice(c.cv, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+        sub = f"slice(v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
         l2 = (
-            f"aggregate(zip_with({sub_p}, {sub_c}, (x, y) -> (x - y) * (x - y)), "
+            "aggregate(zip_with(p.pv, c.cv, (x, y) -> (x - y) * (x - y)), "
             "cast(0 as bigint), (acc, e) -> acc + e)"
         )
-        # LATERAL VIEW must follow the joins in Spark SQL's FROM clause.
-        from_clause = (
-            "FROM iv p CROSS JOIN cb c LATERAL VIEW explode(sequence(0, 3)) t AS s"
+        pv_cte = (
+            f"SELECT vec_id, s, {sub} AS pv FROM iv "
+            f"LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS s"
+        )
+        cb_cte = (
+            f"SELECT vec_id AS cid, s, {sub} AS cv FROM iv "
+            f"LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS s "
+            f"WHERE vec_id BETWEEN 1 AND {_PQ_K}"
         )
     else:
-        sub_p = f"p.v[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
-        sub_c = f"c.cv[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
+        sub = f"v[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
         l2 = (
-            f"cast(list_sum(list_transform(list_zip({sub_p}, {sub_c}), "
+            "cast(list_sum(list_transform(list_zip(p.pv, c.cv), "
             "e -> (e[1] - e[2]) * (e[1] - e[2]))) as bigint)"
         )
-        from_clause = "FROM iv p, unnest(range(0, 4)) t(s) CROSS JOIN cb c"
+        pv_cte = (
+            f"SELECT vec_id, s, {sub} AS pv "
+            f"FROM iv, unnest(range(0, {_PQ_M})) t(s)"
+        )
+        cb_cte = (
+            f"SELECT vec_id AS cid, s, {sub} AS cv "
+            f"FROM iv, unnest(range(0, {_PQ_M})) t(s) "
+            f"WHERE vec_id BETWEEN 1 AND {_PQ_K}"
+        )
     codes = ", ".join(
         f"max(CASE WHEN s = {s} THEN cid END) AS code_{s}" for s in range(_PQ_M)
     )
     return f"""
     WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings),
-    cb AS (
-        SELECT vec_id AS cid, v AS cv FROM iv
-        WHERE vec_id BETWEEN 1 AND {_PQ_K}
-    ),
+    pv AS ({pv_cte}),
+    cb AS ({cb_cte}),
     dists AS (
-        SELECT p.vec_id, s, c.cid, {l2} AS d2
-        {from_clause}
+        SELECT p.vec_id, p.s, c.cid, {l2} AS d2
+        FROM pv p JOIN cb c ON p.s = c.s
     ),
     best AS (
         SELECT vec_id, s, cid, d2 FROM (
@@ -578,7 +598,8 @@ _pair(
     "(deterministic codebook = vectors 1..8; exact fixed-point integer L2, "
     "tie-break on code id). Output is a 4-byte code + total distortion — "
     "the 64x compression that makes billion-vector ANN RAM-resident. The "
-    "codebook broadcasts; the scan is map-only.",
+    "per-subspace codebook broadcasts and the distance step is an equi-join "
+    "on the subspace id (BroadcastHashJoin, never a nested loop).",
 )
 
 
@@ -595,9 +616,10 @@ _pair(
     "deterministic init (vectors 0..7). Each round: broadcast the k x 64 "
     "centroid table, map-side nearest-centroid assignment (posexplode + "
     "conditional agg), one shuffle to re-average. Only the k x 64 centroid "
-    "matrix ever reaches the driver — the assignment never does. Genuinely "
-    "iterative, hence rows-only; verified bit-for-bit against a NumPy "
-    "replica in tests/test_corpus_ops.py.",
+    "matrix ever reaches the driver — the assignment never does. Centroid "
+    "updates sum via decimal(38,9), so they are shuffle-order-independent. "
+    "Genuinely iterative, hence rows-only; verified to 1e-6 against a "
+    "NumPy replica in tests/test_corpus_ops.py.",
 )
 def kmeans_lloyd_fit(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -636,7 +658,17 @@ def kmeans_lloyd_fit(spark, sf_dir):
                 "cluster", F.posexplode("v").alias("dim", "x")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            # Decimal-summed mean: exact addition makes the update
+            # independent of shuffle arrival order (F.avg over raw doubles
+            # is not), so near-tie assignments cannot flip between runs.
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,9)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cluster")
             .agg(
                 F.array_sort(

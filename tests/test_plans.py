@@ -33,6 +33,11 @@ _NLJ_ALLOWED = {
     # 8-row centroid table broadcast against every vector — the IVF coarse
     # quantizer is definitionally an all-centroids probe.
     "sim_centroid_assign",
+    # 1-row scalar-aggregate CTE (corpus token total + vocab size) joined as
+    # a broadcast constant — a literal by execution. The window-function
+    # rewrite would funnel the whole vocab table through ONE partition,
+    # which is strictly worse at scale than a 1-row broadcast.
+    "text_ngram_lm_score",
     # deliberate tiny-dim cross join (region × brand-band).
     "join_cross_region_bands",
 }
