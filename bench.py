@@ -40,6 +40,12 @@ HEADLINE = [
     "join_asof_last_view",
     "join_range_time_window",
     "multimodal_decode_features",
+    # Round-2/3 corpus operators: MERGE-shaped CDC apply, chunk-level dedup,
+    # PQ encoding (equi-join form), funnel analytics.
+    "cdc_merge_apply",
+    "text_paragraph_dedup",
+    "sim_pq_encode",
+    "events_funnel_stages",
     # ~40 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).

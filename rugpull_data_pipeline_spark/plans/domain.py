@@ -164,10 +164,13 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(a,) for a in hot_addresses()], "address string"
         ).write.mode("overwrite").parquet(watch_dir)
 
-    collected: list = []
+    # Sink each micro-batch to a parquet table CLUSTER-side (the S5 Flight
+    # sink role) — nothing is collected to the driver; the registered query
+    # reads the sink table back, exactly how a downstream consumer would.
+    out_dir = tempfile.mkdtemp(prefix="rugpull_stream_out_")
 
     def sink(df: DataFrame, epoch_id: int) -> None:
-        collected.extend(df.collect())
+        df.write.mode("append").parquet(out_dir)
 
     # Fresh checkpoint per invocation: this query is a deterministic replay,
     # not a resumable service (ST6 recovery is exercised in tests).
@@ -182,8 +185,7 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
 
-    out = spark.createDataFrame(collected, schema=None) if collected else None
-    assert out is not None, "stream produced no rows"
+    out = spark.read.parquet(out_dir)
     return out.select(
         "wallet",
         "signature",
@@ -194,13 +196,16 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("signature", "wallet", "mint")
 
 
-# XL corpus: ~40 MB of multi-hundred-tx blocks — the byte scale the
+# XL corpus: ~115 MB of multi-hundred-tx blocks — the byte scale the
 # reference actually ingests (≈10 MB getBlock payloads at 2.5 blocks/s ⇒
-# ≈25 MB/s, BASELINE.md). The oracle template is identical; only the path
-# and generation parameters differ.
+# ≈25 MB/s, BASELINE.md). Sized where fixed per-query overhead no longer
+# dominates (SCALE.md curve: 39 MB → 29 MB/s but 150 MB → 63 MB/s; the
+# r2 bench at 40 MB measured mostly constant overhead, not parse rate).
+# The oracle template is identical; only the path and generation
+# parameters differ.
 # 32 files = 32 scan partitions — one per local[32] thread (slot-sharding
 # analogue; 16 left half the cores idle and cost ~15% wall-clock at bench).
-_XL_BLOCKS, _XL_SEED, _XL_FILES, _XL_TX_SCALE = 120, 13, 32, 55
+_XL_BLOCKS, _XL_SEED, _XL_FILES, _XL_TX_SCALE = 360, 13, 32, 55
 
 
 def _xl_dir() -> str:

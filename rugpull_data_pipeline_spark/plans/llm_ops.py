@@ -393,16 +393,33 @@ def _ngram_shingles(d: str) -> str:
     """
 
 
+_JACCARD_DF_CAP = 50  # drop shingles present in more than this many docs
+
+
 def _dedup_ngram_jaccard(d: str) -> str:
     # The inverted-index self-join runs on the 60-bit shingle hash, not the
     # shingle string: the shuffle moves 8-byte keys instead of ~20-byte
     # strings, and the join compares integers. Same result (both engines use
     # the same hash; a 60-bit collision over ~1M distinct shingles has
     # probability ~1e-7 and would have to collide identically in both).
+    #
+    # Stop-shingle frequency cap: a shingle appearing in k docs contributes
+    # k^2/2 candidate pairs, so one hot shingle ("in the the") detonates the
+    # self-join at web scale. Shingles with document frequency > cap are
+    # dropped from BOTH the intersection and the union (Jaccard over the
+    # capped sets) — one count-over-window on the shingle hash, no extra
+    # join. Per-doc shingles are already distinct, so count(*) = doc freq.
     shh = S.portable_hash64("sh", d)
     return f"""
-    WITH shingles AS (
+    WITH hashed AS (
         SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
+    ),
+    shingles AS (
+        SELECT doc_id, shh FROM (
+            SELECT doc_id, shh,
+                count(*) OVER (PARTITION BY shh) AS df
+            FROM hashed
+        ) f WHERE df <= {_JACCARD_DF_CAP}
     ),
     doc_sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
@@ -429,18 +446,31 @@ def _dedup_ngram_jaccard(d: str) -> str:
     oracle=_dedup_ngram_jaccard(DUCK),
     tags=("dedup",),
     doc="Near-dup via word-3-gram Jaccard: inverted-index join on shared "
-    "shingles (shuffle key = shingle), never a cross join. The hashed "
-    "shingle table is materialized ONCE (localCheckpoint) and reused by "
-    "the self-join and the size aggregate — at scale this is the persisted "
-    "inverted-index table, not three recomputations of the explode.",
+    "shingles (shuffle key = shingle), never a cross join. Shingles with "
+    f"document frequency > {_JACCARD_DF_CAP} are dropped before the "
+    "self-join (one count-over-window), killing the k^2 hot-shingle pair "
+    "blow-up. The capped shingle table is materialized ONCE "
+    "(localCheckpoint) and reused by the self-join and the size aggregate "
+    "— at scale this is the persisted inverted-index table, not three "
+    "recomputations of the explode.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sh = spark.sql(
-        f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
-        f"FROM ({_ngram_shingles(SPARK)}) raw"
-    ).localCheckpoint()
+    # Stop-shingle cap before the self-join — see _dedup_ngram_jaccard.
+    sh = (
+        spark.sql(
+            f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
+            f"FROM ({_ngram_shingles(SPARK)}) raw"
+        )
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shh"))
+        )
+        .where(F.col("df") <= _JACCARD_DF_CAP)
+        .drop("df")
+        .localCheckpoint()
+    )
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

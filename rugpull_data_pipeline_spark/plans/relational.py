@@ -892,20 +892,44 @@ _pair(
 
 @register(
     "agg_approx_sketches",
-    oracle=None,
-    tags=("agg", "approx", "nosql"),
-    doc="approx_count_distinct (HLL++) + percentile_approx (KLL-style) — "
-    "sketch outputs are engine-specific, so no cross-engine oracle; the "
-    "driver records a rows-only check and tests bound the relative error.",
+    oracle="""
+    SELECT l_returnflag,
+        cast(count(DISTINCT l_partkey) as bigint) AS exact_parts,
+        cast(1 as int) AS hll_ok,
+        cast(1 as int) AS kll_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+    doc="approx_count_distinct (HLL++) + percentile_approx (KLL-style). "
+    "Raw sketch outputs are engine-specific, so the oracle is a BOUNDS "
+    "check: the HLL estimate (rsd=0.01) must land within 5% (5 sigma) of "
+    "the exact distinct count, and the approx median must land between the "
+    "exact 40th and 60th percentiles. Both engines emit the exact counts "
+    "plus the expected in-bounds flags, so a sketch drifting outside its "
+    "published error hash-mismatches.",
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.40)").alias("p40"),
+        F.expr("percentile(l_extendedprice, 0.60)").alias("p60"),
     )
+    hll_ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= 0.05
+    )
+    kll_ok = (F.col("approx_median") >= F.col("p40")) & (
+        F.col("approx_median") <= F.col("p60")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        F.when(hll_ok, 1).otherwise(0).cast("int").alias("hll_ok"),
+        F.when(kll_ok, 1).otherwise(0).cast("int").alias("kll_ok"),
+    ).orderBy("l_returnflag")

@@ -53,7 +53,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _quiet_noisy_loggers(spark)
     return spark
+
+
+def _quiet_noisy_loggers(spark: SparkSession) -> None:
+    """Silence the benign FileStreamSink 'Assume no metadata directory' WARN
+    (+ full stack trace) that glob-path batch reads trigger while probing
+    for streaming-sink metadata — pure noise in bench/test output."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - Connect or alt logging backend
+        pass
 
 
 _SHIPPED: set[int] = set()
@@ -104,4 +119,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ship_package(spark)
     except Exception:  # pragma: no cover - e.g. Spark Connect without SC
         pass
+    _quiet_noisy_loggers(spark)
     return spark

@@ -37,6 +37,24 @@ def test_registry_coverage(spark):
         assert "nosql" in registry.get(name).tags, f"{name} lacks an oracle"
 
 
+def test_driver_window_rotation():
+    """The driver verifies the first 50 queries in iteration order. The
+    round-3 rotation must put the domain chain + LLM dedup/similarity core
+    inside that window, and every priority name must really exist."""
+    names = list(registry.all_queries())
+    unknown = [n for n in registry.DRIVER_PRIORITY if n not in names]
+    assert not unknown, f"priority list names unknown queries: {unknown}"
+    window = set(names[:50])
+    required = {
+        "solana_balance_extract",
+        "solana_rugpull_score",
+        "solana_enriched_report",
+        "dedup_minhash_lsh",
+        "json_extract_agg",
+    }
+    assert required <= window, f"missing from driver window: {required - window}"
+
+
 def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
     """The driver may execute oracle SQL BEFORE any Spark builder runs, in a
     fresh process. Every oracle must therefore be valid, runnable DuckDB SQL
