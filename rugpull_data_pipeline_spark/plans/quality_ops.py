@@ -1,0 +1,230 @@
+"""Round-3 corpus-quality operators: intra-document repetition scoring
+(Gopher-style quality rules), one BPE merge round (adjacent-pair counting —
+the hot inner loop of tokenizer training), and SemDeDup-style semantic
+dedup over embedding clusters.
+
+Capability uplift mandated by BASELINE.json ("dedup, similarity search,
+multimodal columns, text analysis"); no reference counterpart — the
+reference's only text predicate is the instruction-log regex
+(SERVER/combined_subscriber.py:120-144).
+
+Scale notes:
+- Repetition scoring is explode + two hash aggregations, both keyed by
+  doc_id — the fan-out runs partition-parallel (REPARTITION before the
+  explode, same rationale as llm_ops' shingle generator) and nothing ever
+  joins: per-doc state only.
+- BPE pair counting is one explode + one global hash aggregation with
+  map-side partial combine; the shuffle moves (pair-hash, partial-count)
+  rows, bounded by distinct-pair cardinality per task, never corpus size.
+  The top-k is a single ordered limit over the aggregated (tiny) table.
+- Semantic dedup assigns every vector to its nearest centroid (the
+  all-centroids probe is definitionally k comparisons per vector; the
+  centroid table broadcasts), picks one keeper per cluster, and compares
+  members to their keeper only — an equi-join on the cluster id, never
+  all-pairs. At web scale k grows ~sqrt(N) and the same plan holds: one
+  broadcast (or shuffle) hash join on centroid_id.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import sql_pair
+
+_N_CENTROIDS = 8
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+def _toks(d: str) -> str:
+    return S.split_ws("text", d)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition score (Gopher repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def _rep_grams(d: str) -> str:
+    """(doc_id, gh) — ALL word-3-gram hashes per doc, duplicates kept
+    (the whole point is counting repeats)."""
+    gram_sp = "concat_ws(' ', slice(toks, i, 3))"
+    gram_dk = "array_to_string(toks[i:i+2], ' ')"
+    if d == SPARK:
+        seq = "CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) ELSE array() END"
+        return f"""
+        SELECT doc_id, explode(transform({seq}, i -> {S.portable_hash64(gram_sp, d)})) AS gh
+        FROM (SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks
+              FROM documents) t
+        """
+    return f"""
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(toks) - 1),
+                              i -> {S.portable_hash64(gram_dk, d)})) AS gh
+    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+    WHERE len(toks) >= 3
+    """
+
+
+def _repetition(d: str) -> str:
+    return f"""
+    WITH grams AS ({_rep_grams(d)}),
+    cnt AS (
+        SELECT doc_id, gh, count(*) AS c FROM grams GROUP BY doc_id, gh
+    )
+    SELECT doc_id,
+        {S.isum('c', d)} AS n_grams,
+        cast(count(*) as bigint) AS n_distinct,
+        round(1.0 - cast(count(*) as double) / sum(c), 6) AS dup_gram_ratio,
+        round(cast(max(c) as double) / sum(c), 6) AS top_gram_frac,
+        cast(CASE WHEN 1.0 - cast(count(*) as double) / sum(c) > 0.2
+                    OR cast(max(c) as double) / sum(c) > 0.1
+             THEN 1 ELSE 0 END as int) AS is_repetitive
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_repetition_score",
+    _repetition,
+    tags=("text", "quality"),
+    doc="Gopher-style repetition quality rule: per-doc duplicated-3-gram "
+    "ratio and most-frequent-3-gram fraction, flagged at >20% dup ratio or "
+    ">10% top-gram share. One explode + two doc-keyed hash aggs; no joins, "
+    "no cross-doc state — embarrassingly parallel at any corpus size.",
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge round: corpus-wide adjacent-pair counts
+# ---------------------------------------------------------------------------
+
+
+def _bpe_pairs(d: str) -> str:
+    if d == SPARK:
+        mk = "concat_ws('|', element_at(toks, i), element_at(toks, i + 1))"
+        seq = "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) ELSE array() END"
+        pairs = f"""
+        SELECT explode(transform({seq}, i -> {mk})) AS pair
+        FROM (SELECT /*+ REPARTITION */ {_toks(d)} AS toks FROM documents) t
+        """
+    else:
+        mk = "toks[i] || '|' || toks[i + 1]"
+        pairs = f"""
+        SELECT unnest(list_transform(range(1, len(toks)), i -> {mk})) AS pair
+        FROM (SELECT {_toks(d)} AS toks FROM documents) t
+        WHERE len(toks) >= 2
+        """
+    return f"""
+    WITH pairs AS ({pairs}),
+    cnt AS (SELECT pair, count(*) AS c FROM pairs GROUP BY pair)
+    SELECT rank, pair, n_occurrences FROM (
+        SELECT pair, cast(c as bigint) AS n_occurrences,
+            cast(row_number() OVER (ORDER BY c DESC, pair) as int) AS rank
+        FROM cnt
+    ) r
+    WHERE rank <= 20
+    ORDER BY rank
+    """
+
+
+_pair(
+    "text_bpe_merge_pairs",
+    _bpe_pairs,
+    tags=("text", "tokenizer"),
+    doc="One BPE merge round — the hot inner loop of tokenizer training: "
+    "corpus-wide adjacent-token-pair frequencies, top-20 merge candidates "
+    "(deterministic tie-break on the pair string). One explode + one "
+    "global hash agg with map-side combine; the ordered limit runs over "
+    "the already-aggregated pair table, not the corpus.",
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup within embedding clusters
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        l2 = (
+            "aggregate(zip_with(p.v, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+        dot = (
+            "aggregate(zip_with(m.v, k.v, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+        nrm = (
+            "aggregate(transform({v}, x -> x * x), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+    else:
+        l2 = (
+            "cast(list_sum(list_transform(list_zip(p.v, c.cv), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2]))) as bigint)"
+        )
+        dot = (
+            "cast(list_sum(list_transform(list_zip(m.v, k.v), "
+            "s -> s[1] * s[2])) as bigint)"
+        )
+        nrm = "cast(list_sum(list_transform({v}, x -> x * x)) as bigint)"
+    cos = (
+        f"round(cast({dot} as double) / "
+        f"(sqrt(cast(m.n2 as double)) * sqrt(cast(k.n2 as double))), 6)"
+    )
+    return f"""
+    WITH iv AS (
+        SELECT vec_id, v, {nrm.format(v='v')} AS n2
+        FROM (SELECT vec_id, {iv} AS v FROM embeddings) raw
+    ),
+    cents AS (
+        SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < {_N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT p.vec_id, c.cid, {l2} AS d2,
+                row_number() OVER (
+                    PARTITION BY p.vec_id
+                    ORDER BY {l2}, c.cid) AS rn
+            FROM iv p CROSS JOIN cents c
+        ) x WHERE rn = 1
+    ),
+    keeper AS (
+        SELECT cid, vec_id AS keep_id FROM (
+            SELECT cid, vec_id,
+                row_number() OVER (
+                    PARTITION BY cid ORDER BY d2, vec_id) AS rn
+            FROM assigned
+        ) x WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cid AS centroid_id, kk.keep_id,
+        {cos} AS cos_to_keeper,
+        cast(CASE WHEN {cos} >= 0.95 THEN 1 ELSE 0 END as int)
+            AS is_semantic_dup
+    FROM assigned a
+    JOIN keeper kk ON a.cid = kk.cid
+    JOIN iv m ON m.vec_id = a.vec_id
+    JOIN iv k ON k.vec_id = kk.keep_id
+    WHERE a.vec_id <> kk.keep_id
+    ORDER BY a.vec_id
+    """
+
+
+_pair(
+    "dedup_semantic_cluster",
+    _semantic_dedup,
+    tags=("dedup", "similarity"),
+    doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
+    "nearest of 8 fixed centroids (exact integer L2, deterministic "
+    "tie-break), keep the member closest to each centroid, and flag other "
+    "members whose cosine to their cluster's keeper is >= 0.95. Members "
+    "compare only to their keeper via an equi-join on the cluster id — "
+    "never all-pairs; at web scale k ~ sqrt(N) and the same single "
+    "hash-join plan holds.",
+)

@@ -199,5 +199,6 @@ def _load_plan_modules() -> None:
     from . import multimodal_q  # noqa: F401
     from . import curation  # noqa: F401
     from . import corpus_ops  # noqa: F401
+    from . import quality_ops  # noqa: F401
 
     _LOADED = True

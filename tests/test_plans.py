@@ -33,6 +33,7 @@ _NLJ_ALLOWED = {
     # 8-row centroid table broadcast against every vector — the IVF coarse
     # quantizer is definitionally an all-centroids probe.
     "sim_centroid_assign",
+    "dedup_semantic_cluster",
     # 1-row scalar-aggregate CTE (corpus token total + vocab size) joined as
     # a broadcast constant — a literal by execution. The window-function
     # rewrite would funnel the whole vocab table through ONE partition,
