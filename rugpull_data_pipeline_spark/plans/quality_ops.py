@@ -80,7 +80,7 @@ def _repetition(d: str) -> str:
         round(1.0 - cast(count(*) as double) / sum(c), 6) AS dup_gram_ratio,
         round(cast(max(c) as double) / sum(c), 6) AS top_gram_frac,
         cast(CASE WHEN 1.0 - cast(count(*) as double) / sum(c) > 0.2
-                    OR cast(max(c) as double) / sum(c) > 0.1
+                    OR (max(c) > 1 AND cast(max(c) as double) / sum(c) > 0.1)
              THEN 1 ELSE 0 END as int) AS is_repetitive
     FROM cnt
     GROUP BY doc_id
