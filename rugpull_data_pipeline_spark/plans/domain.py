@@ -158,7 +158,9 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import stream_balance_pipeline
 
     blocks_dir = _ensure_blocks()
-    watch_dir = os.path.join(blocks_dir, "_watch_dim")
+    # No leading underscore: Spark's file listing classifies `_`-prefixed
+    # paths as hidden metadata and logs a WARN per micro-batch re-read.
+    watch_dir = os.path.join(blocks_dir, "watch_dim")
     if not os.path.isdir(watch_dir):
         spark.createDataFrame(
             [(a,) for a in hot_addresses()], "address string"
