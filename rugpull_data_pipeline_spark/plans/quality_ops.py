@@ -216,6 +216,59 @@ def _semantic_dedup(d: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source keep-best exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_source(d: str) -> str:
+    # Dedup key = hash of the first 8 tokens (leading-boilerplate key: docs
+    # sharing a header/prefix collapse; full-text exact dedup is
+    # dedup_exact_docs). Source priority: curated-ish sources win over
+    # crawl-ish ones; the rank is a small CASE dim (in production a
+    # broadcast priority table).
+    if d == SPARK:
+        prefix = f"concat_ws(' ', slice({_toks(d)}, 1, 8))"
+    else:
+        prefix = f"array_to_string(({_toks(d)})[1:8], ' ')"
+    th = S.portable_hash64(prefix, d)
+    prio = (
+        "CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 "
+        "WHEN 'src2' THEN 2 ELSE 9 END"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, source, {th} AS th, {prio} AS prio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, th, prio,
+            row_number() OVER (
+                PARTITION BY th ORDER BY prio, doc_id) AS rn,
+            count(*) OVER (PARTITION BY th) AS group_n
+        FROM hashed
+    )
+    SELECT doc_id, source, cast(group_n as bigint) AS n_copies,
+        cast(CASE WHEN rn = 1 THEN 1 ELSE 0 END as int) AS keep
+    FROM ranked
+    WHERE group_n > 1
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "dedup_keep_best_source",
+    _keep_best_source,
+    tags=("dedup",),
+    doc="Cross-source keep-best dedup with source priority: documents "
+    "sharing a leading 8-token prefix (boilerplate-header key, 60-bit "
+    "hash) collapse to ONE keeper chosen by source rank (curated beats "
+    "crawl), deterministic doc_id tie-break — the keep-best policy every "
+    "multi-source corpus merge runs. One window shuffle on the prefix "
+    "hash; emits only duplicated groups.",
+)
+
+
 _pair(
     "dedup_semantic_cluster",
     _semantic_dedup,
