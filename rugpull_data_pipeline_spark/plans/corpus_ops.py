@@ -188,8 +188,14 @@ def _lm_score(d: str) -> str:
         else f"SELECT doc_id, unnest({_toks(d)}) AS tok FROM documents"
     )
     # Add-one smoothed unigram logprob; each token's ln() is rounded to
-    # 6 decimals inside dsum, killing cross-libm ulp drift.
-    lp = "ln((cnt.c + 1.0) / (tot.n + tot.v))"
+    # 6 decimals inside dsum, killing cross-libm ulp drift. The corpus
+    # totals attach as uncorrelated SCALAR SUBQUERIES — Spark plans these
+    # as reused ScalarSubquery literals (no join node at all), the exact
+    # broadcast-constant semantics the reference's in-process totals have.
+    lp = (
+        "ln((cnt.c + 1.0) / "
+        "((SELECT n FROM tot) + (SELECT v FROM tot)))"
+    )
     return f"""
     WITH tok AS ({tok_src}),
     cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
@@ -202,7 +208,6 @@ def _lm_score(d: str) -> str:
         round(-({S.dsum(lp, d)}) / count(*), 6) AS avg_nll
     FROM tok t
     JOIN cnt ON t.tok = cnt.tok
-    CROSS JOIN tot
     GROUP BY t.doc_id
     ORDER BY t.doc_id
     """

@@ -34,11 +34,6 @@ _NLJ_ALLOWED = {
     # quantizer is definitionally an all-centroids probe.
     "sim_centroid_assign",
     "dedup_semantic_cluster",
-    # 1-row scalar-aggregate CTE (corpus token total + vocab size) joined as
-    # a broadcast constant — a literal by execution. The window-function
-    # rewrite would funnel the whole vocab table through ONE partition,
-    # which is strictly worse at scale than a 1-row broadcast.
-    "text_ngram_lm_score",
     # deliberate tiny-dim cross join (region × brand-band).
     "join_cross_region_bands",
 }
