@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 _N_CENTROIDS = 8
 
@@ -281,3 +281,74 @@ _pair(
     "never all-pairs; at web scale k ~ sqrt(N) and the same single "
     "hash-join plan holds.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free big-fact join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+        cast(count(*) as bigint) AS n_items,
+        round(cast(sum(cast(l_extendedprice as decimal(38,9))) as double), 2)
+            AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("layout", "join"),
+    doc="Co-located big-fact join via bucketing: lineitem and orders are "
+    "written bucketBy(8, orderkey).sortBy(orderkey), so the SortMergeJoin "
+    "needs ZERO exchanges on either side (verified by "
+    "tests/test_plans.py::test_bucketed_join_is_shuffle_free) — at 100 TB "
+    "this is THE pattern for repeated fact-fact joins: pay the "
+    "partitioning once at write time, join shuffle-free forever after. "
+    "Result oracle-checked against the plain join.",
+)
+def layout_bucketed_join(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # Per-sf table names + external paths: idempotent within a session,
+    # re-materialized cheaply in a fresh one (in-memory catalog).
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"rugpull_bucketed_{suffix}")
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tname = f"rugpull_bkt_{tbl}_{suffix}"
+        if not spark.catalog.tableExists(tname):
+            (
+                spark.table(tbl)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, tbl))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+    li = spark.table(f"rugpull_bkt_lineitem_{suffix}")
+    od = spark.table(f"rugpull_bkt_orders_{suffix}")
+    # merge hint: the point is the co-located SortMergeJoin, not a broadcast
+    # (at real fact-fact scale neither side broadcasts anyway).
+    joined = li.hint("merge").join(
+        od, li.l_orderkey == od.o_orderkey
+    ).where(od.o_orderstatus == "F")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,9)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -130,3 +130,14 @@ def test_broadcast_dims_survive_aqe(spark, name):
     """AQE must not degrade dim joins to shuffles at test scale."""
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The bucketed fact-fact join must plan a SortMergeJoin with ZERO
+    exchanges on either join side — the only shuffles in the whole plan are
+    the final aggregation (hash) and the output sort (range). This is the
+    pay-once-at-write-time co-location contract bucketing exists for."""
+    plan = _plan(spark, "layout_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # agg only
+    assert plan.count("Exchange rangepartitioning") == 1  # final sort only
