@@ -316,6 +316,8 @@ def layout_bucketed_join(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    from ..sources.io import write_bucketed
+
     # Per-sf table names + external paths: idempotent within a session,
     # re-materialized cheaply in a fresh one (in-memory catalog).
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -323,14 +325,9 @@ def layout_bucketed_join(spark, sf_dir):
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tname = f"rugpull_bkt_{tbl}_{suffix}"
         if not spark.catalog.tableExists(tname):
-            (
-                spark.table(tbl)
-                .write.bucketBy(8, key)
-                .sortBy(key)
-                .option("path", os.path.join(base, tbl))
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tname)
+            write_bucketed(
+                spark.table(tbl), tname, key, 8,
+                path=os.path.join(base, tbl),
             )
     li = spark.table(f"rugpull_bkt_lineitem_{suffix}")
     od = spark.table(f"rugpull_bkt_orders_{suffix}")
