@@ -349,3 +349,87 @@ def layout_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (oracle-backed streaming)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH s AS (
+    SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 3600
+             THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+    SELECT user_id, ts,
+        sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM s
+)
+SELECT user_id,
+    cast(floor(epoch(min(ts))) as bigint) AS session_start,
+    cast(floor(epoch(max(ts))) as bigint) + 3600 AS session_end,
+    cast(count(*) as bigint) AS n_events
+FROM g
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "stream_session_windows",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "window"),
+    doc="Structured Streaming session_window aggregation (1-hour gap) over "
+    "a deterministic file stream, complete-output memory sink — "
+    "hash-compared against a gaps-and-islands SQL oracle: the streaming "
+    "session-merge state machine is provably equivalent to the batch "
+    "window form. Session state is per-key and merges incrementally; at "
+    "scale the watermark bounds it (this replay uses complete mode so "
+    "every session flushes deterministically).",
+)
+def stream_session_windows(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = ev.select("user_id", "ts")
+    src_dir = tempfile.mkdtemp(prefix="rugpull_sess_src_")
+    src.repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "sess_win_sink_" + os.path.basename(src_dir)[-8:]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="rugpull_sess_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
