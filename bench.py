@@ -41,11 +41,15 @@ HEADLINE = [
     "join_range_time_window",
     "multimodal_decode_features",
     # Round-2/3 corpus operators: MERGE-shaped CDC apply, chunk-level dedup,
-    # PQ encoding (equi-join form), funnel analytics.
+    # PQ encoding (equi-join form), funnel analytics, repetition scoring,
+    # and the shuffle-free bucketed fact-fact join (first run pays the
+    # bucketed write; best-of-2 reports the steady-state join).
     "cdc_merge_apply",
     "text_paragraph_dedup",
     "sim_pq_encode",
     "events_funnel_stages",
+    "text_repetition_score",
+    "layout_bucketed_join",
     # ~40 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).
