@@ -340,15 +340,58 @@ def solana_enriched_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# The 10%-vs-last-EMITTED chain is a FOLD over emission history (not a
+# lag), so the oracle walks each pair's ordered price sequence with a
+# recursive CTE carrying the last-emitted (base, quote) state — the exact
+# state machine the streaming kernel runs, restated declaratively. The
+# em-condition mirrors the kernel bit for bit, including the signed
+# division guard (negative last price never re-emits on that leg).
+_PRICE_CHANGE_ORACLE = """
+WITH RECURSIVE prices AS (
+    SELECT 'pair-' || cast(user_id % 5 as varchar) AS pair,
+        ts,
+        value + 1.0 AS base_price,
+        value / 1.5 + 1.0 AS quote_price
+    FROM events
+),
+base AS (
+    SELECT pair, ts, base_price, quote_price,
+        row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+    FROM prices
+),
+walk AS (
+    SELECT pair, rn, ts, base_price, quote_price,
+        base_price AS lb, quote_price AS lq, true AS emitted
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.pair, b.rn, b.ts, b.base_price, b.quote_price,
+        CASE WHEN (w.lb <> 0 AND abs(b.base_price - w.lb) / w.lb > 0.10)
+                  OR (w.lq <> 0 AND abs(b.quote_price - w.lq) / w.lq > 0.10)
+             THEN b.base_price ELSE w.lb END,
+        CASE WHEN (w.lb <> 0 AND abs(b.base_price - w.lb) / w.lb > 0.10)
+                  OR (w.lq <> 0 AND abs(b.quote_price - w.lq) / w.lq > 0.10)
+             THEN b.quote_price ELSE w.lq END,
+        (w.lb <> 0 AND abs(b.base_price - w.lb) / w.lb > 0.10)
+            OR (w.lq <> 0 AND abs(b.quote_price - w.lq) / w.lq > 0.10)
+    FROM walk w JOIN base b ON b.pair = w.pair AND b.rn = w.rn + 1
+)
+SELECT pair, cast(floor(epoch(ts)) as bigint) AS ts_epoch,
+    base_price, quote_price
+FROM walk WHERE emitted
+ORDER BY pair, ts_epoch
+"""
+
+
 @register(
     "price_change_stateful_stream",
-    oracle=None,
-    tags=("streaming", "stateful", "nosql"),
+    oracle=_PRICE_CHANGE_ORACLE,
+    tags=("streaming", "stateful"),
     doc="P11/ST4: the 10%%-vs-last-EMITTED price-change detector as a "
     "custom stateful streaming operator (applyInPandasWithState, bounded "
-    "two-double state per pair). Genuinely non-SQL-expressible — the "
-    "threshold chain is a fold over emission history, not a lag — so no "
-    "oracle; the Python-oracle equivalence is tested in "
+    "two-double state per pair). The threshold chain is a fold over "
+    "emission history, not a lag — the oracle replays the identical fold "
+    "as a recursive CTE over each pair's ordered walk; the Python-oracle "
+    "equivalence is additionally tested in "
     "tests/test_streaming.py::test_stateful_price_change_10pct.",
 )
 def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
