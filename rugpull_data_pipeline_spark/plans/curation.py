@@ -383,15 +383,52 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
+def _cc_oracle() -> str:
+    """Connected components as a recursive-CTE transitive closure: the
+    fixpoint the Spark builder iterates to is exactly 'min label reachable
+    via any path', which the closure computes declaratively. Component
+    sizes in the near-dup graph are small, so the closure's
+    (node x reachable-label) working set stays bounded."""
+    from .llm_ops import _dedup_ngram_jaccard
+
+    pairs = _dedup_ngram_jaccard(DUCK).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node, min(label) AS label FROM reach GROUP BY node
+    )
+    SELECT label AS cluster_id,
+        cast(count(*) as bigint) AS n_members,
+        min(node) AS keep_doc_id
+    FROM comp
+    GROUP BY label
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """
+
+
 @register(
     "dedup_cc_fixpoint",
-    oracle=None,
-    tags=("dedup", "nosql"),
+    oracle=_cc_oracle(),
+    tags=("dedup", "stateful"),
     doc="Connected components over the near-dup pair graph, iterated to a "
     "FIXED POINT (min-label propagation; one shuffle round per hop, "
     "localCheckpoint per round to truncate lineage). The full version of "
-    "the fixed-depth dedup_cluster_neardup; genuinely iterative, hence "
-    "rows-only (union-find-verified in tests/test_curation.py).",
+    "the fixed-depth dedup_cluster_neardup. Oracle = recursive-CTE "
+    "transitive closure (min reachable label per node) — the same fixpoint "
+    "computed declaratively; additionally union-find-verified in "
+    "tests/test_curation.py.",
 )
 def dedup_cc_fixpoint(spark, sf_dir):
     from pyspark.sql import functions as F
