@@ -1,0 +1,77 @@
+"""Property-based cross-engine checks for the portable scalar layer.
+
+`portable_hash64` is the key primitive every dedup/sampling/split operator
+derives its keys from — if Spark and DuckDB ever disagree on one input
+string, whole query families silently diverge. Hypothesis drives
+adversarial inputs (unicode, quotes, pipes, whitespace, empties) through
+BOTH engines and requires bit-equal hashes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rugpull_data_pipeline_spark.functions import scalars as S
+from rugpull_data_pipeline_spark.functions.scalars import DUCK, SPARK
+
+# No NUL (parquet/JDBC-hostile) and no private-use planes; everything else
+# printable-ish is fair game, including the '|' seed separator itself.
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Co"), blacklist_characters="\x00"),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_TEXT, min_size=1, max_size=16, unique=True))
+def test_portable_hash64_cross_engine(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    df.createOrReplaceTempView("hash_probe")
+    got = {
+        r["s"]: r["h"]
+        for r in spark.sql(
+            f"SELECT s, {S.portable_hash64('s', SPARK)} AS h FROM hash_probe"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    want = dict(
+        con.execute(f"SELECT s, {S.portable_hash64('s', DUCK)} FROM t").fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_TEXT)
+def test_portable_hash64_seeded_families_cross_engine(spark, text):
+    """The seeded form (minhash's independent hash families) must also
+    agree, and different seeds must disagree with overwhelming odds."""
+    df = spark.createDataFrame([(text,)], "s string")
+    df.createOrReplaceTempView("hash_probe_seeded")
+    exprs = ", ".join(
+        f"{S.portable_hash64('s', SPARK, seed=repr(seed))} AS h{i}"
+        for i, seed in enumerate(["mh-0", "mh-1"])
+    )
+    row = spark.sql(f"SELECT {exprs} FROM hash_probe_seeded").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    dexprs = ", ".join(
+        S.portable_hash64("s", DUCK, seed=repr(seed))
+        for seed in ["mh-0", "mh-1"]
+    )
+    drow = con.execute(f"SELECT {dexprs} FROM t").fetchone()
+    assert (row["h0"], row["h1"]) == drow
+    assert row["h0"] != row["h1"]
