@@ -116,8 +116,15 @@ def _make_price_change_fn(ttl_ms: int | None):
             return
         (last_base, last_quote) = state.get if state.exists else (None, None)
         rows = []
-        for pdf in pdfs:
-            for r in pdf.sort_values("ts").itertuples():
+        # A group's rows arrive as MULTIPLE Arrow chunks once they exceed
+        # maxRecordsPerBatch; sorting per chunk would fold out of event-time
+        # order (caught by the sf0.1 oracle run). Concatenate, sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        merged = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(merged):
+            for r in merged.sort_values("ts").itertuples():
                 base, quote = float(r.base_price), float(r.quote_price)
                 if last_base is None:
                     emit, bc, qc = True, None, None
@@ -218,8 +225,16 @@ def price_change_events_tws(
             last = self._last.get() if self._last.exists() else (None, None)
             last_base, last_quote = last
             out = []
-            for pdf in rows:
-                for r in pdf.sort_values("ts").itertuples():
+            # Same multi-chunk hazard as the applyInPandasWithState kernel:
+            # concatenate the group's chunks and sort ONCE.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            merged = (
+                pd.concat(chunks, ignore_index=True)
+                if chunks
+                else pd.DataFrame()
+            )
+            if len(merged):
+                for r in merged.sort_values("ts").itertuples():
                     base, quote = float(r.base_price), float(r.quote_price)
                     if last_base is None:
                         emit, bc, qc = True, None, None
