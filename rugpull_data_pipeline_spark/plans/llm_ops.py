@@ -10,7 +10,8 @@ Scale notes (the point of these designs):
   per doc regardless of doc size.
 - SimHash reduces a doc to one 60-bit int; near-dup = low Hamming distance.
 - N-gram Jaccard joins on shared shingles (inverted-index join), never a
-  cross join; frequency cap would be added for web-scale corpora.
+  cross join; a document-frequency cap (df ≤ 50) drops stop-shingles before
+  the join so no single shingle can fan out quadratically at web scale.
 - Cosine top-k: brute force is the correctness baseline; the LSH/IVF variant
   is the scale path (bucket first, rank inside bucket).
 

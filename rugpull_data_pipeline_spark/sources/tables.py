@@ -30,6 +30,35 @@ TABLES = (
 )
 
 
+def ensure_event_time(df: DataFrame, names: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Normalize event-time columns to session-TZ TIMESTAMP, whatever the
+    source encoding.
+
+    The driver has shipped event time under three encodings across rounds;
+    accept them all (session TZ is pinned UTC in ``tune_session``, so every
+    branch is value-preserving and agrees with DuckDB's ``epoch_us`` oracle
+    view):
+
+    1. TIMESTAMP(NANOS) read as nano-epoch longs (via
+       ``spark.sql.legacy.parquet.nanosAsLong``) — truncate to micros, the
+       same truncation DuckDB applies reading ns. Applied only to columns in
+       ``names`` (a bare long is only event time where the schema says so).
+    2. parquet ``timestamp[us]`` without tz metadata, which Spark reads as
+       TIMESTAMP_NTZ — cast to TIMESTAMP so ``unix_micros()``,
+       ``withWatermark()`` and RANGE frames resolve. Applied to EVERY NTZ
+       column (the cast is the identity under a UTC session).
+    3. plain TIMESTAMP — passes through untouched.
+    """
+    for f in df.schema.fields:
+        if f.name in names and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(
+                f.name, F.expr(f"timestamp_micros({f.name} div 1000)")
+            )
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -38,14 +67,7 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
-        # Parquet TIMESTAMP(NANOS) columns arrive as nano-epoch longs (via
-        # spark.sql.legacy.parquet.nanosAsLong); truncate to micros with
-        # integer division — same truncation DuckDB applies reading ns.
-        for field in df.schema.fields:
-            if field.name == "ts" and isinstance(field.dataType, T.LongType):
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        out[name] = df
+        out[name] = ensure_event_time(spark.read.parquet(path))
     return out
 
 

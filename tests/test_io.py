@@ -111,3 +111,39 @@ def test_binary_file_source_blob_shape(spark, tmp_path):
     for name, data in payloads.items():
         assert by_name[name].length == len(data)
         assert bytes(by_name[name].content) == data
+
+
+def test_ensure_event_time_type_matrix(spark, tmp_path):
+    """ts arrives as nanos-long, TIMESTAMP, or TIMESTAMP_NTZ across driver
+    fixture generations; ensure_event_time must map all three to the same
+    session-TZ TIMESTAMP values so temporal plans (unix_micros RANGE frames,
+    withWatermark) resolve regardless of encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from rugpull_data_pipeline_spark.sources.tables import ensure_event_time
+
+    micros = [1_700_000_000_000_000 + i * 1_000_000 for i in range(5)]
+
+    variants = {}
+    # nanos-as-long encoding (pre-r3 fixtures).
+    variants["long_ns"] = pa.table({"ts": pa.array([m * 1000 for m in micros], pa.int64())})
+    # timestamp[us] without tz → Spark TIMESTAMP_NTZ (r3+ fixtures).
+    variants["ntz"] = pa.table({"ts": pa.array(micros, pa.timestamp("us"))})
+    # timestamp[us, tz=UTC] → plain TIMESTAMP.
+    variants["tstz"] = pa.table({"ts": pa.array(micros, pa.timestamp("us", tz="UTC"))})
+
+    got = {}
+    for name, tbl in variants.items():
+        path = str(tmp_path / f"{name}.parquet")
+        pq.write_table(tbl, path)
+        df = ensure_event_time(spark.read.parquet(path))
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), name
+        # The temporal expressions that broke round 3 must resolve...
+        out = df.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+        got[name] = [r.us for r in out]
+        # ...including the event-time requirement of watermarks.
+        df.withWatermark("ts", "10 minutes")
+
+    assert got["long_ns"] == got["ntz"] == got["tstz"] == micros
