@@ -1,0 +1,533 @@
+"""Streaming-infrastructure queries: driver-verifiable replays of the rows
+SURVEY.md §2 marks S8/S9/P12/ST2/ST3/ST6/ST7 — the operators whose substance
+is *infrastructure behavior* (pacing, recovery, fan-out, state upserts,
+guarded ingest) rather than a single SQL shape.
+
+Each runs as a bounded ``availableNow`` replay over a deterministic file
+stream derived from the ``events`` fixture (the ``stream_session_windows``
+technique, plans/quality_ops.py), so the result is a plain DataFrame a
+DuckDB oracle can hash-match. What each one PROVES:
+
+- ``stream_dim_upsert_replay`` (S9, SERVER/combined_subscriber.py:86-98):
+  micro-batched keyed upserts into a parquet dimension converge to the
+  global last-writer-wins answer regardless of batch boundaries — the merge
+  is ordered by (ts, event_id), associative across batches.
+- ``stream_checkpoint_restart`` (ST6): two separate ``availableNow`` runs
+  share one checkpoint; run 2 processes ONLY files that arrived after run 1.
+  Any replay or loss would break the exact batch-equality of the final
+  counts.
+- ``stream_backpressure_paced`` (ST2, the reference's bounded worker queue,
+  RECEIVER/parser_main.cpp): ``maxFilesPerTrigger=1`` over 4 source files
+  must yield exactly 4 micro-batches; the paced result still equals the
+  batch answer.
+- ``stream_fanout_two_sinks`` (ST7, SERVER/flightWithRedis.py dual
+  Flight+Redis write path): one source micro-batch feeds two independent
+  sinks inside ``foreachBatch``; both sinks must be complete.
+- ``stream_watermark_append`` (ST3): watermarked tumbling-window counts in
+  APPEND output mode — windows emit only once the event-time watermark
+  passes their end (a max-event-time sentinel finalizes all real windows;
+  the no-data micro-batch does the emission).
+- ``lookup_batched_mapinpandas`` (S8, SERVER/combined_subscriber.py:46-55):
+  the batched external-lookup enrichment with a deterministic md5-derived
+  fake fetch, so the oracle recomputes the "HTTP response" in SQL.
+- ``json_size_guard_quarantine`` (P12, RECEIVER/parser_main.cpp:92-97 size
+  and parse guards): raw lines classified oversize / corrupt / ok BEFORE
+  parsing, over a generated corpus with known-bad lines.
+
+Scale notes: every replay keeps the stream→sink path distributed (memory /
+parquet sinks, no driver collect of data rows); driver-side state is bounded
+to batch ids and scalar counts. The dimension upsert rewrites a dim whose
+size is O(distinct keys), not O(stream) — the Redis-hash analogue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from ..sources.tables import load_tables
+from .registry import register
+
+_WM_DELAY = "30 minutes"
+_GUARD_N = 2000
+_GUARD_MAX_BYTES = 4096
+
+
+def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"].select(*cols)
+
+
+def _write_slices(df: DataFrame, path: str, n: int, slice_col: str = "event_id") -> None:
+    """Write ``df`` as exactly ``n`` parquet files (one sequential append per
+    slice) so ``maxFilesPerTrigger=1`` paces the replay into ``n`` batches."""
+    for i in range(n):
+        (
+            df.where(F.col(slice_col) % n == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def _run_available_now(writer) -> None:
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+
+# ---------------------------------------------------------------------------
+# S9 — keyed dimension upsert, micro-batched
+# ---------------------------------------------------------------------------
+
+_DIM_UPSERT_ORACLE = """
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM (
+    SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_dim_upsert_replay",
+    oracle=_DIM_UPSERT_ORACLE,
+    tags=("streaming", "dim"),
+    doc="S9 Redis-state sink as a streaming replay: 4 paced micro-batches "
+    "foreachBatch-upsert purchases into a parquet dimension keyed by "
+    "user_id, winner ordered by (ts, event_id). The merged dim must equal "
+    "the global last-writer-wins row — batch-boundary independence.",
+)
+def stream_dim_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import upsert_dimension
+
+    src = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_dim_src_")
+    _write_slices(src, src_dir, 4)
+    dim_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_dim_out_"), "dim")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def apply(batch: DataFrame, _bid: int) -> None:
+        upsert_dimension(
+            batch.sparkSession, batch, dim_dir, ["user_id"], order_by=["ts", "event_id"]
+        )
+
+    _run_available_now(
+        stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_dim_ckpt_")
+        )
+    )
+    return (
+        spark.read.parquet(dim_dir)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST6 — checkpointed restart: second run processes only new files
+# ---------------------------------------------------------------------------
+
+_CKPT_ORACLE = f"""
+SELECT user_id,
+    cast(count(*) as bigint) AS n_clicks,
+    {S.dsum('value', DUCK)} AS click_value
+FROM events WHERE event_type = 'click'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_checkpoint_restart",
+    oracle=_CKPT_ORACLE,
+    tags=("streaming", "recovery"),
+    doc="ST6 checkpoint recovery: run 1 streams half the click files to a "
+    "parquet sink, then new files land and run 2 RESTARTS from the same "
+    "checkpoint — it must process only the new files (exactly-once). Any "
+    "replay would double counts; any loss would drop them.",
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .where(F.col("event_type") == "click")
+        .select("user_id", "event_id", "value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_ckpt_src_")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_ckpt_out_"), "out")
+    ckpt = tempfile.mkdtemp(prefix="rugpull_ckpt_log_")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(src.schema).parquet(src_dir)
+        _run_available_now(
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+        )
+
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.expr(S.dsum("value", SPARK)).alias("click_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 — backpressure pacing: maxFilesPerTrigger bounds each micro-batch
+# ---------------------------------------------------------------------------
+
+_PACED_ORACLE = """
+SELECT cast(user_id % 4 as bigint) AS bucket,
+    cast(count(*) as bigint) AS n_events,
+    4 AS n_batches
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "stream_backpressure_paced",
+    oracle=_PACED_ORACLE,
+    tags=("streaming", "backpressure"),
+    doc="ST2 backpressure: 4 source files under maxFilesPerTrigger=1 must "
+    "produce exactly 4 micro-batches (the bounded-queue admission the "
+    "reference gets from its worker pool), and the paced union still "
+    "equals the batch answer.",
+)
+def stream_backpressure_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_src(spark, sf_dir, ["event_id", "user_id"])
+    src_dir = tempfile.mkdtemp(prefix="rugpull_paced_src_")
+    _write_slices(src, src_dir, 4)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_paced_out_"), "out")
+
+    batch_ids: list[int] = []
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        batch_ids.append(bid)
+        batch.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_available_now(
+        stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_paced_ckpt_")
+        )
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy((F.col("user_id") % 4).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn("n_batches", F.lit(len(batch_ids)))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 — fan-out: one stream, two sinks, both complete
+# ---------------------------------------------------------------------------
+
+_FANOUT_ORACLE = f"""
+WITH clicks AS (
+    SELECT user_id, cast(count(*) as bigint) AS n_clicks
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+), purchases AS (
+    SELECT user_id, {S.dsum('value', DUCK)} AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+    coalesce(c.n_clicks, 0) AS n_clicks,
+    p.purchase_value
+FROM clicks c
+FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_fanout_two_sinks",
+    oracle=_FANOUT_ORACLE,
+    tags=("streaming", "fanout"),
+    doc="ST7 fan-out: each micro-batch lands in BOTH a click sink and a "
+    "purchase sink (the reference's simultaneous Flight + Redis writes); "
+    "the full-outer join of the two sinks must equal the batch fan-out.",
+)
+def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_src(spark, sf_dir, ["event_id", "user_id", "event_type", "value"])
+    src_dir = tempfile.mkdtemp(prefix="rugpull_fan_src_")
+    _write_slices(src, src_dir, 2)
+    sink_a = os.path.join(tempfile.mkdtemp(prefix="rugpull_fan_a_"), "clicks")
+    sink_b = os.path.join(tempfile.mkdtemp(prefix="rugpull_fan_b_"), "purchases")
+
+    def apply(batch: DataFrame, _bid: int) -> None:
+        batch.where(F.col("event_type") == "click").write.mode("append").parquet(sink_a)
+        batch.where(F.col("event_type") == "purchase").write.mode("append").parquet(
+            sink_b
+        )
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_available_now(
+        stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_fan_ckpt_")
+        )
+    )
+    clicks = (
+        spark.read.parquet(sink_a)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clicks"))
+    )
+    purchases = (
+        spark.read.parquet(sink_b)
+        .groupBy("user_id")
+        .agg(F.expr(S.dsum("value", SPARK)).alias("purchase_value"))
+    )
+    return (
+        clicks.join(purchases, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "purchase_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3 — watermarked tumbling windows, APPEND output mode
+# ---------------------------------------------------------------------------
+
+_WM_ORACLE = """
+SELECT cast(floor(epoch(ts) / 3600) * 3600 as bigint) AS window_start,
+    cast(count(*) as bigint) AS n_events
+FROM events
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "stream_watermark_append",
+    oracle=_WM_ORACLE,
+    tags=("streaming", "watermark"),
+    doc="ST3 watermark/late-data: 1-hour tumbling counts with a 30-minute "
+    "watermark in APPEND output mode — a window row is emitted exactly "
+    "once, only after the event-time watermark passes its end. A sentinel "
+    "row 2 days past max(ts) advances the final watermark so every real "
+    "window finalizes (the no-data micro-batch performs the emission); "
+    "the sentinel's own window stays unemitted in state.",
+)
+def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = ev.select("user_id", "ts")
+    sentinel = ev.groupBy().agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_wm_src_")
+    src.unionByName(sentinel).repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events")
+    )
+    name = "wm_append_sink_" + os.path.basename(src_dir)[-8:]
+    _run_available_now(
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rugpull_wm_ckpt_"))
+    )
+    # The sentinel's own (still-open) window never emits; every real window
+    # is past the final watermark and appears exactly once.
+    return spark.table(name).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# S8 — batched external lookup with a deterministic fake fetch
+# ---------------------------------------------------------------------------
+
+
+def _fake_pool_price(key: str) -> float:
+    import hashlib
+
+    return (int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 10_000) / 100.0
+
+
+_LOOKUP_ORACLE = f"""
+WITH b AS (
+    SELECT 'pool-' || cast(user_id % 50 as varchar) AS pool_id, value
+    FROM events
+)
+SELECT pool_id,
+    cast(cast(('0x' || substring(md5(pool_id), 1, 15)) as bigint) % 10000 as double)
+        / 100.0 AS pool_price,
+    cast(count(*) as bigint) AS n_rows,
+    {S.dsum('value', DUCK)} AS total_value
+FROM b
+GROUP BY pool_id, pool_price
+ORDER BY pool_id
+"""
+
+
+@register(
+    "lookup_batched_mapinpandas",
+    oracle=_LOOKUP_ORACLE,
+    tags=("lookup", "udf"),
+    doc="S8 Raydium batched lookup (SERVER/combined_subscriber.py:46-55): "
+    "mapInPandas dedupes keys per partition and fetches them in batches of "
+    "16 through an injectable fetch function — here a deterministic "
+    "md5-derived price the DuckDB oracle recomputes in SQL, proving the "
+    "batching/dedup/merge plumbing is value-exact.",
+)
+def lookup_batched_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import lookup_enrich
+
+    base = _events_src(spark, sf_dir, ["user_id", "value"]).select(
+        F.concat(F.lit("pool-"), (F.col("user_id") % 50).cast("string")).alias(
+            "pool_id"
+        ),
+        "value",
+    )
+
+    def fetch(keys: list[str]) -> dict[str, dict]:
+        return {k: {"pool_price": _fake_pool_price(k)} for k in keys}
+
+    enriched = lookup_enrich(base, "pool_id", fetch, "pool_price double", batch_size=16)
+    return (
+        enriched.groupBy("pool_id", "pool_price")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(S.dsum("value", SPARK)).alias("total_value"),
+        )
+        .orderBy("pool_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — size/parse guards over a corpus with known-bad lines
+# ---------------------------------------------------------------------------
+
+
+def _guard_corpus_path() -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"rugpull_guard_corpus_{_GUARD_N}_{_GUARD_MAX_BYTES}"
+    )
+
+
+def _ensure_guard_corpus() -> str:
+    """Deterministic newline-JSON corpus: every 97th line truncated mid-string
+    (corrupt), every 131st padded past the byte cap (oversize), rest valid."""
+    path = _guard_corpus_path()
+    file = os.path.join(path, "docs.jsonl")
+    if os.path.exists(file):
+        return file
+    os.makedirs(path, exist_ok=True)
+    lines = []
+    for i in range(_GUARD_N):
+        if i % 97 == 0:
+            lines.append('{"doc_id": %d, "text": "truncated mid strin' % i)
+        elif i % 131 == 0:
+            lines.append(json.dumps({"doc_id": i, "text": "x" * (_GUARD_MAX_BYTES + 64)}))
+        else:
+            lines.append(json.dumps({"doc_id": i, "text": ("tok-%d " % i) * (1 + i % 7)}))
+    tmp = file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(tmp, file)
+    return file
+
+
+_GUARD_ORACLE = f"""
+WITH raw AS (
+    SELECT line
+    FROM read_csv('{os.path.join(_guard_corpus_path(), "docs.jsonl")}',
+        columns={{'line': 'VARCHAR'}}, delim=chr(1), header=false,
+        quote='', escape='')
+), cls AS (
+    SELECT CASE WHEN length(line) > {_GUARD_MAX_BYTES} THEN 'oversize'
+                WHEN NOT json_valid(line) THEN 'corrupt'
+                ELSE 'ok' END AS status,
+        CASE WHEN json_valid(line)
+             THEN cast(json_extract_string(line, '$.doc_id') as bigint) END AS doc_id
+    FROM raw
+)
+SELECT status, cast(count(*) as bigint) AS n,
+    cast(sum(doc_id) as bigint) AS id_checksum
+FROM cls
+GROUP BY status
+ORDER BY status
+"""
+
+
+@register(
+    "json_size_guard_quarantine",
+    oracle=_GUARD_ORACLE,
+    tags=("source", "guard"),
+    doc="P12 ingestion guards (RECEIVER/parser_main.cpp:92-97): raw lines "
+    "classified BEFORE parsing — oversize by byte cap, corrupt by parse "
+    "failure, ok otherwise — so one bad payload can never fail the job. "
+    "Guard evaluation is a JVM-side projection over spark.read.text; no "
+    "Python in the path.",
+)
+def json_size_guard_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    file = _ensure_guard_corpus()
+    raw = spark.read.text(file)
+    doc_id = F.get_json_object(F.col("value"), "$.doc_id").cast("bigint")
+    status = (
+        F.when(F.length("value") > _GUARD_MAX_BYTES, "oversize")
+        .when(doc_id.isNull(), "corrupt")
+        .otherwise("ok")
+    )
+    return (
+        raw.select(status.alias("status"), doc_id.alias("doc_id"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("status")
+    )
+
+
+# Materialize the guard corpus at import so the oracle runs standalone in a
+# fresh DuckDB process, before (or without) any Spark builder.
+_ensure_guard_corpus()

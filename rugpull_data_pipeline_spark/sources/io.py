@@ -97,15 +97,23 @@ def write_bucketed(
 
 
 def upsert_dimension(
-    spark: SparkSession, updates: DataFrame, dim_path: str, keys: list[str]
+    spark: SparkSession,
+    updates: DataFrame,
+    dim_path: str,
+    keys: list[str],
+    order_by: list[str] | None = None,
 ) -> None:
     """S9/A2: dimension upsert — the Redis SADD/HSET state maintenance
     (SERVER/combined_subscriber.py:86-98) as a keyed last-writer-wins merge
     into a parquet dimension directory.
 
-    New rows win over existing rows on ``keys``. Readers that re-resolve the
-    path per micro-batch (streaming/pipelines.stream_balance_pipeline) see
-    the update on their next batch — the ST5 visibility contract. Writes
+    With ``order_by`` set, the row with the greatest ``order_by`` tuple per
+    key wins — a deterministic merge that is associative across micro-batches
+    (max of maxes = global max), so any batch arrival order converges to the
+    same dimension. Without it, new rows win over existing rows on ``keys``
+    (arrival-order semantics, the Redis HSET shape). Readers that re-resolve
+    the path per micro-batch (streaming/pipelines.stream_balance_pipeline)
+    see the update on their next batch — the ST5 visibility contract. Writes
     stage to a temp subdir then swap, so a concurrent reader never sees a
     half-written directory. (On a lakehouse this function IS `MERGE INTO`;
     parquet-directory form keeps the repo dependency-free.)
@@ -114,11 +122,23 @@ def upsert_dimension(
     import shutil
     import uuid
 
+    from pyspark.sql import Window
+
+    def dedup(df: DataFrame) -> DataFrame:
+        if order_by is None:
+            return df.dropDuplicates(keys)
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     try:
         existing = spark.read.parquet(dim_path)
-        merged = updates.unionByName(existing).dropDuplicates(keys)
+        merged = dedup(updates.unionByName(existing))
     except Exception:
-        merged = updates.dropDuplicates(keys)
+        merged = dedup(updates)
     staged = merged.cache()
     staged.count()  # materialize before we touch the directory it reads from
     tmp = f"{dim_path}__stage_{uuid.uuid4().hex[:8]}"

@@ -39,20 +39,41 @@ def test_registry_coverage(spark):
 
 def test_driver_window_rotation():
     """The driver verifies the first 50 queries in iteration order. The
-    round-3 rotation must put the domain chain + LLM dedup/similarity core
-    inside that window, and every priority name must really exist."""
+    round-4 rotation must put the never-yet-driver-checked queries (plus
+    round 3's one red row and the new streaming-infra replays) inside that
+    window, and every priority name must really exist."""
     names = list(registry.all_queries())
     unknown = [n for n in registry.DRIVER_PRIORITY if n not in names]
     assert not unknown, f"priority list names unknown queries: {unknown}"
     window = set(names[:50])
     required = {
-        "solana_balance_extract",
-        "solana_rugpull_score",
-        "solana_enriched_report",
-        "dedup_minhash_lsh",
-        "json_extract_agg",
+        "join_range_time_window",
+        "window_lead_range_frame",
+        "kmeans_lloyd_fit",
+        "sim_pq_encode",
+        "stream_dim_upsert_replay",
+        "stream_checkpoint_restart",
+        "stream_watermark_append",
+        "lookup_batched_mapinpandas",
+        "json_size_guard_quarantine",
     }
     assert required <= window, f"missing from driver window: {required - window}"
+    # Round 4 closes the loop: with r2+r3 green retained, every name in the
+    # window must be one that has never had a green CORRECTNESS row.
+    import json as _json
+    import os as _os
+
+    seen = set()
+    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        path = _os.path.join(_os.path.dirname(__file__), "..", fname)
+        if _os.path.exists(path):
+            with open(path) as fh:
+                rows = _json.load(fh)
+            seen |= {k for k, v in rows.items() if v.get("hash_match")}
+    already_green = window & seen
+    assert not already_green, (
+        f"window slots wasted on already-green queries: {sorted(already_green)}"
+    )
 
 
 def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
