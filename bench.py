@@ -63,8 +63,26 @@ def run_noop(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="rugpull-bench")
-    qs = registry.all_queries()
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    # Even session/registry setup failure must still print the JSON line —
+    # an artifact with an error beats a missing artifact.
+    try:
+        spark = get_spark(app_name="rugpull-bench")
+        qs = registry.all_queries()
+    except Exception as exc:  # noqa: BLE001
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": 0.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "errors": {"__setup__": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )
+        raise SystemExit(1)
 
     # Warm up one-time session costs so measured numbers reflect operator
     # cost: JVM codegen + parquet footers (q01), broadcast-join machinery
@@ -114,7 +132,6 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {
         "metric": "headline_queries_total",
         "value": total,

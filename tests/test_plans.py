@@ -141,3 +141,22 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # agg only
     assert plan.count("Exchange rangepartitioning") == 1  # final sort only
+
+
+def test_size_guard_is_jvm_side(spark):
+    """P12 guard classification must stay a JVM projection over the text
+    scan — no Python evaluation node anywhere, one data shuffle (the agg)."""
+    plan = _plan(spark, "json_size_guard_quarantine")
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_node not in plan, f"guard fell off the JVM path: {py_node}"
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lookup_enrich_prunes_columns_into_python(spark):
+    """S8 lookup: only the key and value columns may cross the Arrow
+    boundary — the scan must be pruned to exactly the two columns the
+    enrichment needs, with MapInPandas directly above it."""
+    plan = _plan(spark, "lookup_batched_mapinpandas")
+    assert "MapInPandas" in plan
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in plan
