@@ -16,8 +16,9 @@ and several columns (``l_shipmode``, ``l_commitdate``, ``l_receiptdate``,
 What matters is the *optimizer shape* each query exercises — correlated scalar
 subqueries (q2, q17), two-role dimension joins (q7, q8), 5-way star joins
 (q8, q9), HAVING vs a global scalar (q11), null-aware NOT IN anti join (q16),
-disjunctive multi-column pushdown (q19), EXISTS + NOT EXISTS decorrelation
-(q21), and uncorrelated-scalar + anti-join (q22). Every query is a dialect
+disjunctive multi-column pushdown (q19), nested IN + correlated scalar agg
+(q20), EXISTS + NOT EXISTS decorrelation (q21), and uncorrelated-scalar +
+anti-join (q22) — all 22 shapes are registered. Every query is a dialect
 template, so the Spark text and DuckDB oracle cannot drift.
 
 Scale notes (100 TB):
@@ -353,6 +354,53 @@ _pair(
     "Catalyst extracts the common single-table residuals (brand IN-list on "
     "part, quantity range on lineitem) below the join; the full disjunction "
     "remains as the join filter.",
+)
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant promo-part suppliers (nested IN + correlated scalar agg)
+# --------------------------------------------------------------------------
+
+
+def _q20(d: str) -> str:
+    # Adapted: no partsupp/ps_availqty in the fixtures, so "has excess
+    # stock of a promo part" becomes "shipped more than half of a promo
+    # part's recent volume" — same optimizer shape: IN(subquery) nesting an
+    # IN(dim filter) and a correlated scalar aggregate on the join key.
+    # Quantity sums stay decimal(38,6) end-to-end so the >-threshold compare
+    # is exact integer arithmetic in both engines (no double rounding at the
+    # boundary).
+    return """
+    WITH by_supp AS (
+        SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+            sum(cast(l_quantity as decimal(38,6))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT b.suppkey FROM by_supp b
+        WHERE b.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND b.qty * 2 > (
+              SELECT sum(t.qty) FROM by_supp t WHERE t.partkey = b.partkey
+          )
+    )
+    ORDER BY s_suppkey
+    """
+
+
+_pair(
+    "q20_potential_promotion",
+    _q20,
+    tags=("relational", "subquery"),
+    doc="TPC-H Q20 shape: suppliers dominating a promo part's recent "
+    "volume — IN over a grouped fact CTE, nested IN over the part dim, and "
+    "a correlated scalar aggregate that decorrelates to a grouped agg on "
+    "the correlation key joined back via broadcast. Catalyst inlines the "
+    "CTE (two pruned fact scans); at 100 TB, materialize by_supp once "
+    "(cache/checkpoint) to pay the grouped shuffle a single time.",
 )
 
 
