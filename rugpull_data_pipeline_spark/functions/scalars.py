@@ -195,3 +195,23 @@ def arr_join(expr: str, sep: str = "' '", d: str = SPARK) -> str:
     if d == SPARK:
         return f"array_join({expr}, {sep})"
     return f"array_to_string({expr}, {sep})"
+
+
+def arr_slice(expr: str, start: str, length: str, d: str = SPARK) -> str:
+    """1-based array slice of ``length`` elements starting at ``start``.
+
+    Spark: slice(arr, start, length). DuckDB: arr[start : start+length-1]
+    (inclusive bounds). Both clamp past-the-end instead of erroring."""
+    if d == SPARK:
+        return f"slice({expr}, {start}, {length})"
+    return f"({expr})[({start}) : (({start}) + ({length}) - 1)]"
+
+
+def explode_seq(var: str, lo: str, hi: str, d: str = SPARK) -> str:
+    """Lateral clause producing one row per integer in [lo, hi] as ``var``.
+
+    Append after a FROM item: Spark LATERAL VIEW explode(sequence(..)),
+    DuckDB unnest(range(..)) (range is end-exclusive, hence the +1)."""
+    if d == SPARK:
+        return f"LATERAL VIEW explode(sequence({lo}, {hi})) t_{var} AS {var}"
+    return f", unnest(range(({lo}), ({hi}) + 1)) AS t_{var}({var})"

@@ -1,0 +1,338 @@
+"""Round-4 pipeline operators: sliding-window document chunking, tolerance
+as-of (nearest-event) joins, small-file compaction planning, and the combined
+IVF+PQ (IVFADC) approximate-nearest-neighbor query.
+
+Capability uplift mandated by BASELINE.json ("dedup, similarity search,
+multimodal columns, text analysis") plus lakehouse-maintenance surface; no
+reference counterpart — the reference pipeline stops at per-block extraction
+(RECEIVER/stage2_processing.cpp:149-434) and never chunks, packs, or indexes
+its corpus.
+
+Scale notes:
+- Chunking is a map-only fan-out (explode over a per-row integer sequence):
+  zero joins, zero aggregate shuffles — it scales with scan bandwidth, and
+  the REPARTITION hint spreads the fan-out when the input arrives in few
+  splits (same rationale as llm_ops' shingle generator).
+- The tolerance as-of join buckets both sides on floor(epoch/tol) and
+  explodes the probe side to its 3 neighbor buckets — candidates meet in an
+  EQUI-join on (user, bucket), never a range/nested-loop join, and the exact
+  |Δt| ≤ tol predicate plus an argmin window run on the tiny candidate set.
+  Same family as join_range_time_window (plans/advanced.py), but returning
+  THE nearest match per probe row — the feature-engineering as-of form.
+- Compaction planning is a metadata problem: the "file list" is orders of
+  magnitude smaller than the data, and the greedy first-fit binning is one
+  window cumsum PARTITIONED BY the table partition (day) — every partition
+  plans in parallel, nothing global.
+- IVFADC: the coarse quantizer routes each query to one inverted list via a
+  broadcast centroid probe; candidates are fetched by EQUI-join on the list
+  id; the fine distance needs only the 4-byte PQ codes plus a 32-row
+  codebook lookup (broadcast hash join on (code, subspace)) — the plan that
+  keeps billion-vector search RAM-resident. All distances in exact fixed-
+  point integers so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk
+_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def _chunk_sliding(d: str) -> str:
+    tk = S.split_ws("text", d)
+    hint = "/*+ REPARTITION */ " if d == SPARK else ""
+    n1 = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_STRIDE), d)
+    lateral = S.explode_seq("i", "0", n1, d)
+    ck = S.arr_slice("tk", f"i * {_STRIDE} + 1", str(_CHUNK), d)
+    return f"""
+    WITH toks AS (
+        SELECT {hint}doc_id, {tk} AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id, {ck} AS ck
+        FROM toks {lateral}
+    )
+    SELECT doc_id, cast(chunk_id as int) AS chunk_id,
+        cast({S.arr_len('ck', d)} as int) AS chunk_len,
+        {S.portable_hash64(S.arr_join('ck', "' '", d), d)} AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """
+
+
+_pair(
+    "text_chunk_sliding",
+    _chunk_sliding,
+    tags=("text",),
+    doc="Sliding-window chunking: each document's token stream is cut into "
+    f"{_CHUNK}-token chunks every {_STRIDE} tokens ({_CHUNK - _STRIDE}-token "
+    "overlap) — the sequence-preparation step in front of every training "
+    "run. Map-only explode over a per-row index sequence: no joins, no agg "
+    "shuffle; scales with scan bandwidth. Chunk identity is the portable "
+    "60-bit content hash, so downstream chunk-level dedup composes directly.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Tolerance as-of join (nearest event within ±tol, per key)
+# ---------------------------------------------------------------------------
+
+_TOL_S = 900  # seconds
+
+
+def _asof_tolerance(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    b = S.idiv("e", str(_TOL_S), d)
+    lateral = S.explode_seq("off", "-1", "1", d)
+    return f"""
+    WITH l AS (
+        SELECT user_id, event_id, {e} AS e FROM events
+        WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, event_id, {e} AS e FROM events
+        WHERE event_type = 'purchase'
+    ),
+    lb AS (
+        SELECT user_id, event_id, e, {b} + off AS b FROM l {lateral}
+    ),
+    rb AS (SELECT user_id, event_id, e, {b} AS b FROM r),
+    cand AS (
+        SELECT lb.user_id, lb.event_id AS click_id,
+            rb.event_id AS purchase_id, abs(lb.e - rb.e) AS dt_s
+        FROM lb JOIN rb
+            ON lb.user_id = rb.user_id AND lb.b = rb.b
+        WHERE abs(lb.e - rb.e) <= {_TOL_S}
+    )
+    SELECT user_id, click_id, purchase_id, cast(dt_s as bigint) AS dt_s
+    FROM (
+        SELECT user_id, click_id, purchase_id, dt_s,
+            row_number() OVER (
+                PARTITION BY click_id ORDER BY dt_s, purchase_id
+            ) AS rn
+        FROM cand
+    ) x
+    WHERE rn = 1
+    ORDER BY click_id
+    """
+
+
+_pair(
+    "join_asof_tolerance",
+    _asof_tolerance,
+    tags=("join", "temporal"),
+    doc="Tolerance as-of join: every click matched to its NEAREST purchase "
+    f"by the same user within ±{_TOL_S} s (ties broken on event id) — the "
+    "as-of form feature stores run. Both sides bucket on floor(epoch/tol); "
+    "the probe side explodes to its 3 neighbor buckets so every candidate "
+    "pair meets in an EQUI-join on (user_id, bucket) — never a range or "
+    "nested-loop join — and a per-probe argmin window picks the winner. A "
+    "purchase owns exactly one bucket, so no candidate duplicates exist by "
+    "construction.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+_TARGET_BYTES = 4096  # target compacted file size (fixture-scaled)
+_ROW_BYTES = 64  # estimated bytes per row
+
+
+def _compaction_plan(d: str) -> str:
+    day = S.fmt_date("ts", d)
+    bin_ = S.idiv("cum - bytes", str(_TARGET_BYTES), d)
+    slot = S.idiv("hour(ts)", "3", d)
+    return f"""
+    WITH files AS (
+        SELECT {day} AS day, {slot} AS slot,
+            cast(count(*) * {_ROW_BYTES} as bigint) AS bytes
+        FROM events
+        GROUP BY {day}, {slot}
+    ),
+    packed AS (
+        SELECT day, slot, bytes,
+            sum(bytes) OVER (
+                PARTITION BY day ORDER BY slot
+                ROWS UNBOUNDED PRECEDING
+            ) AS cum
+        FROM files
+    )
+    SELECT day, cast({bin_} as int) AS bin,
+        cast(count(*) as int) AS n_files,
+        {S.isum('bytes', d)} AS bin_bytes,
+        cast(min(slot) as int) AS first_slot,
+        cast(max(slot) as int) AS last_slot
+    FROM packed
+    GROUP BY day, cast({bin_} as int)
+    ORDER BY day, bin
+    """
+
+
+_pair(
+    "layout_compaction_plan",
+    _compaction_plan,
+    tags=("layout",),
+    doc="Small-file compaction planner (the OPTIMIZE planning step): "
+    "per-partition file statistics (here one 'file' per 3-hour write slot, "
+    "size estimated from row counts) are greedily first-fit binned into "
+    f"~{_TARGET_BYTES}-byte target files via a window cumsum PARTITIONED BY "
+    "the table partition — every partition plans independently and in "
+    "parallel, and the input is file METADATA, orders of magnitude smaller "
+    "than the data, so the plan step costs nothing at 100 TB.",
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined ANN query (IVFADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (64-dim fixture embeddings)
+_PQ_K = 8  # codebook entries per subspace
+_TOPK = 10
+
+
+def _emb_dims(d: str, where: str = "") -> str:
+    # Same per-element expansion as llm_ops._emb_dims (double-valued; used
+    # only for the coarse-quantizer probe, which mirrors sim_cosine_ivf).
+    if d == SPARK:
+        return (
+            "SELECT vec_id, label, pos + 1 AS dim, cast(col as double) AS v "
+            "FROM (SELECT /*+ REPARTITION */ vec_id, label, embedding "
+            f"FROM embeddings {where}) e "
+            "LATERAL VIEW posexplode(embedding) t AS pos, col"
+        )
+    return (
+        "SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS v "
+        f"FROM embeddings {where}, unnest(range(1, len(embedding) + 1)) AS t(i)"
+    )
+
+
+def _ivfpq_topk(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        sub = f"slice(v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+        lateral = f"LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS s"
+        l2_pc = (
+            "aggregate(zip_with(p.pv, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+        l2_qc = (
+            "aggregate(zip_with(q.qv, c.cv, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+    else:
+        sub = f"v[s * {_PQ_DSUB} + 1 : (s + 1) * {_PQ_DSUB}]"
+        lateral = f", unnest(range(0, {_PQ_M})) t(s)"
+        l2_pc = (
+            "cast(list_sum(list_transform(list_zip(p.pv, c.cv), "
+            "e -> (e[1] - e[2]) * (e[1] - e[2]))) as bigint)"
+        )
+        l2_qc = (
+            "cast(list_sum(list_transform(list_zip(q.qv, c.cv), "
+            "e -> (e[1] - e[2]) * (e[1] - e[2]))) as bigint)"
+        )
+    return f"""
+    WITH iv AS (SELECT vec_id, label, {iv} AS v FROM embeddings),
+    pv AS (
+        SELECT vec_id, label, s, {sub} AS pv FROM iv {lateral}
+    ),
+    cb AS (
+        SELECT vec_id AS cid, s, {sub} AS cv FROM iv {lateral.replace(' t AS ', ' tc AS ') if d == SPARK else lateral}
+        WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    code_d AS (
+        SELECT p.vec_id, p.label, p.s, c.cid, {l2_pc} AS d2
+        FROM pv p JOIN cb c ON p.s = c.s
+    ),
+    codes AS (
+        SELECT vec_id, label, s, cid FROM (
+            SELECT vec_id, label, s, cid,
+                row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM code_d
+        ) x WHERE rn = 1
+    ),
+    emb_dims AS ({_emb_dims(d)}),
+    centroids AS (
+        SELECT label, dim,
+            cast(sum(cast(v as decimal(38,9))) as double) / count(*) AS c
+        FROM emb_dims GROUP BY label, dim
+    ),
+    q_dims AS (
+        SELECT vec_id AS query_id, dim, v
+        FROM ({_emb_dims(d)}) e WHERE vec_id < 5
+    ),
+    coarse AS (
+        SELECT q.query_id, ct.label,
+            cast(sum(cast((q.v - ct.c) * (q.v - ct.c)
+                as decimal(38,12))) as double) AS d2
+        FROM q_dims q JOIN centroids ct ON q.dim = ct.dim
+        GROUP BY q.query_id, ct.label
+    ),
+    assigned AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                row_number() OVER (
+                    PARTITION BY query_id ORDER BY d2, label) AS rn
+            FROM coarse
+        ) t WHERE rn = 1
+    ),
+    qsub AS (
+        SELECT p.vec_id AS query_id, p.s, p.pv AS qv
+        FROM pv p WHERE p.vec_id < 5
+    ),
+    adist AS (
+        SELECT a.query_id, k.vec_id, k.label,
+            {S.isum('sub_d2', d)} AS ad2
+        FROM assigned a
+        JOIN codes k ON k.label = a.label AND k.vec_id <> a.query_id
+        JOIN (
+            SELECT q.query_id, c.cid, c.s, {l2_qc} AS sub_d2
+            FROM qsub q JOIN cb c ON q.s = c.s
+        ) qc ON qc.query_id = a.query_id
+            AND qc.cid = k.cid AND qc.s = k.s
+        GROUP BY a.query_id, k.vec_id, k.label
+    )
+    SELECT query_id, vec_id, label, ad2, cast(rnk as int) AS rnk
+    FROM (
+        SELECT query_id, vec_id, label, ad2,
+            row_number() OVER (
+                PARTITION BY query_id ORDER BY ad2, vec_id) AS rnk
+        FROM adist
+    ) r
+    WHERE rnk <= {_TOPK}
+    ORDER BY query_id, rnk
+    """
+
+
+_pair(
+    "sim_ivfpq_topk",
+    _ivfpq_topk,
+    tags=("similarity",),
+    doc="IVFADC — the combined IVF + PQ billion-scale ANN query (Jégou et "
+    "al. 2011): the coarse quantizer (label-mean centroids, broadcast) "
+    "routes each query to ONE inverted list; candidates arrive by equi-join "
+    "on the list id; the fine ranking needs only each candidate's "
+    f"{_PQ_M}-byte PQ code plus the {_PQ_M}x{_PQ_K}-entry codebook — the "
+    "asymmetric distance (exact query subvectors vs quantized candidates) "
+    "is computed per (query, code, subspace) once via a broadcast hash join "
+    "on (cid, s), then summed. Exact fixed-point integer math end-to-end, "
+    "so Spark and the DuckDB oracle agree bit-for-bit. At 100 TB the codes "
+    "table is the RAM-resident index (64x smaller than the vectors), "
+    "partitioned by list id; vectors are never touched at query time.",
+)

@@ -198,5 +198,6 @@ def _load_plan_modules() -> None:
     from . import corpus_ops  # noqa: F401
     from . import quality_ops  # noqa: F401
     from . import stream_infra  # noqa: F401
+    from . import pipeline_ops  # noqa: F401
 
     _LOADED = True
