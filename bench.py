@@ -50,6 +50,12 @@ HEADLINE = [
     "events_funnel_stages",
     "text_repetition_score",
     "layout_bucketed_join",
+    # Round-4 pipeline operators: map-only sliding-window chunking, the
+    # bucketed nearest-event (tolerance as-of) join, and the combined
+    # IVF+PQ ANN query (coarse routing + asymmetric code distances).
+    "text_chunk_sliding",
+    "join_asof_tolerance",
+    "sim_ivfpq_topk",
     # ~40 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).

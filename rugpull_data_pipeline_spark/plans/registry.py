@@ -156,6 +156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lookup_batched_mapinpandas",
     "json_size_guard_quarantine",
 )
+# The four round-4 pipeline_ops queries (text_chunk_sliding,
+# join_asof_tolerance, layout_compaction_plan, sim_ivfpq_topk) register
+# behind the full 50-slot window above and rotate in next round.
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

@@ -160,3 +160,44 @@ def test_lookup_enrich_prunes_columns_into_python(spark):
     plan = _plan(spark, "lookup_batched_mapinpandas")
     assert "MapInPandas" in plan
     assert "ReadSchema: struct<user_id:bigint,value:double>" in plan
+
+
+def test_chunking_is_map_only(spark):
+    """Sliding-window chunking must stay a joinless map-side fan-out: one
+    Generate (the explode), zero join operators, and the only exchanges are
+    the explicit REPARTITION hint and the final presentation sort."""
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Generate" in plan
+    for join_node in ("Join", "CartesianProduct"):
+        assert join_node not in plan, f"chunking grew a {join_node}"
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_asof_tolerance_is_equi_join(spark):
+    """The tolerance as-of join must meet candidates through a hash-based
+    EQUI-join on (user_id, bucket) — a nested-loop or cartesian here means
+    the bucketing decomposition was lost and the plan is quadratic."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_plan_reads_only_ts(spark):
+    """The compaction planner aggregates file METADATA — its events scan
+    must be pruned to the single ts column (reading data columns for a
+    planning query would defeat the point at 100 TB)."""
+    plan = _plan(spark, "layout_compaction_plan")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan in plan"
+    assert "ReadSchema: struct<ts:timestamp" in scan_lines[0]
+    assert "props" not in scan_lines[0] and "value" not in scan_lines[0]
+
+
+def test_ivfpq_is_hash_joins_only(spark):
+    """IVFADC: every candidate/codebook meeting is an equi hash join —
+    codes meet queries on the inverted-list id, codebook lookups ride a
+    broadcast on (cid, s). No nested-loop anywhere."""
+    plan = _plan(spark, "sim_ivfpq_topk")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
