@@ -336,3 +336,157 @@ _pair(
     "table is the RAM-resident index (64x smaller than the vectors), "
     "partitioned by list id; vectors are never touched at query time.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level decontamination (train/eval overlap at chunk granularity)
+# ---------------------------------------------------------------------------
+
+_DC_CHUNK = 8  # tokens per decontamination chunk
+_DC_STRIDE = 4
+_EVAL_MAX_DOC = 25  # doc_id < 25 plays the held-out eval set
+
+
+def _chunk_decontaminate(d: str) -> str:
+    tk = S.split_ws("text", d)
+    hint = "/*+ REPARTITION */ " if d == SPARK else ""
+    n1 = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_DC_STRIDE), d)
+    lateral = S.explode_seq("i", "0", n1, d)
+    ck = S.arr_slice("tk", f"i * {_DC_STRIDE} + 1", str(_DC_CHUNK), d)
+    h = S.portable_hash64(S.arr_join("ck", "' '", d), d)
+    return f"""
+    WITH toks AS (
+        SELECT {hint}doc_id, {tk} AS tk FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, {h} AS ck_hash
+        FROM (SELECT doc_id, {ck} AS ck FROM toks {lateral}) c
+    ),
+    ev AS (
+        SELECT DISTINCT ck_hash FROM chunks WHERE doc_id < {_EVAL_MAX_DOC}
+    )
+    SELECT doc_id,
+        cast(count(*) as bigint) AS n_chunks,
+        {S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)}
+            AS n_contaminated,
+        round(cast({S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} as double)
+            / cast(count(*) as double), 6) AS contamination_ratio
+    FROM chunks
+    WHERE doc_id >= {_EVAL_MAX_DOC}
+    GROUP BY doc_id
+    HAVING {S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} > 0
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "dedup_chunk_decontaminate",
+    _chunk_decontaminate,
+    tags=("dedup", "text"),
+    doc="Chunk-level decontamination: training documents are scored by how "
+    f"many of their {_DC_CHUNK}-token sliding chunks (stride {_DC_STRIDE}) "
+    "hash-collide with any chunk of the held-out eval set — the finer-"
+    "grained sibling of doc-level n-gram contamination, catching verbatim "
+    "eval passages embedded inside otherwise-clean documents. The eval "
+    "chunk-hash set is DISTINCT-compressed and meets training chunks "
+    "through a hash semi-join (broadcast at realistic eval sizes); only "
+    "60-bit hashes shuffle, never text.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (user-journey analytics)
+# ---------------------------------------------------------------------------
+
+
+def _transition_matrix(d: str) -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type,
+            lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+        cast(count(*) as bigint) AS n,
+        round(cast(count(*) as double) / cast(sum(count(*)) OVER (
+            PARTITION BY prev_type) as double), 6) AS p
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """
+
+
+_pair(
+    "events_transition_matrix",
+    _transition_matrix,
+    tags=("events", "window"),
+    doc="First-order event-transition matrix (user-journey Markov model): "
+    "per-user event sequences (lag window ordered by event time) reduce to "
+    "(prev, next) transition counts and row-normalized probabilities. One "
+    "shuffle on user_id for the window, one hash aggregation keyed by the "
+    "5x5 transition space, and the normalizing sum is a window over the "
+    "already-tiny aggregated matrix — the per-user sequencing is "
+    "embarrassingly parallel at any user count.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (range join via bucket decomposition)
+# ---------------------------------------------------------------------------
+
+_IV_BUCKET = 3600  # seconds
+_L_LEN = 7200  # signup window length
+_R_LEN = 3600  # error window length
+
+
+def _interval_overlap(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    lat_l = S.explode_seq(
+        "i", S.idiv("a", str(_IV_BUCKET), d), S.idiv("b", str(_IV_BUCKET), d), d
+    )
+    lat_r = S.explode_seq(
+        "j", S.idiv("a", str(_IV_BUCKET), d), S.idiv("b", str(_IV_BUCKET), d), d
+    )
+    return f"""
+    WITH l AS (
+        SELECT user_id, event_id, e AS a, e + {_L_LEN} AS b
+        FROM (SELECT user_id, event_id, {e} AS e FROM events
+              WHERE event_type = 'signup') s
+    ),
+    r AS (
+        SELECT user_id, event_id, e AS a, e + {_R_LEN} AS b
+        FROM (SELECT user_id, event_id, {e} AS e FROM events
+              WHERE event_type = 'error') s
+    ),
+    lb AS (SELECT user_id, event_id, a, b, i FROM l {lat_l}),
+    rb AS (SELECT user_id, event_id, a, b, j FROM r {lat_r}),
+    pairs AS (
+        SELECT DISTINCT lb.user_id, lb.event_id AS signup_id,
+            rb.event_id AS error_id,
+            least(lb.b, rb.b) - greatest(lb.a, rb.a) AS overlap_s
+        FROM lb JOIN rb
+            ON lb.user_id = rb.user_id AND lb.i = rb.j
+        WHERE lb.a < rb.b AND rb.a < lb.b
+    )
+    SELECT user_id, signup_id, error_id, cast(overlap_s as bigint) AS overlap_s
+    FROM pairs
+    ORDER BY signup_id, error_id
+    """
+
+
+_pair(
+    "join_interval_overlap",
+    _interval_overlap,
+    tags=("join", "temporal"),
+    doc="Interval-overlap join (the range-join shape Spark has no native "
+    "operator for): 2-hour signup windows vs 1-hour error windows of the "
+    "same user pair up iff the intervals overlap. Both sides explode to "
+    f"the {_IV_BUCKET}-second buckets they span, candidates meet in an "
+    "EQUI-join on (user_id, bucket) — fan-out is interval_length/bucket "
+    "rows per interval, bounded and tunable — then the exact overlap "
+    "predicate filters and DISTINCT collapses pairs that met in multiple "
+    "shared buckets. The all-to-all range comparison never materializes.",
+)
