@@ -348,11 +348,21 @@ _EVAL_MAX_DOC = 25  # doc_id < 25 plays the held-out eval set
 
 
 def _chunk_decontaminate(d: str) -> str:
+    # Asymmetric strides: training chunks sample on the stride-4 grid (cheap
+    # — corpus-sized), but the eval side indexes EVERY 8-token window
+    # (stride 1 — eval sets are small). With a stride-4 grid on BOTH sides a
+    # shared span whose grid phases differ mod 4 would never collide, no
+    # matter how long; stride-1 eval windows close that blindspot: any
+    # verbatim span of >= chunk + train_stride - 1 tokens is guaranteed to
+    # contain a train-grid chunk, and every such window exists on the eval
+    # side.
     tk = S.split_ws("text", d)
     hint = "/*+ REPARTITION */ " if d == SPARK else ""
-    n1 = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_DC_STRIDE), d)
-    lateral = S.explode_seq("i", "0", n1, d)
-    ck = S.arr_slice("tk", f"i * {_DC_STRIDE} + 1", str(_DC_CHUNK), d)
+    n_tr = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_DC_STRIDE), d)
+    lat_tr = S.explode_seq("i", "0", n_tr, d)
+    ck_tr = S.arr_slice("tk", f"i * {_DC_STRIDE} + 1", str(_DC_CHUNK), d)
+    lat_ev = S.explode_seq("i", "0", f"{S.arr_len('tk', d)} - 1", d)
+    ck_ev = S.arr_slice("tk", "i + 1", str(_DC_CHUNK), d)
     h = S.portable_hash64(S.arr_join("ck", "' '", d), d)
     return f"""
     WITH toks AS (
@@ -360,10 +370,14 @@ def _chunk_decontaminate(d: str) -> str:
     ),
     chunks AS (
         SELECT doc_id, {h} AS ck_hash
-        FROM (SELECT doc_id, {ck} AS ck FROM toks {lateral}) c
+        FROM (SELECT doc_id, {ck_tr} AS ck FROM toks {lat_tr}) c
+        WHERE doc_id >= {_EVAL_MAX_DOC}
     ),
     ev AS (
-        SELECT DISTINCT ck_hash FROM chunks WHERE doc_id < {_EVAL_MAX_DOC}
+        SELECT DISTINCT {h} AS ck_hash
+        FROM (SELECT {ck_ev} AS ck FROM toks {lat_ev}
+              WHERE doc_id < {_EVAL_MAX_DOC}) e
+        WHERE {S.arr_len('ck', d)} = {_DC_CHUNK}
     )
     SELECT doc_id,
         cast(count(*) as bigint) AS n_chunks,
@@ -372,7 +386,6 @@ def _chunk_decontaminate(d: str) -> str:
         round(cast({S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} as double)
             / cast(count(*) as double), 6) AS contamination_ratio
     FROM chunks
-    WHERE doc_id >= {_EVAL_MAX_DOC}
     GROUP BY doc_id
     HAVING {S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} > 0
     ORDER BY doc_id
@@ -384,13 +397,15 @@ _pair(
     _chunk_decontaminate,
     tags=("dedup", "text"),
     doc="Chunk-level decontamination: training documents are scored by how "
-    f"many of their {_DC_CHUNK}-token sliding chunks (stride {_DC_STRIDE}) "
-    "hash-collide with any chunk of the held-out eval set — the finer-"
-    "grained sibling of doc-level n-gram contamination, catching verbatim "
-    "eval passages embedded inside otherwise-clean documents. The eval "
-    "chunk-hash set is DISTINCT-compressed and meets training chunks "
-    "through a hash semi-join (broadcast at realistic eval sizes); only "
-    "60-bit hashes shuffle, never text.",
+    f"many of their {_DC_CHUNK}-token chunks (stride-{_DC_STRIDE} grid) "
+    "hash-collide with ANY 8-token window of the held-out eval set (eval "
+    "indexes at stride 1 — the asymmetry guarantees every verbatim span of "
+    f">= {_DC_CHUNK + _DC_STRIDE - 1} tokens is caught regardless of grid "
+    "phase, where symmetric grids silently miss phase-shifted spans). The "
+    "finer-grained sibling of doc-level n-gram contamination, catching "
+    "verbatim eval passages embedded inside otherwise-clean documents. "
+    "Eval is small, so its DISTINCT stride-1 window-hash set stays "
+    "broadcastable; only 60-bit hashes shuffle, never text.",
 )
 
 

@@ -1,0 +1,180 @@
+"""Edge-semantics unit tests for the round-4 pipeline operators, on tiny
+hand-built frames (oracle parity is covered for every query by
+test_correctness_oracle; these pin the boundary behaviors a hash-compare
+could only reveal indirectly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.scalars import SPARK
+from rugpull_data_pipeline_spark.plans import registry
+from rugpull_data_pipeline_spark.plans.pipeline_ops import (
+    _asof_tolerance,
+    _chunk_decontaminate,
+    _chunk_sliding,
+    _interval_overlap,
+    _transition_matrix,
+)
+
+
+@pytest.fixture
+def hand_views(spark):
+    """Let a test overwrite the registry's temp views with hand data; drop
+    the registry's view cache afterwards so later tests re-register."""
+    yield spark
+    registry._VIEWS_FOR.pop(id(spark), None)
+
+
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        [(eid, t, uid, et) for eid, t, uid, et in rows],
+        "event_id long, t long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def _mk_docs(spark, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+
+
+def test_chunking_boundaries(hand_views):
+    spark = hand_views
+    _mk_docs(
+        spark,
+        [
+            (1, "a b c d e"),  # shorter than one chunk -> single 5-token chunk
+            (2, " ".join(f"t{i}" for i in range(32))),  # exact chunk size
+            (3, " ".join(f"t{i}" for i in range(33))),  # one token past
+        ],
+    )
+    rows = spark.sql(_chunk_sliding(SPARK)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_len)
+    assert by_doc[1] == [5]
+    # n=32: starts at 1 and 25 (stride 24), lengths 32 and 8
+    assert by_doc[2] == [32, 8]
+    assert by_doc[3] == [32, 9]
+    # chunk ids are dense from 0
+    assert [r.chunk_id for r in rows if r.doc_id == 2] == [0, 1]
+
+
+def test_asof_tolerance_semantics(hand_views):
+    spark = hand_views
+    _mk_events(
+        spark,
+        [
+            # user 1: two purchases in range -> nearest (dt=100) wins
+            (10, 1000, 1, "click"),
+            (11, 1899, 1, "purchase"),
+            (12, 1100, 1, "purchase"),
+            # user 2: equidistant tie -> lower purchase id wins
+            (20, 5000, 2, "click"),
+            (21, 4900, 2, "purchase"),
+            (22, 5100, 2, "purchase"),
+            # user 3: exactly at the tolerance boundary -> included
+            (30, 10000, 3, "click"),
+            (31, 10900, 3, "purchase"),
+            # user 4: one second past tolerance -> excluded
+            (40, 20000, 4, "click"),
+            (41, 20901, 4, "purchase"),
+            # user 5: nearest match sits across a bucket boundary
+            (50, 899, 5, "click"),
+            (51, 901, 5, "purchase"),
+        ],
+    )
+    got = {r.click_id: (r.purchase_id, r.dt_s) for r in spark.sql(
+        _asof_tolerance(SPARK)
+    ).collect()}
+    assert got[10] == (12, 100)
+    assert got[20] == (21, 100)
+    assert got[30] == (31, 900)
+    assert 40 not in got
+    assert got[50] == (51, 2)
+
+
+def test_interval_overlap_semantics(hand_views):
+    spark = hand_views
+    _mk_events(
+        spark,
+        [
+            # user 1: error starts exactly when signup window ends -> NO pair
+            (10, 0, 1, "signup"),
+            (11, 7200, 1, "error"),
+            # user 2: 1-second overlap at the tail
+            (20, 0, 2, "signup"),
+            (21, 7199, 2, "error"),
+            # user 3: error fully inside the signup window, AND the pair
+            # shares two buckets -> must appear exactly once (DISTINCT)
+            (30, 0, 3, "signup"),
+            (31, 3000, 3, "error"),
+        ],
+    )
+    rows = spark.sql(_interval_overlap(SPARK)).collect()
+    got = {(r.signup_id, r.error_id): r.overlap_s for r in rows}
+    assert (10, 11) not in got
+    assert got[(20, 21)] == 1
+    assert got[(30, 31)] == 3600
+    assert len(rows) == 2  # no duplicate from the shared-bucket meeting
+
+
+def test_transition_matrix_rows_normalize(hand_views):
+    spark = hand_views
+    _mk_events(
+        spark,
+        [
+            # user 1: view -> click -> view -> purchase
+            (1, 100, 1, "view"),
+            (2, 200, 1, "click"),
+            (3, 300, 1, "view"),
+            (4, 400, 1, "purchase"),
+            # user 2: view -> click
+            (5, 100, 2, "view"),
+            (6, 200, 2, "click"),
+        ],
+    )
+    rows = spark.sql(_transition_matrix(SPARK)).collect()
+    got = {(r.prev_type, r.next_type): (r.n, r.p) for r in rows}
+    # transitions: (view,click) x2, (click,view) x1, (view,purchase) x1
+    assert got[("view", "click")][0] == 2
+    assert got[("view", "click")][1] == pytest.approx(2 / 3)
+    assert got[("view", "purchase")][1] == pytest.approx(1 / 3)
+    assert got[("click", "view")] == (1, 1.0)
+    # each prev row's probabilities sum to 1
+    sums = {}
+    for (prev, _nxt), (_n, p) in got.items():
+        sums[prev] = sums.get(prev, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_chunk_decontaminate_flags_embedded_eval_span(hand_views):
+    spark = hand_views
+    eval_span = " ".join(f"e{i}" for i in range(8))
+    _mk_docs(
+        spark,
+        [
+            # eval doc: span deliberately OFF the stride-4 grid (starts at
+            # token 2) — the stride-1 eval indexing must still catch it
+            (1, "p1 " + eval_span + " s1 s2 s3 s4"),
+            # train doc 30 embeds the eval span verbatim mid-document,
+            # aligned to the stride-4 grid (position 5 -> chunk start 5)
+            (30, "x1 x2 x3 x4 " + eval_span + " y1 y2 y3 y4"),
+            (40, " ".join(f"z{i}" for i in range(16))),  # clean train doc
+        ],
+    )
+    rows = spark.sql(_chunk_decontaminate(SPARK)).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert 30 in by_doc and by_doc[30].n_contaminated >= 1
+    assert 40 not in by_doc
+    r = by_doc[30]
+    assert 0 < r.contamination_ratio <= 1.0
+    assert r.n_contaminated <= r.n_chunks
