@@ -420,16 +420,19 @@ def stream_session_windows(spark, sf_dir):
         )
     )
     name = "sess_win_sink_" + os.path.basename(src_dir)[-8:]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="rugpull_sess_ckpt_"),
+    from .stream_infra import _state_partitions
+
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="rugpull_sess_ckpt_"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")

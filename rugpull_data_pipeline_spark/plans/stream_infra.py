@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,6 +79,30 @@ def _write_slices(df: DataFrame, path: str, n: int, slice_col: str = "event_id")
 def _run_available_now(writer) -> None:
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination(300)
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Pin the state-store partition count for a stateful replay.
+
+    Streaming state partitioning is fixed by ``spark.sql.shuffle.partitions``
+    at FIRST checkpoint creation and AQE never coalesces it — in a session
+    that keeps the 200 default, a replay over a few thousand keys would run
+    200 state tasks per micro-batch. Production sizes this knob to the
+    cluster; the replays pin a small count to match their key space. The
+    session value is restored afterwards (batch queries are unaffected
+    either way — AQE re-coalesces those)."""
+    old = None
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:  # pragma: no cover
+        pass
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # ---------------------------------------------------------------------------
@@ -370,12 +395,15 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events")
     )
     name = "wm_append_sink_" + os.path.basename(src_dir)[-8:]
-    _run_available_now(
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="rugpull_wm_ckpt_"))
-    )
+    with _state_partitions(spark):
+        _run_available_now(
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_wm_ckpt_")
+            )
+        )
     # The sentinel's own (still-open) window never emits; every real window
     # is past the final watermark and appears exactly once.
     return spark.table(name).orderBy("window_start")
@@ -531,3 +559,81 @@ def json_size_guard_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Materialize the guard corpus at import so the oracle runs standalone in a
 # fresh DuckDB process, before (or without) any Spark builder.
 _ensure_guard_corpus()
+
+
+# ---------------------------------------------------------------------------
+# A2 streaming form — cross-batch exact dedup (dropDuplicates + watermark)
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+SELECT user_id,
+    cast(count(*) as bigint) AS n_events,
+    {S.dsum('value', DUCK)} AS sum_value
+FROM events WHERE event_type = 'view'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle=_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="A2's streaming form as a driver-verifiable replay: 'view' events "
+    "are replayed in 4 paced micro-batches with every third event_id "
+    "DUPLICATED into the final batch — so duplicate pairs straddle batch "
+    "boundaries and only keyed dedup STATE can remove them. The stream "
+    "runs withWatermark + dropDuplicates(event_id) into an append parquet "
+    "sink; the result must equal the plain batch aggregate over the "
+    "original (duplicate-free) events — stream ≡ batch under cross-batch "
+    "duplication. The replay's watermark delay exceeds the replay horizon "
+    "so eviction provably cannot race the late duplicates; in production "
+    "the same delay knob bounds state to the out-of-orderness window, "
+    "keeping state O(keys within the watermark), not O(stream).",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .where(F.col("event_type") == "view")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_sdedup_src_")
+    # Originals land in files 1-3 (non-multiples sliced into 2, multiples of
+    # 3 as the 3rd); the SAME multiples-of-3 rows append again as the 4th
+    # file, so every duplicate arrives in a LATER micro-batch than its
+    # original (maxFilesPerTrigger=1 => one file per batch, in file order).
+    _write_slices(src.where(F.col("event_id") % 3 != 0), src_dir, 2)
+    src.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    src.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_sdedup_out_"), "rows")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicates(["event_id"])
+    with _state_partitions(spark):
+        _run_available_now(
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_sdedup_ckpt_")
+            )
+            .outputMode("append")
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
