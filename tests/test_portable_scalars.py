@@ -75,3 +75,53 @@ def test_portable_hash64_seeded_families_cross_engine(spark, text):
     drow = con.execute(f"SELECT {dexprs} FROM t").fetchone()
     assert (row["h0"], row["h1"]) == drow
     assert row["h0"] != row["h1"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(0, 99), min_size=0, max_size=20),
+    st.integers(1, 25),
+    st.integers(1, 12),
+)
+def test_arr_slice_cross_engine(spark, xs, start, length):
+    """arr_slice must clamp identically in both engines at every boundary:
+    start past the end, slice running off the tail, empty arrays."""
+    arr_sql = "array(" + ", ".join(str(x) for x in xs) + ")" if xs else "array()"
+    spark_expr = S.arr_slice(f"cast({arr_sql} as array<int>)", str(start), str(length), SPARK)
+    got = spark.sql(f"SELECT {spark_expr} AS v").collect()[0]["v"]
+    duck_arr = "[" + ", ".join(str(x) for x in xs) + "]"
+    duck_expr = S.arr_slice(f"{duck_arr}::INT[]", str(start), str(length), DUCK)
+    want = duckdb.connect().execute(f"SELECT {duck_expr}").fetchone()[0]
+    assert list(got or []) == list(want or []) == xs[start - 1 : start - 1 + length]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.integers(-3, 3), st.integers(-1, 6))
+def test_explode_seq_cross_engine(spark, lo, span):
+    """explode_seq must produce the identical inclusive integer range in
+    both dialects (DuckDB's range() is end-exclusive — the helper papers
+    over that; a negative span means an empty range in... neither engine:
+    sequence(a, b) with b < a counts DOWN in Spark, so the helper is only
+    ever called with lo <= hi — pin that contract here)."""
+    hi = lo + max(span, 0)
+    got = [
+        r["i"]
+        for r in spark.sql(
+            f"SELECT i FROM (SELECT 1 AS x) t {S.explode_seq('i', str(lo), str(hi), SPARK)} ORDER BY i"
+        ).collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT i FROM (SELECT 1 AS x) t {S.explode_seq('i', str(lo), str(hi), DUCK)} ORDER BY i")
+        .fetchall()
+    ]
+    assert got == want == list(range(lo, hi + 1))
