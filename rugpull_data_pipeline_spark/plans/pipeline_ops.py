@@ -505,3 +505,51 @@ _pair(
     "predicate filters and DISTINCT collapses pairs that met in multiple "
     "shared buckets. The all-to-all range comparison never materializes.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) over irregular samples
+# ---------------------------------------------------------------------------
+
+
+def _twap_irregular(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    return f"""
+    WITH samples AS (
+        SELECT event_type, value, {e} AS t,
+            lead({e}) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+            ) AS t_next
+        FROM events
+    ),
+    held AS (
+        SELECT event_type, value, t_next - t AS held_s
+        FROM samples WHERE t_next IS NOT NULL
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n_intervals,
+        {S.isum('held_s', d)} AS span_s,
+        round(cast(sum(cast(value * held_s as decimal(38,6))) as double)
+            / cast(sum(held_s) as double), 6) AS twap
+    FROM held
+    WHERE held_s > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_twap_irregular",
+    _twap_irregular,
+    tags=("window", "temporal"),
+    doc="Time-weighted average over IRREGULARLY-sampled series (the price "
+    "form the reference's poller produces — SERVER/priceAPIfiller.py "
+    "samples each pair round-robin at uneven effective intervals): each "
+    "sample is held until the next one arrives (lead window), and the mean "
+    "weights each value by its holding time — the estimator that is "
+    "unbiased under irregular sampling where a plain avg() over-weights "
+    "bursts. One window shuffle on the series key, then a hash aggregation "
+    "with decimal-exact weighted sums (order-independent at any "
+    "parallelism). Zero-length holds are dropped, not zero-weighted, so "
+    "duplicate-timestamp samples cannot divide by zero.",
+)
