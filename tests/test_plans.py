@@ -201,3 +201,43 @@ def test_ivfpq_is_hash_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_shuffle(spark):
+    """Runtime bloom-filter join pruning (AQE runtime filters): a selective
+    predicate on one join side must inject a might_contain(bloom) filter on
+    the OTHER side's scan, cutting the fact shuffle before it happens — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling the matching fraction. The engine config has the feature
+    on by default; the size thresholds are lowered here because the gate is
+    byte-based and fixtures are small. Conf is restored afterwards."""
+    restore = {}
+    lowered = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the non-broadcast path
+    }
+    for k, v in lowered.items():
+        restore[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        from rugpull_data_pipeline_spark.sources.tables import register_views
+
+        register_views(spark, SF)
+        plan = (
+            spark.sql(
+                """
+                SELECT l_orderkey, l_extendedprice, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+                """
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, "runtime bloom filter was not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
