@@ -29,18 +29,32 @@ def get_spark(
     cluster the master URL comes from spark-submit and these local settings
     are inert.
     """
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # local[N] runs every task inside the driver JVM; the 1g default heap
+    # that is fine for a cluster driver starves N concurrent task threads
+    # (shuffle + aggregation buffers scale with parallelism). Size it to the
+    # thread count, bounded so small CI boxes still start. Only effective
+    # when this process launches the JVM — an externally created session
+    # keeps its own sizing (tune_session never touches static conf).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{min(max(cpus // 2, 4), 16)}g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its true default deliberately: measured
+        # here, size-first coalescing (false) serialized the CPU-dense
+        # small-bytes stages (shingle joins: 2.2 s -> 4.1 s) — fixture-scale
+        # shuffles are tiny in bytes but heavy per row, exactly the case the
+        # parallelism floor exists for.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
