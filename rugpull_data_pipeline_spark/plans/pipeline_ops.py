@@ -381,13 +381,17 @@ def _chunk_decontaminate(d: str) -> str:
     )
     SELECT doc_id,
         cast(count(*) as bigint) AS n_chunks,
-        {S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)}
-            AS n_contaminated,
-        round(cast({S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} as double)
+        {S.isum('hit', d)} AS n_contaminated,
+        round(cast({S.isum('hit', d)} as double)
             / cast(count(*) as double), 6) AS contamination_ratio
-    FROM chunks
+    FROM (
+        SELECT doc_id,
+            CASE WHEN ck_hash IN (SELECT ck_hash FROM ev)
+                 THEN 1 ELSE 0 END AS hit
+        FROM chunks
+    ) flagged
     GROUP BY doc_id
-    HAVING {S.isum(f'CASE WHEN ck_hash IN (SELECT ck_hash FROM ev) THEN 1 ELSE 0 END', d)} > 0
+    HAVING {S.isum('hit', d)} > 0
     ORDER BY doc_id
     """
 
