@@ -557,3 +557,92 @@ _pair(
     "parallelism). Zero-length holds are dropped, not zero-weighted, so "
     "duplicate-timestamp samples cannot divide by zero.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling (quality-score-driven data selection)
+# ---------------------------------------------------------------------------
+
+
+def _importance_sample(d: str) -> str:
+    toks = S.split_ws("text", d)
+    n = S.arr_len(toks, d)
+    nd = S.arr_len(S.arr_distinct(toks, d), d)
+    h = S.portable_hash64("cast(doc_id as string)", d, seed="'imp-sample'")
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            cast({nd} as double) / cast({n} as double) AS q,
+            {h} % 1000000 AS u
+        FROM documents
+        WHERE {n} > 0
+    )
+    SELECT doc_id, lang,
+        round(q, 6) AS quality,
+        cast(u as bigint) AS draw
+    FROM scored
+    WHERE u < cast(floor(q * q * 1000000) as bigint)
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "sample_importance_weighted",
+    _importance_sample,
+    tags=("text", "sample"),
+    doc="Importance-weighted data selection: each document's keep "
+    "probability is q^2 where q is its lexical-diversity quality score "
+    "(distinct/total tokens) — higher-quality documents survive "
+    "preferentially, the DataComp/DsDm-style quality-weighted selection "
+    "step between scoring and training. The draw is the seeded portable "
+    "hash of the doc id against an integer threshold: deterministic, "
+    "reproducible at any parallelism, zero shuffles (map-only decision), "
+    "and exactly mirrored by the oracle because the comparison is pure "
+    "integer math.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+
+def _mad_outliers(d: str) -> str:
+    med = "percentile(value, 0.5)" if d == SPARK else "quantile_cont(value, 0.5)"
+    mad = "percentile(ad, 0.5)" if d == SPARK else "quantile_cont(ad, 0.5)"
+    return f"""
+    WITH med AS (
+        SELECT event_type, {med} AS m FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.m) AS ad, m.m
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, {mad} AS mad_v FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+        round(max(d.m), 6) AS med,
+        round(max(md.mad_v), 6) AS mad,
+        {S.isum('CASE WHEN d.ad > 3 * 1.4826 * md.mad_v THEN 1 ELSE 0 END', d)}
+            AS n_outliers,
+        cast(count(*) as bigint) AS n
+    FROM dev d JOIN mad md ON d.event_type = md.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """
+
+
+_pair(
+    "agg_mad_outliers",
+    _mad_outliers,
+    tags=("agg", "quality"),
+    doc="Robust outlier detection via median absolute deviation: per-group "
+    "exact median, then the median of absolute deviations, flagging values "
+    "beyond 3 x 1.4826 x MAD (the normal-consistency scaling) — the "
+    "breakdown-resistant sibling of the z-score filter, immune to the "
+    "outliers it hunts. Two grouped exact-percentile aggregations plus two "
+    "broadcast joins of the tiny per-group statistics back onto the "
+    "stream; medians use the same engine-identical linear interpolation "
+    "the percentile family already proved.",
+)
