@@ -152,3 +152,51 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_stub: bool = True)
 
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)
+
+
+def resize_blobs(df: DataFrame, target_bytes: int = 32, use_stub: bool = True) -> DataFrame:
+    """Image-resize plumbing: blob in, smaller blob out (mapInPandas).
+
+    The stub 'resample' keeps every k-th byte (k = ceil(n/target)) — the
+    byte-domain analogue of nearest-neighbor downsampling — so the output
+    payload is deterministic and the DuckDB oracle can reproduce it
+    character-for-character. A real kernel (PIL.Image.resize) drops in
+    behind the same schema: (doc_id, out_bytes, resized_hash), payload
+    hashed rather than carried so downstream stages never shuffle media.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_bytes", T.IntegerType()),
+            T.StructField("resized_hash", T.StringType()),
+        ]
+    )
+
+    def _resize(payload: bytes) -> tuple[int, str]:
+        if len(payload) == 0:
+            return 0, hashlib.md5(b"").hexdigest()
+        k = max(1, -(-len(payload) // target_bytes))  # ceil div
+        r = payload[::k]
+        return len(r), hashlib.md5(r).hexdigest()
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this container; "
+                    "run with use_stub=True"
+                )
+            out = pdf["blob"].map(_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": out.map(lambda t: t[0]),
+                    "resized_hash": out.map(lambda t: t[1]),
+                }
+            )
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)

@@ -177,3 +177,49 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("fname")
     )
 
+
+
+# --- image-resize plumbing (byte-domain nearest-neighbor stub) --------------
+
+_RESIZE_TARGET = 32
+
+_RESIZE_ORACLE = f"""
+WITH k AS (
+    SELECT doc_id, text, length(text) AS ln,
+        greatest(cast(ceil(length(text) / {_RESIZE_TARGET}.0) as bigint), 1)
+            AS step
+    FROM documents
+),
+px AS (
+    SELECT doc_id, i, substring(text, cast(i as int), 1) AS ch
+    FROM k, unnest(range(1, ln + 1, step)) AS t(i)
+)
+SELECT doc_id,
+    cast(count(*) as int) AS out_bytes,
+    md5(string_agg(ch, '' ORDER BY i)) AS resized_hash
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "multimodal_resize_batch",
+    oracle=_RESIZE_ORACLE,
+    tags=("multimodal", "udf"),
+    doc="Image-resize plumbing: blob in, downsampled blob out via "
+    "Arrow-batched mapInPandas (stub kernel keeps every k-th byte, "
+    "k = ceil(n/target) — the byte-domain analogue of nearest-neighbor "
+    "resampling; a real PIL kernel drops in behind the same schema). The "
+    "DuckDB oracle reproduces the resample character-for-character, so "
+    "the batch shape, partition-parallel fan-out, and payload handling "
+    "are verified bit-for-bit; output carries the hash, not the media, so "
+    "downstream stages never shuffle blobs.",
+)
+def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import resize_blobs
+
+    docs = spark.table("documents")
+    return resize_blobs(
+        attach_blob_column(docs), target_bytes=_RESIZE_TARGET
+    ).orderBy("doc_id")

@@ -91,3 +91,29 @@ def test_sample_frames_flatmap_shape(spark, sf_dir):
         got = [r for r in frames if r.doc_id == doc_id]
         assert len(got) == expect
         assert sorted(r.frame_idx for r in got) == list(range(expect))
+
+
+def test_resize_blobs_target_and_determinism(spark, sf_dir):
+    from rugpull_data_pipeline_spark.multimodal.columns import resize_blobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    blobs = attach_blob_column(docs)
+    a = {r.doc_id: (r.out_bytes, r.resized_hash) for r in resize_blobs(blobs).collect()}
+    b = {r.doc_id: (r.out_bytes, r.resized_hash) for r in resize_blobs(blobs).collect()}
+    assert a == b
+    n_bytes = {r.doc_id: r.n_bytes for r in extract_blob_metadata(blobs).collect()}
+    for doc_id, (out, h) in a.items():
+        # never larger than the target, never empty for non-empty input
+        assert 0 < out <= 32
+        # k-th-byte stub: output length is ceil(n / ceil(n/32))
+        k = max(1, -(-n_bytes[doc_id] // 32))
+        assert out == -(-n_bytes[doc_id] // k)
+        assert len(h) == 32  # md5 hex
+
+
+def test_resize_without_stub_raises(spark, sf_dir):
+    from rugpull_data_pipeline_spark.multimodal.columns import resize_blobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_blobs(attach_blob_column(docs), use_stub=False).collect()
