@@ -646,3 +646,131 @@ _pair(
     "stream; medians use the same engine-identical linear interpolation "
     "the percentile family already proved.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per k-gram
+_WIN_W = 4  # k-gram hashes per winnowing window
+
+
+def _winnow_fingerprint(d: str) -> str:
+    tk = S.split_ws("text", d)
+    hint = "/*+ REPARTITION */ " if d == SPARK else ""
+    n_grams = f"{S.arr_len('tk', d)} - {_WIN_K - 1}"
+    lateral = S.explode_seq("p", "1", n_grams, d)
+    gram = S.arr_join(S.arr_slice("tk", "p", str(_WIN_K), d), "' '", d)
+    gh = S.portable_hash64("g", d)
+    return f"""
+    WITH toks AS (
+        SELECT {hint}doc_id, {tk} AS tk FROM documents
+        WHERE {S.arr_len(tk, d)} >= {_WIN_K + _WIN_W - 1}
+    ),
+    grams AS (
+        SELECT doc_id, p, {gh} AS gh
+        FROM (SELECT doc_id, p, {gram} AS g FROM toks {lateral}) raw
+    ),
+    winmin AS (
+        SELECT doc_id, p,
+            min(gh) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+            ) AS fp,
+            count(*) OVER (PARTITION BY doc_id) AS n_g
+        FROM grams
+    )
+    SELECT doc_id, fp,
+        cast(count(*) as bigint) AS n_windows
+    FROM winmin
+    WHERE p <= n_g - {_WIN_W - 1}
+    GROUP BY doc_id, fp
+    ORDER BY doc_id, fp
+    """
+
+
+_pair(
+    "text_winnow_fingerprint",
+    _winnow_fingerprint,
+    tags=("text", "dedup"),
+    doc="Winnowing fingerprints (Schleimer et al. 2003, the MOSS "
+    f"algorithm): rolling {_WIN_K}-token k-gram hashes, keeping the MINIMUM "
+    f"hash of every window of {_WIN_W} consecutive k-grams — guarantees at "
+    "least one shared fingerprint for any shared run of "
+    f"{_WIN_K + _WIN_W - 1}+ tokens while storing only ~2/(w+1) of the "
+    "hashes, the storage/recall trade local-similarity detection is built "
+    "on. One map-only gram fan-out, one window pass partitioned by doc — "
+    "per-document state only, no joins; the fingerprint table then feeds "
+    "the same inverted-index join as every other dedup key.",
+)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (phrase mining)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def _pmi_collocations(d: str) -> str:
+    tk = S.split_ws("text", d)
+    hint = "/*+ REPARTITION */ " if d == SPARK else ""
+    el = (lambda i: f"element_at(tk, {i})") if d == SPARK else (
+        lambda i: f"tk[{i}]"
+    )
+    lat_all = S.explode_seq("p", "1", S.arr_len("tk", d), d)
+    lat_big = S.explode_seq("p", "1", f"{S.arr_len('tk', d)} - 1", d)
+    return f"""
+    WITH toks AS (
+        SELECT {hint}doc_id, {tk} AS tk FROM documents
+    ),
+    uni AS (
+        SELECT {el('p')} AS w, count(*) AS c
+        FROM toks {lat_all}
+        GROUP BY {el('p')}
+    ),
+    big AS (
+        SELECT {el('p')} AS a, {el('p + 1')} AS b, count(*) AS c
+        FROM toks {lat_big}
+        GROUP BY {el('p')}, {el('p + 1')}
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT cast(sum(c) as bigint) AS n_uni FROM uni
+    ),
+    tot_b AS (
+        SELECT cast(sum(c) as bigint) AS n_big
+        FROM (SELECT {el('p')} AS a, {el('p + 1')} AS b, count(*) AS c
+              FROM toks {lat_big} GROUP BY {el('p')}, {el('p + 1')}) all_b
+    )
+    SELECT a, b, cast(big.c as bigint) AS n_ab,
+        round(cast(big.c as double) * (SELECT n_uni FROM tot)
+              * (SELECT n_uni FROM tot)
+              / ((SELECT n_big FROM tot_b)
+                 * cast(ua.c as double) * cast(ub.c as double)), 6)
+            AS pmi_ratio
+    FROM big
+    JOIN uni ua ON ua.w = big.a
+    JOIN uni ub ON ub.w = big.b
+    ORDER BY pmi_ratio DESC, a, b
+    LIMIT {_PMI_TOPK}
+    """
+
+
+_pair(
+    "text_pmi_collocations",
+    _pmi_collocations,
+    tags=("text",),
+    doc="PMI collocation mining (word2phrase-style phrase detection): "
+    "adjacent-pair counts vs unigram counts, scored by the PMI RATIO "
+    "p(ab)/(p(a)p(b)) rather than its log — the ranking is identical "
+    "(log is monotone) and the ratio is one double division of exact "
+    "integer counts, so both engines agree bit-for-bit where libm log "
+    "implementations may differ in the last ulp. Two explode + hash-agg "
+    "passes (map-side combined), corpus totals as scalar subqueries, "
+    "unigram stats joined back onto the surviving (count >= "
+    f"{_PMI_MIN_COUNT}) bigrams — broadcastable at any realistic "
+    "vocabulary.",
+)
