@@ -656,15 +656,16 @@ _WIN_K = 3  # tokens per k-gram
 _WIN_W = 4  # k-gram hashes per winnowing window
 
 
-def _winnow_fingerprint(d: str) -> str:
+def _winnow_cte(d: str) -> str:
+    """Shared winnowing CTE chain: toks -> rolling k-gram hashes -> window
+    minima (fp) with the per-doc gram count for the boundary filter."""
     tk = S.split_ws("text", d)
     hint = "/*+ REPARTITION */ " if d == SPARK else ""
     n_grams = f"{S.arr_len('tk', d)} - {_WIN_K - 1}"
     lateral = S.explode_seq("p", "1", n_grams, d)
     gram = S.arr_join(S.arr_slice("tk", "p", str(_WIN_K), d), "' '", d)
     gh = S.portable_hash64("g", d)
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT {hint}doc_id, {tk} AS tk FROM documents
         WHERE {S.arr_len(tk, d)} >= {_WIN_K + _WIN_W - 1}
     ),
@@ -680,7 +681,12 @@ def _winnow_fingerprint(d: str) -> str:
             ) AS fp,
             count(*) OVER (PARTITION BY doc_id) AS n_g
         FROM grams
-    )
+    )"""
+
+
+def _winnow_fingerprint(d: str) -> str:
+    return f"""
+    WITH {_winnow_cte(d)}
     SELECT doc_id, fp,
         cast(count(*) as bigint) AS n_windows
     FROM winmin
@@ -773,4 +779,36 @@ _pair(
     "unigram stats joined back onto the surviving (count >= "
     f"{_PMI_MIN_COUNT}) bigrams — broadcastable at any realistic "
     "vocabulary.",
+)
+
+
+def _winnow_pairs(d: str) -> str:
+    return f"""
+    WITH {_winnow_cte(d)},
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin
+        WHERE p <= n_g - {_WIN_W - 1}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(count(*) as bigint) AS n_shared
+    FROM fps a
+    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_winnow_pairs",
+    _winnow_pairs,
+    tags=("dedup", "text"),
+    doc="Local-similarity pair detection over winnowing fingerprints (the "
+    "MOSS match step): documents sharing >= 2 selected fingerprints pair "
+    "up through an inverted-index EQUI-join on the fingerprint value — "
+    "the same bucketed join pattern as every other dedup key, but keyed "
+    "on winnowed minima, so it detects shared PASSAGES (6+-token runs) "
+    "rather than whole-document similarity, at ~2/(w+1) of the full "
+    "k-gram index size. Composes directly with text_winnow_fingerprint's "
+    "per-doc fingerprint table at 100 TB: materialize once, join many.",
 )
