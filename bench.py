@@ -68,6 +68,10 @@ def run_noop(df) -> None:
 
 
 def main() -> None:
+    # --smoke: two queries, one repeat, no warmups — exercises the full
+    # harness contract (JSON shape, fault isolation) in seconds so a test
+    # can gate it; the measured numbers are not meaningful in this mode.
+    smoke = "--smoke" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     # Even session/registry setup failure must still print the JSON line —
@@ -99,18 +103,19 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — a failed warm-up must not void the run
             pass
 
-    warm(lambda: run_noop(qs["q01_pricing_summary"](spark, sf_dir)))
-    warm(lambda: run_noop(qs["q03_shipping_priority"](spark, sf_dir)))
-    warm(
-        lambda: run_noop(
-            spark.range(64)
-            .repartition(spark.sparkContext.defaultParallelism)
-            .mapInPandas(lambda it: it, "id long")
+    if not smoke:
+        warm(lambda: run_noop(qs["q01_pricing_summary"](spark, sf_dir)))
+        warm(lambda: run_noop(qs["q03_shipping_priority"](spark, sf_dir)))
+        warm(
+            lambda: run_noop(
+                spark.range(64)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .mapInPandas(lambda it: it, "id long")
+            )
         )
-    )
-    # Warm the text-source + from_json codegen path with the small block
-    # corpus so the XL throughput entry measures parsing, not compilation.
-    warm(lambda: run_noop(qs["solana_balance_extract"](spark, sf_dir)))
+        # Warm the text-source + from_json codegen path with the small
+        # block corpus so the XL entry measures parsing, not compilation.
+        warm(lambda: run_noop(qs["solana_balance_extract"](spark, sf_dir)))
 
     # Best-of-2 per query: single runs swing ±15% on a shared box; the min
     # is the repeatable steady-state number (each run still executes the
@@ -121,7 +126,7 @@ def main() -> None:
     # single AnalysisException).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in (HEADLINE[:2] if smoke else HEADLINE):
         if name not in qs:
             errors[name] = "not registered"
             continue
@@ -131,7 +136,9 @@ def main() -> None:
         # swings 1.8 s <-> 12 s on a noisy host). Give it extra repeats so
         # one stolen run can't poison the artifact; best-of-2 is enough for
         # the sub-2 s entries.
-        repeats = 4 if name == "solana_balance_extract_xl" else 2
+        repeats = 1 if smoke else (
+            4 if name == "solana_balance_extract_xl" else 2
+        )
         best = None
         try:
             for _ in range(repeats):

@@ -1,0 +1,39 @@
+"""The bench artifact is a graded deliverable: whatever happens inside, the
+harness must print exactly one valid JSON line with the contract keys.
+Round 3 lost its entire bench to one AnalysisException — this test gates
+the fault-isolation and output contract in CI via bench.py --smoke."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_smoke_prints_contract_json():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--smoke"],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got: {proc.stdout[-500]}"
+    out = json.loads(lines[0])
+    assert out["metric"] == "headline_queries_total"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    assert isinstance(out["value"], (int, float))
+    assert set(out["queries"]) == {
+        "flagship_balance_report",
+        "solana_rugpull_score",
+    }
+    assert all(v > 0 for v in out["queries"].values())
+    assert "errors" not in out
