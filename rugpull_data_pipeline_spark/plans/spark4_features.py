@@ -229,3 +229,44 @@ _pair(
     "form of the reference's null-on-missing parsing (P6/P12). count() "
     "skips the nulls, so the clean-row tally falls out directly.",
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.x operator-chain SQL)
+# ---------------------------------------------------------------------------
+
+_PIPE_SPARK = """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE cast(count(*) as bigint) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS revenue
+   GROUP BY date_format(o_orderdate, 'yyyy-MM') AS month
+|> WHERE n_orders >= 5
+|> ORDER BY month
+"""
+
+_PIPE_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    cast(count(*) as bigint) AS n_orders,
+    cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY strftime(o_orderdate, '%Y-%m')
+HAVING count(*) >= 5
+ORDER BY month
+"""
+
+
+@register(
+    "pipe_syntax_monthly_revenue",
+    oracle=_PIPE_ORACLE,
+    tags=("spark4", "agg"),
+    doc="SQL pipe syntax (Spark 4 |> operator chains, the GoogleSQL pipes "
+    "design): filter -> AGGREGATE with a GROUP BY alias -> post-aggregate "
+    "filter -> order, written as a linear pipeline instead of inside-out "
+    "nesting. Compiles to the identical HashAggregate plan as the classic "
+    "form — the DuckDB oracle IS that classic form, proving the two "
+    "notations agree value-for-value.",
+)
+def pipe_syntax_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_PIPE_SPARK)
