@@ -270,3 +270,83 @@ ORDER BY month
 )
 def pipe_syntax_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PIPE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Session variables + EXECUTE IMMEDIATE (parameterized SQL, Spark 4)
+# ---------------------------------------------------------------------------
+
+_EXEC_ORACLE = """
+SELECT o_orderpriority,
+    cast(count(*) as bigint) AS n_orders,
+    cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "spark4_exec_immediate_params",
+    oracle=_EXEC_ORACLE,
+    tags=("spark4",),
+    doc="Session variables + EXECUTE IMMEDIATE: the status filter arrives "
+    "as a DECLAREd session variable bound through a ? parameter marker — "
+    "the SQL-injection-safe parameterized-query surface ETL orchestrators "
+    "template with. The oracle is the same statement with the literal "
+    "inlined, proving parameter binding changes nothing about the result.",
+)
+def spark4_exec_immediate_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql("DECLARE OR REPLACE VARIABLE rp_status STRING DEFAULT 'F'")
+    spark.sql("SET VAR rp_status = 'F'")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, cast(count(*) as bigint) AS n_orders, "
+        "cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS revenue "
+        "FROM orders WHERE o_orderstatus = ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority' "
+        "USING rp_status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 COLLATE)
+# ---------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+        AS lang_ci,
+    cast(count(*) as bigint) AS n_docs
+FROM documents
+GROUP BY lower(CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END)
+ORDER BY lang_ci
+"""
+
+
+@register(
+    "spark4_collated_grouping",
+    oracle=_COLLATE_ORACLE,
+    tags=("spark4", "agg"),
+    doc="Collation-aware grouping: a deliberately case-mixed language "
+    "column groups under COLLATE UTF8_LCASE, so 'EN' and 'en' land in one "
+    "group WITHOUT rewriting every comparison through lower() — at scale "
+    "the collation applies inside the hash/compare paths rather than "
+    "materializing a normalized copy of the column. The emitted key is "
+    "normalized for display determinism; the oracle is the classic "
+    "lower()-rewrite, proving the collation semantics exactly.",
+)
+def spark4_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = spark.table("documents")
+    ci = F.expr(
+        "CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END "
+        "COLLATE UTF8_LCASE"
+    )
+    return (
+        docs.groupBy(ci.alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(F.lower(F.col("k")).alias("lang_ci"), "n_docs")
+        .orderBy("lang_ci")
+    )
