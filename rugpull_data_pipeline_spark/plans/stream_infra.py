@@ -637,3 +637,87 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join replay (inner, watermark-bounded state)
+# ---------------------------------------------------------------------------
+
+_SSJOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+    cast(floor(epoch(p.ts)) as bigint) - cast(floor(epoch(c.ts)) as bigint)
+        AS lag_s
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "stream_stream_join_replay",
+    oracle=_SSJOIN_ORACLE,
+    tags=("streaming", "join"),
+    doc="Stream-stream INNER interval join as a driver-verifiable replay: "
+    "clicks and purchases arrive as two independent file streams (2 paced "
+    "micro-batches each), joined on user within a 1-hour event-time "
+    "interval. Both sides carry watermarks so each side's buffered state "
+    "is bounded by the interval + watermark delay — the core mechanism "
+    "that makes unbounded two-stream correlation feasible. Inner matches "
+    "emit as soon as both rows exist; the replayed result must equal the "
+    "batch interval join row-for-row.",
+)
+def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c_dir = tempfile.mkdtemp(prefix="rugpull_ssj_c_")
+    p_dir = tempfile.mkdtemp(prefix="rugpull_ssj_p_")
+    _write_slices(clicks, c_dir, 2, slice_col="click_id")
+    _write_slices(purchases, p_dir, 2, slice_col="purchase_id")
+
+    cs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+        .withWatermark("c_ts", "2 hours")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = cs.join(
+        ps,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_s"),
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_ssj_out_"), "rows")
+    with _state_partitions(spark):
+        _run_available_now(
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_ssj_ckpt_")
+            )
+            .outputMode("append")
+        )
+    return spark.read.parquet(out_dir).orderBy("click_id", "purchase_id")
