@@ -178,3 +178,72 @@ def test_chunk_decontaminate_flags_embedded_eval_span(hand_views):
     r = by_doc[30]
     assert 0 < r.contamination_ratio <= 1.0
     assert r.n_contaminated <= r.n_chunks
+
+
+def test_twap_weights_by_holding_time(hand_views):
+    spark = hand_views
+    # one series: value 10 held 100 s, value 20 held 300 s, last sample
+    # (value 99) has no successor and must not contribute
+    rows = [
+        (1, 0, 1, "click", 10.0),
+        (2, 100, 1, "click", 20.0),
+        (3, 400, 1, "click", 99.0),
+        # duplicate-timestamp pair: zero-length hold must be DROPPED, not
+        # divide-by-zero or zero-weighted
+        (4, 500, 1, "view", 5.0),
+        (5, 500, 1, "view", 7.0),
+        (6, 600, 1, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _twap_irregular
+
+    got = {r.event_type: r for r in spark.sql(_twap_irregular(SPARK)).collect()}
+    # click TWAP = (10*100 + 20*300) / 400 = 17.5
+    assert got["click"].twap == pytest.approx(17.5)
+    assert got["click"].n_intervals == 2 and got["click"].span_s == 400
+    # view: the (5,7) zero-hold pair dropped; only 7 held 100 s survives
+    assert got["view"].twap == pytest.approx(7.0)
+    assert got["view"].n_intervals == 1
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(hand_views):
+    spark = hand_views
+    # 9 values near 10 plus one wild outlier; the z-score filter's own
+    # stats would be dragged by the outlier — MAD must not be
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 11.0, 9.8, 10.2, 1000.0]
+    rows = [(i, i * 60, 1, "click", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _mad_outliers
+
+    r = {x.event_type: x for x in spark.sql(_mad_outliers(SPARK)).collect()}["click"]
+    assert r.n == 10
+    assert r.n_outliers == 1  # exactly the 1000.0
+    assert 9.5 <= r.med <= 10.5  # median unmoved by the outlier
+    assert r.mad < 1.0
+
+
+def test_importance_sampling_threshold_is_exact(hand_views):
+    spark = hand_views
+    docs = [
+        (1, "a b c d e f g h", "en"),        # all-distinct: q = 1 -> u < 1e6 always kept
+        (2, "a a a a a a a a", "en"),         # q = 1/8 -> kept iff u < 15625
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, lang string").createOrReplaceTempView("documents")
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _importance_sample
+
+    rows = {r.doc_id: r for r in spark.sql(_importance_sample(SPARK)).collect()}
+    assert 1 in rows and rows[1].quality == 1.0  # q=1 always survives
+    if 2 in rows:  # survives only on a < 1.5625% hash draw
+        assert rows[2].draw < 15625
