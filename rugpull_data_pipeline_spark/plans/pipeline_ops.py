@@ -812,3 +812,41 @@ _pair(
     "k-gram index size. Composes directly with text_winnow_fingerprint's "
     "per-doc fingerprint table at 100 TB: materialize once, join many.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Event path trigrams (second-order journey mining)
+# ---------------------------------------------------------------------------
+
+
+def _path_trigrams(d: str) -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type,
+            lag(event_type, 1) OVER w AS p1,
+            lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+        cast(count(*) as bigint) AS n
+    FROM seq
+    WHERE p2 IS NOT NULL
+    GROUP BY p2, p1, event_type
+    ORDER BY n DESC, step1, step2, step3
+    LIMIT 25
+    """
+
+
+_pair(
+    "events_path_trigrams",
+    _path_trigrams,
+    tags=("events", "window"),
+    doc="Top user-journey 3-step paths (second-order sequence mining, the "
+    "Markov-order-2 complement of events_transition_matrix): two lag "
+    "windows over the same per-user ordering produce each event's "
+    "2-step history in ONE window pass — the sort is shared, not "
+    "repeated — then a hash aggregation over the at-most |types|^3 path "
+    "space and an ordered limit. One shuffle on user_id, one on the tiny "
+    "path key.",
+)
