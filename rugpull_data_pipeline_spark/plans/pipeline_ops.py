@@ -850,3 +850,99 @@ _pair(
     "space and an ordered limit. One shuffle on user_id, one on the tiny "
     "path key.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per series (quant risk metric)
+# ---------------------------------------------------------------------------
+
+
+def _max_drawdown(d: str) -> str:
+    return f"""
+    WITH runmax AS (
+        SELECT event_type, event_id, value,
+            max(value) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS peak
+        FROM events
+    ),
+    dd AS (
+        SELECT event_type, event_id, peak,
+            round(peak - value, 6) AS drawdown
+        FROM runmax
+    )
+    SELECT event_type,
+        round(max(drawdown), 6) AS max_drawdown,
+        {S.isum('CASE WHEN drawdown > 0 THEN 1 ELSE 0 END', d)}
+            AS n_underwater
+    FROM dd
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_max_drawdown",
+    _max_drawdown,
+    tags=("window", "domain"),
+    doc="Maximum drawdown per series — THE rugpull signature in price "
+    "space: distance below the running peak (one ordered window pass, "
+    "running max), aggregated to the worst drawdown and time-underwater "
+    "count per series. The reference flags a 10% single-step change "
+    "(SERVER/ingest_prices.py:43-55); drawdown catches the slow-rug that "
+    "never trips a single-step threshold. One shuffle on the series key.",
+)
+
+
+# ---------------------------------------------------------------------------
+# EWMA with exactly-representable weights (alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 8
+
+
+def _ewma_halflife(d: str) -> str:
+    # alpha = 1/2 => weight of lag k is 2^-k, EXACT in binary floating
+    # point, and each product value * 2^-k is one IEEE multiply — so the
+    # weighted sum is bit-identical across engines without decimal casts.
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w * {2.0 ** -k!r}, 0.0)"
+        for k in range(_EWMA_DEPTH)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {2.0 ** -k!r} ELSE 0.0 END)"
+        for k in range(_EWMA_DEPTH)
+    )
+    return f"""
+    WITH sm AS (
+        SELECT event_type, event_id, value,
+            ({num}) / ({den}) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n,
+        round(cast(sum(cast(ewma as decimal(38,6))) as double), 6)
+            AS sum_ewma,
+        round(max(ewma), 6) AS max_ewma
+    FROM sm
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_ewma_halflife",
+    _ewma_halflife,
+    tags=("window",),
+    doc=f"Exponentially-weighted moving average (depth {_EWMA_DEPTH}, "
+    "alpha = 1/2): the classic smoother for noisy price feeds, written so "
+    "every weight 2^-k is EXACTLY representable in binary floating point — "
+    "the weighted sum is bit-identical across engines with no decimal "
+    "rescue, the trick being that halving is the one exponential decay "
+    "IEEE arithmetic computes exactly. All lags share ONE window pass "
+    "(one sort, one shuffle on the series key); ragged series starts "
+    "renormalize by the available weight mass instead of zero-filling.",
+)
