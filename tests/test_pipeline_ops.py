@@ -247,3 +247,55 @@ def test_importance_sampling_threshold_is_exact(hand_views):
     assert 1 in rows and rows[1].quality == 1.0  # q=1 always survives
     if 2 in rows:  # survives only on a < 1.5625% hash draw
         assert rows[2].draw < 15625
+
+
+def test_winnowing_guarantee_and_short_doc_exclusion(hand_views):
+    spark = hand_views
+    shared = " ".join(f"s{i}" for i in range(6))  # k + w - 1 = 6 tokens
+    _mk_docs(
+        spark,
+        [
+            # two docs sharing a 6-token run at different positions/grids
+            (1, "a1 a2 " + shared + " a3 a4 a5"),
+            (2, "b1 " + shared + " b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5"),  # 5 tokens < 6 -> no fingerprints at all
+            (4, " ".join(f"d{i}" for i in range(12))),  # unrelated
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import (
+        _winnow_fingerprint,
+        _winnow_pairs,
+    )
+
+    fps = spark.sql(_winnow_fingerprint(SPARK)).collect()
+    docs_with_fps = {r.doc_id for r in fps}
+    assert 3 not in docs_with_fps  # too short to fingerprint
+    # the winnowing guarantee: a shared run of k+w-1 tokens yields at
+    # least one shared fingerprint regardless of grid phase
+    fp1 = {r.fp for r in fps if r.doc_id == 1}
+    fp2 = {r.fp for r in fps if r.doc_id == 2}
+    assert fp1 & fp2, "shared 6-token run must share a fingerprint"
+    pairs = spark.sql(_winnow_pairs(SPARK)).collect()
+    # docs 1,2 pair only if they share >= 2 fingerprints — do not assert
+    # the pair, but any reported pair must involve docs that HAVE fps
+    for r in pairs:
+        assert r.doc_a in docs_with_fps and r.doc_b in docs_with_fps
+        assert r.n_shared >= 2
+
+
+def test_pmi_min_count_and_ratio(hand_views):
+    spark = hand_views
+    # bigram "x y" appears 6 times; "p q" only twice (below min count 5)
+    docs = [(i, "x y filler" + str(i)) for i in range(6)]
+    docs += [(10, "p q"), (11, "p q")]
+    _mk_docs(spark, docs)
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _pmi_collocations
+
+    rows = spark.sql(_pmi_collocations(SPARK)).collect()
+    got = {(r.a, r.b): r for r in rows}
+    assert ("x", "y") in got
+    assert ("p", "q") not in got  # below the min-count threshold
+    r = got[("x", "y")]
+    assert r.n_ab == 6
+    # PMI ratio must exceed 1 (x and y co-occur far above independence)
+    assert r.pmi_ratio > 1.0
