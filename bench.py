@@ -117,9 +117,11 @@ def main() -> None:
         # block corpus so the XL entry measures parsing, not compilation.
         warm(lambda: run_noop(qs["solana_balance_extract"](spark, sf_dir)))
 
-    # Best-of-2 per query: single runs swing ±15% on a shared box; the min
-    # is the repeatable steady-state number (each run still executes the
-    # full plan against the noop sink — nothing is cached between runs).
+    # Best-of-3 per query (best-of-4 for the long XL entry): single runs
+    # swing far more than ±15% on this host (co-tenant CPU-steal spikes);
+    # the min is the repeatable steady-state number (each run still
+    # executes the full plan against the noop sink — nothing is cached
+    # between runs).
     # Per-query fault isolation: one broken query must never void the other
     # measurements — record its error string and keep going, and ALWAYS
     # print the JSON line (round 3 lost its entire bench artifact to a
@@ -134,10 +136,10 @@ def main() -> None:
         # anchor AND the longest-running query, which makes it the most
         # exposed to co-tenant CPU-steal spikes (measured: the same run
         # swings 1.8 s <-> 12 s on a noisy host). Give it extra repeats so
-        # one stolen run can't poison the artifact; best-of-2 is enough for
-        # the sub-2 s entries.
+        # one stolen run can't poison the artifact; best-of-3 covers the
+        # sub-2 s entries.
         repeats = 1 if smoke else (
-            4 if name == "solana_balance_extract_xl" else 2
+            4 if name == "solana_balance_extract_xl" else 3
         )
         best = None
         try:
