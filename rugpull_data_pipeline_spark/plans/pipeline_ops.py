@@ -946,3 +946,48 @@ _pair(
     "(one sort, one shuffle on the series key); ragged series starts "
     "renormalize by the available weight mass instead of zero-filling.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan + coverage report)
+# ---------------------------------------------------------------------------
+
+
+def _fk_integrity(d: str) -> str:
+    def rel(name, child, ckey, parent, pkey):
+        return f"""
+    SELECT '{name}' AS fk,
+        cast(count(*) as bigint) AS n_child,
+        {S.isum(f'CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END', d)}
+            AS n_orphans,
+        cast(count(DISTINCT CASE WHEN p.{pkey} IS NOT NULL
+            THEN c.{ckey} END) as bigint) AS n_parents_referenced
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p
+        ON c.{ckey} = p.{pkey}
+    """
+
+    parts = " UNION ALL ".join(
+        [
+            rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            rel("events->customer", "events", "user_id", "customer", "c_custkey"),
+            rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ]
+    )
+    return f"SELECT * FROM ({parts}) rels ORDER BY fk"
+
+
+_pair(
+    "profile_fk_integrity",
+    _fk_integrity,
+    tags=("profile", "quality"),
+    doc="Referential-integrity audit over four FK relationships: orphan "
+    "count (child keys with no parent) plus parent-coverage cardinality "
+    "per edge — the constraint validation every warehouse load gate runs, "
+    "since Spark/parquet enforce no FKs. Each edge is one LEFT join "
+    "against the DISTINCT-compressed parent key set (broadcastable for "
+    "dimension parents; for fact-fact edges the join shuffles on the key "
+    "like any equi-join) and the four audits run as one unioned job — "
+    "shared scan scheduling, one pass per table pair.",
+)
