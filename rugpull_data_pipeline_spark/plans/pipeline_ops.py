@@ -991,3 +991,63 @@ _pair(
     "like any equi-join) and the four audits run as one unioned job — "
     "shared scan scheduling, one pass per table pair.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation (exact co-moment Pearson)
+# ---------------------------------------------------------------------------
+
+
+def _series_correlation(d: str) -> str:
+    day = S.fmt_date("ts", d)
+    # Pearson from raw co-moments with DECIMAL-exact sums: numerator and
+    # the two variance terms are exact integers-scaled decimals, so the
+    # single final sqrt+divide in double is bit-identical across engines —
+    # the built-in corr() aggregates accumulate in engine-specific order
+    # and are NOT hash-comparable.
+    sx = "cast(sum(cast(x as decimal(38,9))) as double)"
+    sy = "cast(sum(cast(y as decimal(38,9))) as double)"
+    sxy = "cast(sum(cast(x * y as decimal(38,9))) as double)"
+    sxx = "cast(sum(cast(x * x as decimal(38,9))) as double)"
+    syy = "cast(sum(cast(y * y as decimal(38,9))) as double)"
+    return f"""
+    WITH hourly AS (
+        SELECT {day} AS day, hour(ts) AS hr, event_type,
+            cast(sum(cast(value as decimal(38,9))) as double)
+                / cast(count(*) as double) AS v
+        FROM events
+        GROUP BY {day}, hour(ts), event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+            a.v AS x, b.v AS y
+        FROM hourly a
+        JOIN hourly b ON a.day = b.day AND a.hr = b.hr
+            AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b,
+        cast(count(*) as bigint) AS n_buckets,
+        round((cast(count(*) as double) * {sxy} - {sx} * {sy})
+            / sqrt((cast(count(*) as double) * {sxx} - {sx} * {sx})
+                 * (cast(count(*) as double) * {syy} - {sy} * {sy})), 6)
+            AS pearson_r
+    FROM pairs
+    GROUP BY type_a, type_b
+    HAVING count(*) >= 24
+    ORDER BY type_a, type_b
+    """
+
+
+_pair(
+    "agg_series_correlation",
+    _series_correlation,
+    tags=("agg", "domain"),
+    doc="Cross-series co-movement: Pearson correlation between every pair "
+    "of event-type value series on aligned (day, hour) buckets — the "
+    "pair-correlation screen rugpull detection runs across token prices. "
+    "Computed from raw co-moments with DECIMAL-exact sums so the single "
+    "final sqrt/divide is bit-identical across engines (built-in corr() "
+    "accumulates in engine-specific order and cannot hash-match). One "
+    "bucket aggregation, one equi self-join on the bucket key, one "
+    "co-moment aggregation over the tiny pair space.",
+)

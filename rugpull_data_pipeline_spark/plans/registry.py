@@ -156,7 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lookup_batched_mapinpandas",
     "json_size_guard_quarantine",
 )
-# Round-5 rotation candidates — the 23 queries registered AFTER this
+# Round-5 rotation candidates — the 24 queries registered AFTER this
 # round's full 50-slot window closed (all repo-oracle-green and
 # driver-sim-rehearsed at sf0.01, never yet in a driver window):
 # text_chunk_sliding, join_asof_tolerance, layout_compaction_plan,
@@ -166,8 +166,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # text_winnow_fingerprint, text_pmi_collocations, dedup_winnow_pairs,
 # pipe_syntax_monthly_revenue, spark4_exec_immediate_params,
 # spark4_collated_grouping, stream_stream_join_replay, events_path_trigrams,
-# window_max_drawdown, window_ewma_halflife, profile_fk_integrity.
-# Next round: replace this list's window with those 23 + 27 rotating
+# window_max_drawdown, window_ewma_halflife, profile_fk_integrity,
+# agg_series_correlation.
+# Next round: replace this list's window with those 24 + 26 rotating
 # re-proofs, keeping every query driver-verified within the last three
 # rounds.
 
