@@ -1,0 +1,332 @@
+"""Time-series diagnostics + ML feature-prep text operators (round 4b).
+
+Capability uplift beyond the reference's inventory, in the same two
+directions the baseline mandates ("text analysis", price-series analytics —
+the reference's only series op is the ±10% lag predicate,
+SERVER/combined_subscriber.py:171-210):
+
+- ``window_rolling_median`` — order-statistic smoothing of the value series
+  (the robust twin of the EWMA/TWAP family in pipeline_ops).
+- ``window_acf_lags`` — autocorrelation of each event-type's value series at
+  lags 1..3: the stationarity/seasonality screen run before any forecasting
+  model, and the series-level analogue of the reference's lag-1 predicate.
+- ``agg_linreg_daily`` — per-series OLS trend (slope/intercept) of the daily
+  mean value: drift detection over price/telemetry series.
+- ``text_word_entropy`` — per-document Shannon entropy of the token
+  distribution: low-entropy docs are keyword-stuffed/repetitive garbage
+  (complements quality_ops' Gopher repetition rules, which count verbatim
+  n-gram repeats rather than distributional concentration).
+- ``text_whitespace_normalize`` — control-char strip + whitespace collapse:
+  the first normalization pass of every corpus-cleaning pipeline.
+- ``text_feature_hash_16`` — hashing-trick bag-of-words (16 buckets) on the
+  cross-engine portable hash: fixed-width sparse features without a
+  vocabulary build, the classic pre-embedding featurizer.
+
+Scale notes:
+- The two window queries partition by event_type and sort by (ts, event_id)
+  inside each partition — one shuffle on the series key, then a single sort
+  per partition serves the frame/lag; at 100 TB the series key is the
+  natural range-partitioning key and skew is bounded by series cardinality.
+- ACF computes all three lag columns in ONE window pass and unpivots them
+  with stack() (a UNION ALL over the CTE would re-window events three times
+  — Catalyst inlines WITH-CTEs), so the shuffle cost is one window exchange
+  plus one tiny (series × 3)-key aggregation. Co-moments are summed
+  DECIMAL-exact so the single final sqrt/divide is bit-identical across
+  engines (same rationale as pipeline_ops._series_correlation).
+- Linreg aggregates to (series, day) first — the daily roll-up is the big
+  shuffle and it is map-side-combinable; the OLS itself runs over the tiny
+  daily table with the same DECIMAL-exact co-moment trick. x is a small day
+  index (not epoch seconds), so n*sxx - sx*sx never catastrophically
+  cancels.
+- Entropy/feature-hash are explode → per-doc hash aggregations: fan-out is
+  partition-parallel (REPARTITION hint before the explode, same rationale
+  as llm_ops' shingle generator), all state is doc-keyed, nothing joins.
+- Whitespace normalization is a pure per-row projection — codegen'd regex,
+  zero shuffles.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+_W = "PARTITION BY event_type ORDER BY ts, event_id"
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (order-statistic smoothing)
+# ---------------------------------------------------------------------------
+
+
+def _rolling_median(d: str) -> str:
+    # Exact median is selection + at most one add/divide — deterministic
+    # across engines given the identical (ts, event_id) total order, unlike
+    # accumulated sums. Spark's median() refuses a window frame
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); percentile(v, 0.5) is the
+    # frameable exact-interpolated twin of DuckDB's median().
+    med = "percentile(value, 0.5)" if d == SPARK else "median(value)"
+    return f"""
+    SELECT event_id, event_type,
+        round({med} OVER ({_W}
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_median_5
+    FROM events
+    ORDER BY event_type, event_id
+    """
+
+
+_pair(
+    "window_rolling_median",
+    _rolling_median,
+    tags=("window", "series"),
+    doc="5-row rolling exact median of the value series per event type — "
+    "robust smoothing that a single outlier tick cannot drag (the mean-"
+    "based EWMA twin lives in pipeline_ops). One shuffle on the series "
+    "key, one sort per partition, frame evaluation is streaming.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation at lags 1..3 (DECIMAL-exact co-moment Pearson)
+# ---------------------------------------------------------------------------
+
+
+def _acf_lags(d: str) -> str:
+    n = "cast(count(*) as double)"
+    sx = "cast(sum(cast(x as decimal(38,9))) as double)"
+    sy = "cast(sum(cast(y as decimal(38,9))) as double)"
+    sxy = "cast(sum(cast(x * y as decimal(38,9))) as double)"
+    sxx = "cast(sum(cast(x * x as decimal(38,9))) as double)"
+    syy = "cast(sum(cast(y * y as decimal(38,9))) as double)"
+    lagged = f"""
+        SELECT event_type, value,
+            lag(value, 1) OVER ({_W}) AS v1,
+            lag(value, 2) OVER ({_W}) AS v2,
+            lag(value, 3) OVER ({_W}) AS v3
+        FROM events
+    """
+    if d == SPARK:
+        # Catalyst inlines WITH-CTEs, so a UNION ALL over the lagged CTE
+        # would re-scan and re-window events three times. stack() unpivots
+        # the three lag columns after ONE window pass — one exchange total.
+        stacked = f"""
+        SELECT event_type, x, lag_k, y FROM (
+            SELECT event_type, value AS x,
+                stack(3, 1, v1, 2, v2, 3, v3) AS (lag_k, y)
+            FROM ({lagged}) lagged
+        ) u WHERE x IS NOT NULL AND y IS NOT NULL
+        """
+    else:
+        # Oracle side: plan shape is irrelevant, plain UNION ALL is clearest.
+        stacked = f"""
+        SELECT event_type, 1 AS lag_k, value AS x, v1 AS y FROM ({lagged}) lagged
+        WHERE value IS NOT NULL AND v1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2 AS lag_k, value AS x, v2 AS y FROM ({lagged}) lagged
+        WHERE value IS NOT NULL AND v2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3 AS lag_k, value AS x, v3 AS y FROM ({lagged}) lagged
+        WHERE value IS NOT NULL AND v3 IS NOT NULL
+        """
+    return f"""
+    WITH stacked AS ({stacked})
+    SELECT event_type, lag_k,
+        cast(count(*) as bigint) AS n_pairs,
+        round(({n} * {sxy} - {sx} * {sy})
+            / sqrt(({n} * {sxx} - {sx} * {sx})
+                 * ({n} * {syy} - {sy} * {sy})), 6) AS acf
+    FROM stacked
+    GROUP BY event_type, lag_k
+    ORDER BY event_type, lag_k
+    """
+
+
+_pair(
+    "window_acf_lags",
+    _acf_lags,
+    tags=("window", "series", "agg"),
+    doc="Autocorrelation of each event-type's value series at lags 1-3 — "
+    "the stationarity screen before forecasting, generalizing the "
+    "reference's lag-1 price predicate to a series diagnostic. One window "
+    "exchange computes all three lag columns; stack() unpivots them into a "
+    "(series x 3)-key DECIMAL-exact co-moment aggregation.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-series OLS trend over daily means
+# ---------------------------------------------------------------------------
+
+
+def _day_index(d: str) -> str:
+    if d == SPARK:
+        return "datediff(cast(ts as date), DATE '2024-01-01')"
+    return "datediff('day', DATE '2024-01-01', cast(ts as date))"
+
+
+def _linreg_daily(d: str) -> str:
+    n = "cast(count(*) as double)"
+    sx = "cast(sum(cast(x as decimal(38,9))) as double)"
+    sy = "cast(sum(cast(y as decimal(38,9))) as double)"
+    sxy = "cast(sum(cast(x * y as decimal(38,9))) as double)"
+    sxx = "cast(sum(cast(x * x as decimal(38,9))) as double)"
+    slope = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {_day_index(d)} AS x,
+            cast(sum(cast(value as decimal(38,9))) as double)
+                / cast(count(*) as double) AS y
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, {_day_index(d)}
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n_days,
+        round({slope}, 6) AS slope_per_day,
+        round(({sy} - {slope} * {sx}) / {n}, 6) AS intercept
+    FROM daily
+    GROUP BY event_type
+    HAVING count(*) >= 2
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "agg_linreg_daily",
+    _linreg_daily,
+    tags=("agg", "series"),
+    doc="Per-series OLS trend: slope and intercept of the daily mean value "
+    "against a small integer day index (not epoch seconds — keeps "
+    "n*sxx - sx^2 far from catastrophic cancellation). The daily roll-up "
+    "is the only big shuffle and is map-side combinable; the regression "
+    "runs over the tiny (series, day) table with DECIMAL-exact sums so "
+    "both engines hash-match.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document
+# ---------------------------------------------------------------------------
+
+
+def _word_entropy(d: str) -> str:
+    # H = ln(n) - sum(c*ln c)/n over per-doc token counts c. Each c*ln(c)
+    # term is quantized to DECIMAL(38,12) before summing: the sum is then
+    # order-independent, and a last-ulp ln() divergence between engines
+    # perturbs the final entropy by ~1e-12 — invisible at round-6.
+    ssum = "cast(sum(cast(c * ln(c) as decimal(38,12))) as double)"
+    if d == SPARK:
+        toks = f"""
+        SELECT /*+ REPARTITION */ doc_id,
+            explode({S.split_ws('text', d)}) AS tok
+        FROM documents
+        """
+    else:
+        toks = f"""
+        SELECT doc_id, unnest({S.split_ws('text', d)}) AS tok
+        FROM documents
+        """
+    return f"""
+    WITH cnt AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM ({toks}) t
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+        cast(sum(c) as bigint) AS n_tokens,
+        cast(count(*) as bigint) AS n_distinct,
+        round(ln(cast(sum(c) as double))
+            - {ssum} / cast(sum(c) as double), 6) AS token_entropy_nats
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_word_entropy",
+    _word_entropy,
+    tags=("text", "quality"),
+    doc="Per-document Shannon entropy (nats) of the token distribution — "
+    "the distributional-concentration quality signal: keyword-stuffed or "
+    "template text scores low even when no n-gram repeats verbatim "
+    "(complements quality_ops' Gopher repetition rules). Explode + two "
+    "doc-keyed hash aggregations, partition-parallel, no joins.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Whitespace / control-character normalization
+# ---------------------------------------------------------------------------
+
+
+def _ws_normalize(d: str) -> str:
+    stripped = S.re_replace("text", r"[\x00-\x1f]", "' '", d)
+    collapsed = S.re_replace(stripped, r"[ ]+", "' '", d)
+    return f"""
+    SELECT doc_id,
+        length(text) AS raw_len,
+        length(clean) AS clean_len,
+        (length(clean) < length(text)) AS collapsed
+    FROM (
+        SELECT doc_id, text, trim({collapsed}) AS clean
+        FROM documents
+    ) t
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_whitespace_normalize",
+    _ws_normalize,
+    tags=("text", "curation"),
+    doc="First-pass corpus cleaning: control characters become spaces, "
+    "space runs collapse to one, ends trimmed — reported as raw/clean "
+    "lengths plus a changed flag so downstream stages can audit shrinkage. "
+    "Pure per-row projection, codegen'd regex, zero shuffles.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick bag-of-words (16 buckets)
+# ---------------------------------------------------------------------------
+
+
+def _feature_hash(d: str) -> str:
+    bucket = f"cast({S.portable_hash64('tok', d)} % 16 as int)"
+    if d == SPARK:
+        toks = f"""
+        SELECT /*+ REPARTITION */ doc_id,
+            explode({S.split_ws('text', d)}) AS tok
+        FROM documents
+        """
+    else:
+        toks = f"""
+        SELECT doc_id, unnest({S.split_ws('text', d)}) AS tok
+        FROM documents
+        """
+    return f"""
+    SELECT doc_id, bucket, cast(count(*) as bigint) AS tf
+    FROM (SELECT doc_id, {bucket} AS bucket FROM ({toks}) t) b
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """
+
+
+_pair(
+    "text_feature_hash_16",
+    _feature_hash,
+    tags=("text", "mlprep"),
+    doc="Hashing-trick bag-of-words: every token maps to one of 16 buckets "
+    "via the cross-engine portable hash (property-tested in "
+    "tests/test_portable_scalars.py), yielding fixed-width sparse term "
+    "frequencies with no vocabulary build — the classic pre-embedding "
+    "featurizer, collision-tolerant by design. Explode + one doc-keyed "
+    "hash aggregation; bucket width is a constant, so output size is "
+    "bounded at docs x 16 regardless of corpus vocabulary.",
+)

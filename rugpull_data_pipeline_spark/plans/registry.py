@@ -167,7 +167,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # pipe_syntax_monthly_revenue, spark4_exec_immediate_params,
 # spark4_collated_grouping, stream_stream_join_replay, events_path_trigrams,
 # window_max_drawdown, window_ewma_halflife, profile_fk_integrity,
-# agg_series_correlation.
+# agg_series_correlation, window_rolling_median, window_acf_lags,
+# agg_linreg_daily, text_word_entropy, text_whitespace_normalize,
+# text_feature_hash_16.
 # Next round: replace this list's window with those 24 + 26 rotating
 # re-proofs, keeping every query driver-verified within the last three
 # rounds.
@@ -214,5 +216,6 @@ def _load_plan_modules() -> None:
     from . import quality_ops  # noqa: F401
     from . import stream_infra  # noqa: F401
     from . import pipeline_ops  # noqa: F401
+    from . import mlprep_ops  # noqa: F401
 
     _LOADED = True
