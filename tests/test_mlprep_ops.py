@@ -1,0 +1,155 @@
+"""Edge-semantics unit tests for the ML-prep/series operators on tiny
+hand-built frames (oracle parity is covered for every query by
+test_correctness_oracle; these pin the boundary behaviors a hash-compare
+could only reveal indirectly)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.scalars import SPARK
+from rugpull_data_pipeline_spark.plans import registry
+from rugpull_data_pipeline_spark.plans.mlprep_ops import (
+    _acf_lags,
+    _feature_hash,
+    _linreg_daily,
+    _rolling_median,
+    _word_entropy,
+    _ws_normalize,
+)
+
+DAY0 = 1704067200  # 2024-01-01T00:00:00Z — the linreg day-index anchor
+
+
+@pytest.fixture
+def hand_views(spark):
+    yield spark
+    registry._VIEWS_FOR.pop(id(spark), None)
+
+
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def _mk_docs(spark, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+
+
+def test_rolling_median_interpolates_and_skips_nulls(hand_views):
+    spark = hand_views
+    _mk_events(
+        spark,
+        [
+            (1, 10, "a", 1.0),
+            (2, 20, "a", 100.0),  # even frame {1,100} -> 50.5
+            (3, 30, "a", None),  # null is NOT a frame value: median{1,100}
+            (4, 40, "a", 3.0),  # median{1,100,3} = 3
+            (5, 10, "b", 7.0),  # other series unaffected
+        ],
+    )
+    got = {r.event_id: r.roll_median_5 for r in spark.sql(_rolling_median(SPARK)).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(50.5)
+    assert got[3] == pytest.approx(50.5)
+    assert got[4] == pytest.approx(3.0)
+    assert got[5] == pytest.approx(7.0)
+
+
+def test_acf_signs_on_constructed_series(hand_views):
+    spark = hand_views
+    # series "ramp": 1..6 — every lagged pair is perfectly linear -> acf = 1
+    # series "alt": +1,-1,... -> lag1 = -1, lag2 = +1, lag3 = -1
+    rows = [(i, 10 * i, "ramp", float(i)) for i in range(1, 7)]
+    rows += [(100 + i, 10 * i, "alt", (-1.0) ** i) for i in range(1, 7)]
+    _mk_events(spark, rows)
+    got = {(r.event_type, r.lag_k): r for r in spark.sql(_acf_lags(SPARK)).collect()}
+    for k in (1, 2, 3):
+        assert got[("ramp", k)].acf == pytest.approx(1.0)
+        assert got[("ramp", k)].n_pairs == 6 - k
+    assert got[("alt", 1)].acf == pytest.approx(-1.0)
+    assert got[("alt", 2)].acf == pytest.approx(1.0)
+    assert got[("alt", 3)].acf == pytest.approx(-1.0)
+
+
+def test_linreg_recovers_exact_line_and_needs_two_days(hand_views):
+    spark = hand_views
+    # daily means on an exact line y = 2*day + 5; two samples per day that
+    # average to the line — the regression must see the means, not the raw
+    # points. "one" has a single day and must be dropped by HAVING.
+    rows = []
+    eid = 0
+    for day in range(4):
+        y = 2.0 * day + 5.0
+        for dv in (-1.0, +1.0):
+            eid += 1
+            rows.append((eid, DAY0 + 86400 * day + 60 * eid, "line", y + dv))
+    rows.append((99, DAY0, "one", 42.0))
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_linreg_daily(SPARK)).collect()}
+    assert got["line"].slope_per_day == pytest.approx(2.0)
+    assert got["line"].intercept == pytest.approx(5.0)
+    assert got["line"].n_days == 4
+    assert "one" not in got
+
+
+def test_word_entropy_bounds(hand_views):
+    spark = hand_views
+    _mk_docs(
+        spark,
+        [
+            (1, "a a a a"),  # constant -> 0 nats
+            (2, "a b c d"),  # uniform over 4 -> ln 4
+            (3, "a a b b"),  # uniform over 2 -> ln 2
+        ],
+    )
+    got = {r.doc_id: r for r in spark.sql(_word_entropy(SPARK)).collect()}
+    assert got[1].token_entropy_nats == pytest.approx(0.0)
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 1
+    assert got[2].token_entropy_nats == pytest.approx(math.log(4), abs=1e-6)
+    assert got[3].token_entropy_nats == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_whitespace_normalize_collapses_controls(hand_views):
+    spark = hand_views
+    _mk_docs(
+        spark,
+        [
+            (1, "a\tb\n c"),  # tab+newline are control chars -> spaces, runs collapse
+            (2, "abc"),  # untouched
+            (3, "  x  "),  # trim only
+        ],
+    )
+    got = {r.doc_id: r for r in spark.sql(_ws_normalize(SPARK)).collect()}
+    assert got[1].raw_len == 6 and got[1].clean_len == 5 and got[1].collapsed
+    assert got[2].raw_len == 3 and got[2].clean_len == 3 and not got[2].collapsed
+    assert got[3].clean_len == 1 and got[3].collapsed
+
+
+def _expected_bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 16
+
+
+def test_feature_hash_buckets_match_portable_hash(hand_views):
+    spark = hand_views
+    _mk_docs(spark, [(1, "cat dog cat"), (2, "dog")])
+    got = {(r.doc_id, r.bucket): r.tf for r in spark.sql(_feature_hash(SPARK)).collect()}
+    cat, dog = _expected_bucket("cat"), _expected_bucket("dog")
+    if cat == dog:  # collision: counts merge (by design for the hashing trick)
+        assert got[(1, cat)] == 3
+    else:
+        assert got[(1, cat)] == 2 and got[(1, dog)] == 1
+    assert got[(2, dog)] == 1
