@@ -330,3 +330,170 @@ _pair(
     "hash aggregation; bucket width is a constant, so output size is "
     "bounded at docs x 16 regardless of corpus vocabulary.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def _containment(d: str) -> str:
+    # Containment C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| is ASYMMETRIC:
+    # a short doc fully embedded in a long one scores ~1.0 in that direction
+    # while Jaccard (|∩|/|∪|) is diluted by the long doc's size and misses
+    # it. Same inverted-index join + stop-shingle df-cap machinery as
+    # dedup_ngram_jaccard (llm_ops), same 60-bit hash keys.
+    from .llm_ops import _JACCARD_DF_CAP, _ngram_shingles
+
+    shh = S.portable_hash64("sh", d)
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
+    ),
+    shingles AS (
+        SELECT doc_id, shh FROM (
+            SELECT doc_id, shh,
+                count(*) OVER (PARTITION BY shh) AS df
+            FROM hashed
+        ) f WHERE df <= {_JACCARD_DF_CAP}
+    ),
+    doc_sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS n_inter
+        FROM shingles a
+        JOIN shingles b ON a.shh = b.shh AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT src_doc, dst_doc,
+        round(cast(n_inter as double) / sa.n_sh, 6) AS containment
+    FROM pair_inter
+    JOIN doc_sizes sa ON sa.doc_id = src_doc
+    WHERE cast(n_inter as double) / sa.n_sh >= 0.5
+    ORDER BY src_doc, dst_doc
+    """
+
+
+_pair(
+    "dedup_containment_ngram",
+    _containment,
+    tags=("dedup",),
+    doc="Asymmetric shingle containment |A∩B|/|A| — catches a short doc "
+    "embedded inside a longer one, which symmetric Jaccard dilutes away "
+    "(the quote-the-whole-article failure mode of web corpora). Reuses the "
+    "df-capped inverted-index equi-join: the shuffle key is the shingle "
+    "hash, pair candidates only form where shingles actually collide, and "
+    "hot boilerplate shingles are dropped before the self-join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (rolling mean ± 2σ breakout detection)
+# ---------------------------------------------------------------------------
+
+
+def _bollinger(d: str) -> str:
+    frame = f"OVER ({_W} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"
+    cnt = f"cast(count(value) {frame} as double)"
+    s = f"cast(sum(cast(value as decimal(38,9))) {frame} as double)"
+    s2 = f"cast(sum(cast(value * value as decimal(38,9))) {frame} as double)"
+    return f"""
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+            {cnt} AS n, {s} AS s, {s2} AS s2
+        FROM events
+    ),
+    bands AS (
+        SELECT event_id, event_type, value, n,
+            s / n AS mean,
+            CASE WHEN n > 1
+                THEN sqrt(greatest((n * s2 - s * s) / (n * (n - 1)), 0.0))
+                ELSE NULL END AS sd
+        FROM stats
+    )
+    SELECT event_id, event_type,
+        round(mean, 6) AS band_mid,
+        round(mean + 2 * sd, 6) AS band_upper,
+        round(mean - 2 * sd, 6) AS band_lower,
+        coalesce(value > mean + 2 * sd OR value < mean - 2 * sd, false)
+            AS breakout
+    FROM bands
+    ORDER BY event_type, event_id
+    """
+
+
+_pair(
+    "window_bollinger_bands",
+    _bollinger,
+    tags=("window", "series"),
+    doc="Bollinger bands: 8-row rolling mean ± 2 sample standard deviations "
+    "per series, with a breakout flag — the volatility-envelope sibling of "
+    "the reference's fixed ±10% predicate. Frame sums are DECIMAL-exact "
+    "(built-in windowed stddev accumulates engine-specific), variance "
+    "clamps at 0 for constant frames; one series-key exchange, one sort.",
+)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (greedy re-rank, unrolled)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_diversify(d: str) -> str:
+    # MMR (Carbonell & Goldstein 1998): greedily pick argmax of
+    # rel(c) - λ·max_{s∈selected} sim(c, s), λ=0.5, k=3, over a 32-vector
+    # candidate pool (MMR is a RE-RANK step — the pool is the small output
+    # of an ANN retrieval like sim_cosine_ivf_bucketed, never the corpus).
+    # The greedy recurrence is unrolled: each step is a 1-row broadcast of
+    # the selected set against the pool, exactly like the reference's
+    # in-process watch-set lookup. Cosines use the engine-identical
+    # index-order fold (llm_ops._cosine), so the argmax ties break the same.
+    from .llm_ops import _cosine
+
+    rel = _cosine(d, "q.embedding", "c.embedding")
+    cs1 = _cosine(d, "c.embedding", "a.embedding")
+    cs2 = _cosine(d, "c.embedding", "b.embedding")
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 100),
+    cand AS (
+        SELECT c.vec_id, c.embedding, {rel} AS rel
+        FROM embeddings c, q WHERE c.vec_id < 32
+    ),
+    s1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    r2 AS (
+        SELECT c.vec_id, c.embedding, c.rel,
+            c.rel - 0.5 * ({cs1}) AS mmr
+        FROM cand c, s1 a WHERE c.vec_id <> a.vec_id
+    ),
+    s2 AS (SELECT * FROM r2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    r3 AS (
+        SELECT c.vec_id, c.rel,
+            c.rel - 0.5 * greatest({cs1}, {cs2}) AS mmr
+        FROM cand c, s1 a, s2 b
+        WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id
+    ),
+    s3 AS (SELECT * FROM r3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT 1 AS rnk, vec_id, round(rel, 6) AS relevance,
+        round(rel, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT 2 AS rnk, vec_id, round(rel, 6) AS relevance,
+        round(mmr, 6) AS mmr_score FROM s2
+    UNION ALL
+    SELECT 3 AS rnk, vec_id, round(rel, 6) AS relevance,
+        round(mmr, 6) AS mmr_score FROM s3
+    ORDER BY rnk
+    """
+
+
+_pair(
+    "sim_mmr_diversify",
+    _mmr_diversify,
+    tags=("similarity", "mlprep"),
+    doc="Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998): "
+    "greedy k=3, λ=0.5 diversified selection over a 32-vector ANN "
+    "candidate pool — relevance minus max-similarity-to-already-selected. "
+    "The greedy loop unrolls to three 1-row-broadcast probe steps over the "
+    "pool (a re-rank is post-retrieval by definition, so the pool — not "
+    "the corpus — bounds every step).",
+)

@@ -153,3 +153,57 @@ def test_feature_hash_buckets_match_portable_hash(hand_views):
     else:
         assert got[(1, cat)] == 2 and got[(1, dog)] == 1
     assert got[(2, dog)] == 1
+
+
+def test_containment_is_asymmetric(hand_views):
+    spark = hand_views
+    # A's 2 shingles are all inside B -> C(A→B)=1.0; C(B→A)=2/6 < 0.5 dropped
+    _mk_docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (3, "x1 x2 x3"),  # disjoint doc pairs with nobody
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _containment
+
+    rows = spark.sql(_containment(SPARK)).collect()
+    assert [(r.src_doc, r.dst_doc, r.containment) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_bollinger_flags_spike_and_never_nulls_breakout(hand_views):
+    spark = hand_views
+    rows = [(i, 10 * i, "a", 1.0) for i in range(1, 8)] + [(8, 80, "a", 30.0)]
+    _mk_events(spark, rows)
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _bollinger
+
+    got = {r.event_id: r for r in spark.sql(_bollinger(SPARK)).collect()}
+    # first row: single-element frame -> sd undefined, bands null, flag false
+    assert got[1].band_upper is None and got[1].breakout is False
+    # constant run: sd = 0, bands collapse onto the mean, no breakout
+    assert got[7].band_upper == pytest.approx(1.0) and not got[7].breakout
+    # the spike exceeds mean + 2 sd of its own frame
+    # (n=8, mean=4.625, sd=sqrt(5887/56)≈10.2531 -> upper≈25.1311 < 30)
+    assert got[8].breakout is True
+    assert got[8].band_upper == pytest.approx(4.625 + 2 * math.sqrt(5887 / 56), abs=1e-5)
+
+
+def test_mmr_prefers_diverse_over_redundant(hand_views):
+    spark = hand_views
+    rows = [
+        (100, [1.0, 0.0], 0),  # the query vector
+        (0, [1.0, 0.0], 0),    # rel 1.0 — picked first
+        (1, [0.8, 0.6], 0),    # rel 0.8, sim-to-0 0.8 -> mmr 0.4
+        (2, [0.0, 1.0], 0),    # rel 0.0, sim-to-1 0.6 -> mmr -0.3
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _mmr_diversify
+
+    got = spark.sql(_mmr_diversify(SPARK)).collect()
+    assert [(r.rnk, r.vec_id) for r in got] == [(1, 0), (2, 1), (3, 2)]
+    assert got[0].mmr_score == pytest.approx(1.0)
+    assert got[1].mmr_score == pytest.approx(0.4)
+    assert got[2].mmr_score == pytest.approx(-0.3)

@@ -36,6 +36,9 @@ _NLJ_ALLOWED = {
     "dedup_semantic_cluster",
     # deliberate tiny-dim cross join (region × brand-band).
     "join_cross_region_bands",
+    # MMR re-rank: each greedy step broadcasts the 1-row selected vector
+    # against the (small, post-ANN) candidate pool — non-equi by design.
+    "sim_mmr_diversify",
 }
 
 
