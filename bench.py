@@ -56,6 +56,11 @@ HEADLINE = [
     "text_chunk_sliding",
     "join_asof_tolerance",
     "sim_ivfpq_topk",
+    # Round-4b ML-prep operators: token-distribution entropy (explode +
+    # doc-keyed aggs over documents) and the MMR greedy re-rank (pool-
+    # bounded broadcast probes).
+    "text_word_entropy",
+    "sim_mmr_diversify",
     # ~40 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).

