@@ -540,3 +540,138 @@ _pair(
     "pool (a re-rank is post-retrieval by definition, so the pool — not "
     "the corpus — bounds every step).",
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE: apply the learned merge, recount (round 2 of tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_pair_count(d: str, src: str, toks_expr: str) -> str:
+    """CTE text: (pa, pb, c) adjacent-pair counts over ``toks_expr`` arrays
+    from relation text ``src``."""
+    if d == SPARK:
+        seq = "CASE WHEN size(toks) >= 2 THEN sequence(1, size(toks) - 1) ELSE array() END"
+        pairs = f"""
+        SELECT pr.pa AS pa, pr.pb AS pb FROM (
+            SELECT explode(transform({seq},
+                i -> struct(element_at(toks, i) AS pa,
+                            element_at(toks, i + 1) AS pb))) AS pr
+            FROM (SELECT /*+ REPARTITION */ {toks_expr} AS toks FROM {src}) t
+        ) e
+        """
+    else:
+        pairs = f"""
+        SELECT pr['pa'] AS pa, pr['pb'] AS pb FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                i -> {{'pa': toks[i], 'pb': toks[i + 1]}})) AS pr
+            FROM (SELECT {toks_expr} AS toks FROM {src}) t
+            WHERE len(toks) >= 2
+        ) e
+        """
+    return f"SELECT pa, pb, count(*) AS c FROM ({pairs}) p GROUP BY pa, pb"
+
+
+def _bpe_round2(d: str) -> str:
+    # Applying a BPE merge is greedy LEFTMOST-first over non-overlapping
+    # occurrences — exactly the semantics of SQL replace() over a delimited
+    # string, PROVIDED every token owns both its delimiters. Joining tokens
+    # with TWO spaces ('  ') and wrapping in one space gives each token a
+    # private leading and trailing space, so consecutive merge sites never
+    # share a delimiter character and replace() merges [a,a,a,a] to
+    # [aa,aa] exactly as the BPE training loop does (a single-space join
+    # would consume the shared delimiter and miss the second site).
+    split2 = (
+        "split(trim(s), '  ')" if d == SPARK else "string_split(trim(s), '  ')"
+    )
+    top_pa, top_pb = "(SELECT pa FROM top1)", "(SELECT pb FROM top1)"
+    return f"""
+    WITH cnt1 AS ({_bpe_pair_count(d, "documents", S.split_ws("text", d))}),
+    top1 AS (SELECT pa, pb FROM cnt1 ORDER BY c DESC, pa, pb LIMIT 1),
+    joined AS (
+        SELECT concat(' ', {S.arr_join(S.split_ws("text", d), "'  '", d)}, ' ') AS s
+        FROM documents
+    ),
+    merged AS (
+        SELECT replace(s,
+            concat(' ', {top_pa}, '  ', {top_pb}, ' '),
+            concat(' ', {top_pa}, {top_pb}, ' ')) AS s
+        FROM joined
+    ),
+    cnt2 AS ({_bpe_pair_count(d, "merged", split2)}),
+    top10 AS (
+        -- ordered LIMIT first: Spark plans it as a distributed
+        -- TakeOrderedAndProject; the rank window then runs over 10 rows,
+        -- never a single-partition sort of the full vocab^2 pair table.
+        SELECT pa, pb, c FROM cnt2 ORDER BY c DESC, pa, pb LIMIT 10
+    )
+    SELECT
+        cast(row_number() OVER (ORDER BY c DESC, pa, pb) as int) AS rank,
+        concat({top_pa}, {top_pb}) AS merge_applied,
+        pa, pb, cast(c as bigint) AS n_occurrences
+    FROM top10
+    ORDER BY rank
+    """
+
+
+_pair(
+    "text_bpe_merge_round2",
+    _bpe_round2,
+    tags=("text", "tokenizer"),
+    doc="Second BPE training round: pick the top merge from round 1 "
+    "(deterministic tie-break), APPLY it corpus-wide, recount adjacent "
+    "pairs. Merge application rides on replace()'s greedy leftmost "
+    "non-overlap semantics over a double-space-delimited token string — "
+    "each token owns both delimiters, so [a,a,a,a] merges to [aa,aa] "
+    "exactly like the reference BPE loop. The winning pair attaches as "
+    "two uncorrelated scalar subqueries (no join node); both counting "
+    "rounds are explode + map-side-combinable hash aggs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join (leakage-free feature store lookup)
+# ---------------------------------------------------------------------------
+
+
+def _pit_join(d: str) -> str:
+    # SCD2 validity intervals per user are disjoint by construction (lead()
+    # closes each version at its successor's start, ties broken by
+    # event_id), so the interval predicate matches AT MOST one version per
+    # fact row and the LEFT join preserves fact cardinality exactly —
+    # facts before the first version get NULL, never a future value
+    # (leakage-free by construction: valid_from <= ts strictly precedes).
+    lead_ts = "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return f"""
+    WITH hist AS (
+        SELECT user_id, value AS price, ts AS valid_from,
+            {lead_ts} AS valid_to
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, v.ts,
+        round(h.price, 6) AS price_at_view,
+        h.valid_from AS price_as_of
+    FROM views v
+    LEFT JOIN hist h ON h.user_id = v.user_id
+        AND h.valid_from <= v.ts
+        AND (h.valid_to IS NULL OR v.ts < h.valid_to)
+    ORDER BY v.event_id
+    """
+
+
+_pair(
+    "join_point_in_time",
+    _pit_join,
+    tags=("join", "temporal", "dimension"),
+    doc="Point-in-time feature join: each view event picks up the purchase "
+    "price whose SCD2 validity interval covers its timestamp — the "
+    "leakage-free feature-store lookup (training labels must never see "
+    "future feature values). Equi-join on the user key carries the "
+    "shuffle; the interval predicate filters inside the joined partition, "
+    "and disjoint intervals guarantee fact cardinality is preserved. "
+    "Composes dim_scd2_price_history with the as-of family.",
+)

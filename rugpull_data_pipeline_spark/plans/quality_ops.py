@@ -121,13 +121,16 @@ def _bpe_pairs(d: str) -> str:
         """
     return f"""
     WITH pairs AS ({pairs}),
-    cnt AS (SELECT pair, count(*) AS c FROM pairs GROUP BY pair)
-    SELECT rank, pair, n_occurrences FROM (
-        SELECT pair, cast(c as bigint) AS n_occurrences,
-            cast(row_number() OVER (ORDER BY c DESC, pair) as int) AS rank
-        FROM cnt
-    ) r
-    WHERE rank <= 20
+    cnt AS (SELECT pair, count(*) AS c FROM pairs GROUP BY pair),
+    top20 AS (
+        -- ordered LIMIT first (distributed TakeOrderedAndProject), THEN the
+        -- rank window over 20 rows — a bare row_number() OVER (ORDER BY)
+        -- would single-partition the full vocab^2 pair table.
+        SELECT pair, c FROM cnt ORDER BY c DESC, pair LIMIT 20
+    )
+    SELECT cast(row_number() OVER (ORDER BY c DESC, pair) as int) AS rank,
+        pair, cast(c as bigint) AS n_occurrences
+    FROM top20
     ORDER BY rank
     """
 

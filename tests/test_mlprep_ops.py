@@ -207,3 +207,74 @@ def test_mmr_prefers_diverse_over_redundant(hand_views):
     assert got[0].mmr_score == pytest.approx(1.0)
     assert got[1].mmr_score == pytest.approx(0.4)
     assert got[2].mmr_score == pytest.approx(-0.3)
+
+
+def test_bpe_round2_applies_greedy_leftmost_merge(hand_views):
+    spark = hand_views
+    # round 1 top pair is (x,y) with 3 occurrences; after applying it,
+    # doc 1 becomes [xy, xy] and doc 2 [xy, z]. The a-a-a-a doc proves
+    # greedy non-overlap: round-1 counting sees (a,a) twice but (x,y) wins.
+    _mk_docs(spark, [(1, "x y x y"), (2, "x y z")])
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _bpe_round2
+
+    rows = spark.sql(_bpe_round2(SPARK)).collect()
+    assert rows[0].merge_applied == "xy"
+    assert [(r.rank, r.pa, r.pb, r.n_occurrences) for r in rows] == [
+        (1, "xy", "xy", 1),
+        (2, "xy", "z", 1),
+    ]
+
+
+def test_bpe_round2_merges_consecutive_runs_like_bpe(hand_views):
+    spark = hand_views
+    # [a,a,a,a,a] under merge (a,a): greedy leftmost gives [aa,aa,a] —
+    # a single-space join would have produced [aa,a,a].
+    _mk_docs(spark, [(1, "a a a a a")])
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _bpe_round2
+
+    rows = spark.sql(_bpe_round2(SPARK)).collect()
+    got = {(r.pa, r.pb): r.n_occurrences for r in rows}
+    assert got == {("aa", "aa"): 1, ("aa", "a"): 1}
+
+
+def _mk_user_events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def test_pit_join_is_leakage_free_and_cardinality_preserving(hand_views):
+    spark = hand_views
+    _mk_user_events(
+        spark,
+        [
+            (1, 100, 1, "purchase", 10.0),
+            (2, 200, 1, "purchase", 20.0),
+            # same-instant double update for user 2: later event_id wins
+            (10, 100, 2, "purchase", 5.0),
+            (11, 100, 2, "purchase", 6.0),
+            # the facts
+            (20, 50, 1, "view", None),   # before any version -> NULL
+            (21, 150, 1, "view", None),  # inside v1
+            (22, 200, 1, "view", None),  # boundary: v2 starts AT 200
+            (23, 250, 1, "view", None),  # open current version
+            (24, 100, 2, "view", None),  # zero-length v1 skipped -> 6.0
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _pit_join
+
+    rows = spark.sql(_pit_join(SPARK)).collect()
+    assert len(rows) == 5  # exactly one output row per view
+    got = {r.event_id: r.price_at_view for r in rows}
+    assert got[20] is None
+    assert got[21] == pytest.approx(10.0)
+    assert got[22] == pytest.approx(20.0)
+    assert got[23] == pytest.approx(20.0)
+    assert got[24] == pytest.approx(6.0)
