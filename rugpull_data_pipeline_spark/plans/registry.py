@@ -170,7 +170,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # agg_series_correlation, window_rolling_median, window_acf_lags,
 # agg_linreg_daily, text_word_entropy, text_whitespace_normalize,
 # text_feature_hash_16, dedup_containment_ngram, window_bollinger_bands,
-# sim_mmr_diversify, text_bpe_merge_round2, join_point_in_time.
+# sim_mmr_diversify, text_bpe_merge_round2, join_point_in_time,
+# stream_bollinger_alert.
 # Next round: replace this list's window with those 24 + 26 rotating
 # re-proofs, keeping every query driver-verified within the last three
 # rounds.

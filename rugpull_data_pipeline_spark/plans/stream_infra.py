@@ -721,3 +721,83 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .outputMode("append")
         )
     return spark.read.parquet(out_dir).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bollinger breakout — stateful ring-buffer twin of the batch op
+# ---------------------------------------------------------------------------
+
+# Exact integer-arithmetic restatement of |v - mean| > 2·sample_sd over the
+# 8-row frame: (n-1)(n·v - s)² > 4n(n·s2 - s²). Micro-unit longs keep every
+# quantity integral (HUGEINT guards the ~1e20 products); a float sd near the
+# threshold could flip the breakout flag between engines, a row-SET
+# difference no rounding can hide.
+_BOLL_ORACLE = """
+WITH scaled AS (
+    SELECT event_type, ts, event_id,
+        cast(floor(value * 1000000.0) as bigint) AS v
+    FROM events WHERE value IS NOT NULL
+),
+frames AS (
+    SELECT event_type, ts, v,
+        cast(count(*) OVER w as bigint) AS n,
+        cast(sum(v) OVER w as hugeint) AS s,
+        cast(sum(cast(v as hugeint) * v) OVER w as hugeint) AS s2
+    FROM scaled
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+    cast(floor(epoch(ts)) as bigint) AS ts_epoch,
+    v AS v_micro
+FROM frames
+WHERE n = 8
+  AND cast(n - 1 as hugeint) * (n * v - s) * (n * v - s)
+      > cast(4 * n as hugeint) * (n * s2 - s * s)
+ORDER BY event_type, ts_epoch, v_micro
+"""
+
+
+@register(
+    "stream_bollinger_alert",
+    oracle=_BOLL_ORACLE,
+    tags=("streaming", "stateful", "series"),
+    doc="Bollinger breakout as a custom stateful streaming operator "
+    "(applyInPandasWithState): per event type the state is a ring buffer "
+    "of the last 7 micro-unit longs — O(active keys) state, never "
+    "O(stream) — and a row whose full 8-row frame leaves the ±2σ envelope "
+    "emits an alert. The breakout test runs in EXACT integer arithmetic "
+    "((n-1)(n·v-s)² > 4n(n·s2-s²)), so the emitted row set is "
+    "bit-identical to the SQL window oracle; the streaming twin of the "
+    "batch window_bollinger_bands.",
+)
+def stream_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import bollinger_alerts
+
+    src = (
+        _events_src(spark, sf_dir, ["event_type", "ts", "event_id", "value"])
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            # Fixed-point scaling happens JVM-side so the Python kernel and
+            # the oracle fold over the identical longs.
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_boll_src_")
+    src.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    with _state_partitions(spark, 8):
+        out = bollinger_alerts(stream)
+        name = "boll_sink_" + os.path.basename(src_dir)[-8:]
+        _run_available_now(
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_boll_ckpt_")
+            )
+        )
+    return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")

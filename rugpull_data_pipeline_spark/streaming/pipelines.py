@@ -175,6 +175,71 @@ def price_change_events(prices: DataFrame, state_ttl_ms: int | None = None) -> D
     )
 
 
+_BOLL_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_epoch", T.LongType()),
+        T.StructField("v_micro", T.LongType()),
+    ]
+)
+
+_BOLL_STATE = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.LongType()))]
+)
+
+
+def _bollinger_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming Bollinger-band breakout: per key, keep a ring buffer of the
+    last 7 fixed-point values; a row whose 8-row frame satisfies
+    |v - mean| > 2·sample_sd emits an alert. The test is evaluated in EXACT
+    integer arithmetic — (n-1)·(n·v - s)² > 4·n·(n·s2 - s²) over micro-unit
+    longs — so the emitted row set is bit-identical to the SQL window oracle
+    (a float sd near the threshold could flip the flag between engines).
+    State is ≤7 longs per key, bounded regardless of stream length (ST4)."""
+    buf = list(state.get[0]) if state.exists else []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    rows = []
+    if len(merged):
+        # Same multi-chunk hazard as the price kernel: concatenate, sort ONCE
+        # by the oracle's (ts, event_id) total order.
+        for r in merged.sort_values(["ts", "event_id"]).itertuples():
+            v = int(r.v)
+            frame = buf[-7:] + [v]
+            n = len(frame)
+            if n == 8:
+                s = sum(frame)
+                s2 = sum(x * x for x in frame)
+                if (n - 1) * (n * v - s) ** 2 > 4 * n * (n * s2 - s * s):
+                    rows.append((key[0], int(r.ts.value // 1_000_000_000), v))
+            buf = frame[-7:]
+    state.update((buf,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
+
+
+def bollinger_alerts(values: DataFrame) -> DataFrame:
+    """Streaming DataFrame (event_type, ts, event_id, v) → breakout alerts.
+
+    The streaming twin of the batch ``window_bollinger_bands`` operator,
+    emitting only full-frame (n=8) breakouts; state per key is a ≤7-long
+    ring buffer, so total state is O(active keys), never O(stream)."""
+    from ..session import ship_package
+
+    ship_package(values.sparkSession)
+    return values.groupBy("event_type").applyInPandasWithState(
+        _bollinger_fn,
+        _BOLL_OUT,
+        _BOLL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def price_change_events_tws(
     prices: DataFrame, state_ttl_ms: int | None = None
 ) -> DataFrame:

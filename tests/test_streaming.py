@@ -408,3 +408,51 @@ def test_stateful_price_change_ttl_eviction(spark, tmp_path):
         for r in spark.sql("select * from price_ttl_out").collect()
     )
     assert got == [("PX", 100.0), ("PX", 104.0)], got
+
+
+def test_bollinger_state_survives_batch_boundary(spark, tmp_path):
+    """The ring buffer must carry across micro-batches: a two-batch
+    time-sliced replay (each batch arrives in event-time order, the
+    production assumption shared with the price kernel) emits exactly the
+    rows a single-batch replay does — including breakouts whose 8-row frame
+    STRADDLES the batch boundary."""
+    import pandas as pd
+
+    from rugpull_data_pipeline_spark.streaming.pipelines import bollinger_alerts
+
+    # one key, 12 points: 11 quiet values then a spike; the spike's frame
+    # spans rows 5..12, i.e. both batches (split at t=600).
+    rows = [(i, 100 * i, "k", 1000 + (i % 3)) for i in range(1, 12)]
+    rows.append((12, 1200, "k", 5000))
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string, raw long"
+    ).select(
+        "event_type",
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_id",
+        F.col("raw").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 6").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 6").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bollinger_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("boll_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("boll_boundary").orderBy("ts_epoch").toPandas()
+    # exactly the spike emits (quiet jitter stays inside the envelope), and
+    # it is only detectable because rows 5..11 were retained in state.
+    assert list(got["v_micro"]) == [5000]
+    assert list(got["ts_epoch"]) == [1200]
