@@ -675,3 +675,80 @@ _pair(
     "and disjoint intervals guarantee fact cardinality is preserved. "
     "Composes dim_scd2_price_history with the as-of family.",
 )
+
+
+# ---------------------------------------------------------------------------
+# One-pass map-only quality gate (FineWeb-style filter chain)
+# ---------------------------------------------------------------------------
+
+
+def _filter_gate(d: str) -> str:
+    # Every signal evaluates with higher-order ARRAY functions on the row —
+    # token count, mean token length, stopword ratio, distinct-token ratio,
+    # duplicate-3-gram ratio — so the whole gate is a single map-only
+    # projection: zero shuffles, zero joins, linear scan at any corpus
+    # size. (The standalone diagnostic queries — text_word_entropy,
+    # text_repetition_score — use aggregations for exact distributions;
+    # the production gate needs only row-local verdicts.)
+    stops = "('the','a','an','of','and','to','in','is','it','for')"
+    if d == SPARK:
+        toks = S.split_ws("text", d)
+        n = "size(toks)"
+        stopc = f"size(filter(toks, t -> t IN {stops}))"
+        dstc = "size(array_distinct(toks))"
+        g3 = (
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', slice(toks, i, 3)))"
+        )
+        g3d = f"size(array_distinct({g3}))"
+    else:
+        toks = S.split_ws("text", d)
+        n = "len(toks)"
+        stopc = f"len(list_filter(toks, t -> t IN {stops}))"
+        dstc = "len(list_distinct(toks))"
+        g3 = (
+            "list_transform(range(1, len(toks) - 1), "
+            "i -> array_to_string(toks[i:i+2], ' '))"
+        )
+        g3d = f"len(list_distinct({g3}))"
+    return f"""
+    WITH sig AS (
+        -- cast(... as double): Spark parses a bare 1.0 literal as
+        -- DECIMAL(2,1), which would ripple decimals (pandas objects)
+        -- through every ratio; DuckDB parses it as double.
+        SELECT doc_id,
+            {n} AS n_tokens,
+            cast(length(replace(text, ' ', '')) as double) / {n}
+                AS mean_tok_len,
+            cast({stopc} as double) / {n} AS stop_ratio,
+            cast({dstc} as double) / {n} AS distinct_ratio,
+            CASE WHEN {n} >= 3
+                THEN cast(1 as double) - cast({g3d} as double) / ({n} - 2)
+                ELSE cast(0 as double) END AS dup3_ratio
+        FROM (SELECT doc_id, text, {toks} AS toks FROM documents) b
+    )
+    SELECT doc_id, n_tokens,
+        round(mean_tok_len, 6) AS mean_tok_len,
+        round(stop_ratio, 6) AS stop_ratio,
+        round(distinct_ratio, 6) AS distinct_ratio,
+        round(dup3_ratio, 6) AS dup3_ratio,
+        (n_tokens >= 20 AND mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
+            AND stop_ratio >= 0.02 AND distinct_ratio >= 0.35
+            AND dup3_ratio <= 0.05) AS keep
+    FROM sig
+    ORDER BY doc_id
+    """
+
+
+_pair(
+    "text_filter_gate",
+    _filter_gate,
+    tags=("text", "quality", "curation"),
+    doc="One-pass FineWeb-style quality gate: token count, mean token "
+    "length, stopword ratio, distinct-token ratio and duplicate-3-gram "
+    "ratio all evaluate as higher-order array functions ON THE ROW, so "
+    "the entire keep/drop verdict is a map-only projection — zero "
+    "shuffles, zero joins, embarrassingly parallel at 100 TB. Ratios are "
+    "single int/int divisions (engine-identical doubles), so the "
+    "threshold verdicts hash-match exactly.",
+)

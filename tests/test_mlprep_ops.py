@@ -278,3 +278,27 @@ def test_pit_join_is_leakage_free_and_cardinality_preserving(hand_views):
     assert got[22] == pytest.approx(20.0)
     assert got[23] == pytest.approx(20.0)
     assert got[24] == pytest.approx(6.0)
+
+
+def test_filter_gate_verdicts(hand_views):
+    spark = hand_views
+    good = ("the quick brown fox jumps over the lazy dog near four big red "
+            "barns while six calm white owls watch from tall green trees")
+    _mk_docs(
+        spark,
+        [
+            (1, good),                      # passes every rule
+            (2, "way too short text"),      # n_tokens < 20
+            (3, " ".join(["spam"] * 30)),   # distinct/dup3 rules
+            (4, " ".join(f"verylongword{i:02d}" for i in range(30))),  # no stopwords, too-long tokens
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _filter_gate
+
+    got = {r.doc_id: r for r in spark.sql(_filter_gate(SPARK)).collect()}
+    assert got[1].keep is True
+    assert got[2].keep is False and got[2].n_tokens == 4
+    assert got[3].keep is False
+    assert got[3].distinct_ratio == pytest.approx(1 / 30, abs=1e-6)
+    assert got[3].dup3_ratio == pytest.approx(1 - 1 / 28, abs=1e-6)
+    assert got[4].keep is False and got[4].stop_ratio == 0.0
