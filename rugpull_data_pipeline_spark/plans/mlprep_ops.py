@@ -752,3 +752,124 @@ _pair(
     "single int/int divisions (engine-identical doubles), so the "
     "threshold verdicts hash-match exactly.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (conversion credited to the most recent touch)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 3600  # lookback: credit touches at most 1 h before purchase
+
+
+def _attribution_oracle(d: str) -> str:
+    # Oracle plan shape is irrelevant: per-purchase argmax via row_number
+    # over the user-keyed join (t.ts <= p.ts, tie-break on event_id — the
+    # "<=" twin of the Spark side's kind-ordered window carry). The latest
+    # touch overall is the latest within the lookback whenever one exists,
+    # so filtering the winner afterwards is equivalent to filtering in the
+    # join.
+    e = S.epoch_s
+    return f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    best AS (
+        SELECT p.event_id, p.value,
+            CASE WHEN t.ts IS NOT NULL
+                  AND {e('p.ts', d)} - {e('t.ts', d)} <= {_ATTR_WINDOW_S}
+                 THEN t.event_type ELSE 'direct' END AS channel,
+            row_number() OVER (
+                PARTITION BY p.event_id
+                ORDER BY t.ts DESC, t.event_id DESC
+            ) AS rn
+        FROM p
+        LEFT JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+    )
+    SELECT channel,
+        cast(count(*) as bigint) AS n_purchases,
+        {S.dsum('value', d)} AS revenue
+    FROM best WHERE rn = 1
+    GROUP BY channel
+    ORDER BY channel
+    """
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=_attribution_oracle(DUCK),
+    tags=("events", "temporal", "agg"),
+    doc="Last-touch attribution: every purchase credits the same user's "
+    "most recent non-purchase event within a 1-hour lookback ('direct' "
+    "when none) — revenue per acquisition channel. The Spark side is the "
+    "as-of union pattern (join_asof_last_view): union touches and "
+    "purchases, ONE shuffle on the user key, carry the latest touch with "
+    "last(ignoreNulls) over the (ts, kind, event_id) order — no join, no "
+    "per-user fan-out, unlike the oracle's argmax join. Revenue sums are "
+    "decimal-exact.",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("order_id"),
+        F.struct(
+            F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type")
+        ).alias("touch"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("order_id"),
+        F.lit(None)
+        .cast("struct<t_ts:timestamp,t_type:string>")
+        .alias("touch"),
+        F.col("value").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "order_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        touches.unionByName(purchases)
+        .withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+    )
+    recent = (
+        F.col("last_touch").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("last_touch.t_ts")
+            <= _ATTR_WINDOW_S
+        )
+    )
+    return (
+        carried.select(
+            F.when(recent, F.col("last_touch.t_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "purchase_value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -302,3 +302,37 @@ def test_filter_gate_verdicts(hand_views):
     assert got[3].distinct_ratio == pytest.approx(1 / 30, abs=1e-6)
     assert got[3].dup3_ratio == pytest.approx(1 - 1 / 28, abs=1e-6)
     assert got[4].keep is False and got[4].stop_ratio == 0.0
+
+
+def test_attribution_last_touch_semantics(hand_views):
+    spark = hand_views
+    _mk_user_events(
+        spark,
+        [
+            # user 1: click 100 s before purchase -> attributed to click
+            (1, 100, 1, "click", None),
+            (2, 200, 1, "purchase", 10.0),
+            # user 1: next purchase 5000 s after the click -> outside the
+            # 3600 s lookback -> direct (an old touch never gets credit)
+            (3, 5100, 1, "purchase", 20.0),
+            # user 2: two touches at the SAME ts as the purchase: same-ts
+            # touch counts (kind-ordered carry), larger event_id wins
+            (10, 300, 2, "view", None),
+            (11, 300, 2, "signup", None),
+            (12, 300, 2, "purchase", 5.0),
+            # user 3: no touches at all -> direct
+            (20, 400, 3, "purchase", 7.0),
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import (
+        events_attribution_last_touch,
+    )
+
+    got = {
+        r.channel: r
+        for r in events_attribution_last_touch(spark, None).collect()
+    }
+    assert got["click"].n_purchases == 1 and got["click"].revenue == 10.0
+    assert got["direct"].n_purchases == 2 and got["direct"].revenue == 27.0
+    assert got["signup"].n_purchases == 1 and got["signup"].revenue == 5.0
+    assert "view" not in got
