@@ -873,3 +873,115 @@ def events_attribution_last_touch(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 power iterations) over the event-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(d: str) -> str:
+    # Unrolled power iteration, one CTE per step; per-step contribution sums
+    # are DECIMAL-quantized so the fold is order-independent (the scores
+    # feed the next iteration unrounded). Dangling-mass redistribution is
+    # omitted: every fixture node has out-edges (documented variant).
+    dsum = "cast(sum(cast(r.score * e.w as decimal(38,18))) as double)"
+    nn = "(SELECT n FROM nn)"
+    step = lambda prev: f"""
+        SELECT n.node,
+            (cast(1 as double) - {_PR_D}) / {nn}
+            + {_PR_D} * coalesce({dsum}, cast(0 as double)) AS score
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} r ON r.node = e.src
+        GROUP BY n.node
+    """
+    return f"""
+    WITH edges_raw AS (
+        SELECT prev AS src, event_type AS dst, count(*) AS c
+        FROM (
+            SELECT event_type,
+                lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ) t
+        WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    outs AS (SELECT src, sum(c) AS tot FROM edges_raw GROUP BY src),
+    edges AS (
+        SELECT e.src, e.dst, cast(e.c as double) / o.tot AS w
+        FROM edges_raw e JOIN outs o ON o.src = e.src
+    ),
+    nn AS (SELECT cast(count(*) as double) AS n FROM nodes),
+    r0 AS (SELECT node, cast(1 as double) / {nn} AS score FROM nodes),
+    r1 AS ({step("r0")}),
+    r2 AS ({step("r1")}),
+    r3 AS ({step("r2")})
+    SELECT node AS event_type, round(score, 6) AS pagerank
+    FROM r3
+    ORDER BY pagerank DESC, event_type
+    """
+
+
+@register(
+    "graph_pagerank_power3",
+    oracle=_pagerank_oracle(DUCK),
+    tags=("graph", "iterative"),
+    doc="PageRank (d=0.85, 3 power iterations) over the event-transition "
+    "graph — on production rugpull data the nodes are wallets and the "
+    "edges token transfers, ranking influence in the flow graph; the "
+    "fixture's event-type transition graph stands in. The edge table "
+    "(one window pass + row normalization) is built ONCE and "
+    "localCheckpoint'd — the kmeans/cc_fixpoint iteration pattern — and "
+    "each iteration is a broadcast-sized join against it, per-step sums "
+    "DECIMAL-quantized so both engines fold identically. The oracle "
+    "unrolls the same three steps as chained CTEs.",
+)
+def graph_pagerank_power3(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    prev = F.lag("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    edges_raw = (
+        ev.select("event_type", prev.alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    outs = edges_raw.groupBy("src").agg(F.sum("c").alias("tot"))
+    edges = (
+        edges_raw.join(outs, "src")
+        .select("src", "dst", (F.col("c").cast("double") / F.col("tot")).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+    n = float(nodes.count())  # metadata-sized scalar, like kmeans' k
+    r = nodes.withColumn("score", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("score") * F.col("w")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        r = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit((1.0 - _PR_D) / n)
+                + F.lit(_PR_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("score"),
+        )
+    return r.select(
+        F.col("node").alias("event_type"), F.round("score", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "event_type")

@@ -336,3 +336,23 @@ def test_attribution_last_touch_semantics(hand_views):
     assert got["direct"].n_purchases == 2 and got["direct"].revenue == 27.0
     assert got["signup"].n_purchases == 1 and got["signup"].revenue == 5.0
     assert "view" not in got
+
+
+def test_pagerank_hand_graph(hand_views):
+    spark = hand_views
+    # u1: a->b, b->b ; u2: a->b, b->a  =>  w(a->b)=1, w(b->a)=w(b->b)=0.5
+    # 3 damped iterations from (0.5, 0.5), hand-computed:
+    #   r1 = (0.2875, 0.7125); r2 = (0.377813, 0.622188)
+    #   r3 = (0.339430, 0.660570)
+    _mk_user_events(
+        spark,
+        [
+            (1, 10, 1, "a", None), (2, 20, 1, "b", None), (3, 30, 1, "b", None),
+            (4, 10, 2, "a", None), (5, 20, 2, "b", None), (6, 30, 2, "a", None),
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import graph_pagerank_power3
+
+    got = {r.event_type: r.pagerank for r in graph_pagerank_power3(spark, None).collect()}
+    assert got["a"] == pytest.approx(0.339430, abs=1e-6)
+    assert got["b"] == pytest.approx(0.660570, abs=1e-6)
