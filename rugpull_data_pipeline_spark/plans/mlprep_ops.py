@@ -985,3 +985,126 @@ def graph_pagerank_power3(spark, sf_dir):
     return r.select(
         F.col("node").alias("event_type"), F.round("score", 6).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy audit: MinHash estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_audit(d: str) -> str:
+    # The dedup pipeline trusts the 16-hash MinHash signature to route
+    # near-dup candidates; this audit measures what that trust costs. Both
+    # the estimate (matching signature positions / 16) and the exact Jaccard
+    # are computed per LSH candidate pair, plus the |error| and a
+    # within-one-sigma flag (sigma = sqrt(J(1-J)/16) <= 0.125 at J=0.5;
+    # bound used: 0.25 = 2 sigma worst-case). Everything is exact rational
+    # arithmetic on the cross-engine portable hash, so the audit itself
+    # hash-compares.
+    from .llm_ops import (
+        _BAND_SIZE,
+        _LSH_BUCKET_CAP,
+        _MINHASH_AB,
+        _MINHASH_P,
+        _N_HASHES,
+        _ngram_shingles,
+    )
+
+    shh = S.portable_hash64("sh", d)
+    min_cols = ",\n            ".join(
+        f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{4 * band + r}" for r in range(_BAND_SIZE))
+        + "))"
+        for band in range(_N_HASHES // _BAND_SIZE)
+    )
+    n_match = " + ".join(
+        f"(case when a.h{j} = b.h{j} then 1 else 0 end)" for j in range(_N_HASHES)
+    )
+    if d == SPARK:
+        bands = f"""
+        SELECT doc_id, band, band_key
+        FROM sigs
+        LATERAL VIEW posexplode(array({band_keys})) AS band, band_key
+        """
+        doc_sets = (
+            "SELECT doc_id, collect_set(shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        )
+        n_inter = "size(array_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "size(sa.shs)", "size(sb.shs)"
+    else:
+        bands = f"""
+        SELECT doc_id, i AS band, [{band_keys}][i + 1] AS band_key
+        FROM sigs, unnest(range(0, {_N_HASHES // _BAND_SIZE})) t(i)
+        """
+        doc_sets = (
+            "SELECT doc_id, list(DISTINCT shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        )
+        n_inter = "len(list_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "len(sa.shs)", "len(sb.shs)"
+    jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
+    est = f"cast(({n_match}) as double) / {_N_HASHES}"
+    return f"""
+    WITH sh_hashed AS (
+        SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
+    ),
+    sigs AS (
+        SELECT doc_id,
+            {min_cols}
+        FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM sh_hashed) t
+        GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    bands_capped AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT doc_id, band, band_key,
+                count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ) f WHERE bsz <= {_LSH_BUCKET_CAP}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+    ),
+    doc_sets AS ({doc_sets}),
+    paired AS (
+        SELECT c.doc_a, c.doc_b,
+            {est} AS j_est,
+            {jacc} AS j_exact
+        FROM candidates c
+        JOIN sigs a ON a.doc_id = c.doc_a
+        JOIN sigs b ON b.doc_id = c.doc_b
+        JOIN doc_sets sa ON sa.doc_id = c.doc_a
+        JOIN doc_sets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+        round(j_est, 6) AS jaccard_est,
+        round(j_exact, 6) AS jaccard_exact,
+        round(abs(j_est - j_exact), 6) AS abs_err,
+        (abs(j_est - j_exact) <= 0.25) AS within_bound
+    FROM paired
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "audit_minhash_estimate",
+    _minhash_audit,
+    tags=("dedup", "audit", "sketch"),
+    doc="Sketch-accuracy audit: for every LSH candidate pair, the 16-hash "
+    "MinHash Jaccard estimate (matching signature positions / 16) next to "
+    "the exact shingle-set Jaccard, the |error|, and a 2-sigma "
+    "within-bound flag — the verification pass that justifies trusting "
+    "the sketch for routing at 100 TB (the agg_approx_sketches bounds "
+    "oracle, applied to the dedup family). Same one-pass signature "
+    "aggregation and capped band join as dedup_minhash_lsh; everything "
+    "is exact rational arithmetic on the portable hash, so even the "
+    "audit hash-compares across engines.",
+)
