@@ -801,3 +801,81 @@ def stream_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution — keyed one-touch state
+# ---------------------------------------------------------------------------
+
+_ATTR_STREAM_ORACLE = f"""
+WITH p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+t AS (
+    SELECT user_id, ts, event_id, event_type FROM events
+    WHERE event_type <> 'purchase'
+),
+best AS (
+    SELECT p.event_id, p.user_id, p.value,
+        CASE WHEN t.ts IS NOT NULL
+              AND {S.epoch_s('p.ts', DUCK)} - {S.epoch_s('t.ts', DUCK)} <= 3600
+             THEN t.event_type ELSE 'direct' END AS channel,
+        row_number() OVER (
+            PARTITION BY p.event_id
+            ORDER BY t.ts DESC, t.event_id DESC
+        ) AS rn
+    FROM p
+    LEFT JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+)
+SELECT event_id, user_id, channel, round(value, 6) AS purchase_value
+FROM best WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+@register(
+    "stream_attribution_replay",
+    oracle=_ATTR_STREAM_ORACLE,
+    tags=("streaming", "stateful", "events"),
+    doc="Last-touch attribution as a custom stateful streaming operator: "
+    "state per user is exactly ONE (epoch-sec, type) touch — O(active "
+    "users) — and each purchase emits its attributed channel on arrival "
+    "('direct' beyond the 1-hour lookback). The per-purchase emissions "
+    "replayed over the events fixture equal the batch argmax-join oracle "
+    "row-for-row; the streaming twin of events_attribution_last_touch's "
+    "aggregated rollup.",
+)
+def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import attribution_events
+
+    src = _events_src(
+        spark, sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]
+    ).withColumn(
+        "kind",
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)),
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_attr_src_")
+    src.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    with _state_partitions(spark, 8):
+        out = attribution_events(stream)
+        name = "attr_sink_" + os.path.basename(src_dir)[-8:]
+        _run_available_now(
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_attr_ckpt_")
+            )
+        )
+    return (
+        spark.table(name)
+        .select(
+            "event_id",
+            "user_id",
+            "channel",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -488,3 +488,71 @@ def stream_stream_left_outer_purchases(
         ),
         "leftOuter",
     ).select("p_event_id", "p_user_id", "p_ts", "purchase_value", "v_ts", "view_value")
+
+
+_ATTR_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("purchase_value", T.DoubleType()),
+    ]
+)
+
+_ATTR_STATE = T.StructType(
+    [
+        T.StructField("t_sec", T.LongType()),
+        T.StructField("t_type", T.StringType()),
+    ]
+)
+
+_ATTR_LOOKBACK_S = 3600
+
+
+def _attribution_fn(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming last-touch attribution: state per user is ONE (epoch-sec,
+    type) pair — the most recent non-purchase touch; each purchase emits its
+    attributed channel ('direct' when the touch is absent or older than the
+    lookback). Rows fold in (ts, kind, event_id) order so a same-instant
+    touch lands before the purchase that credits it, mirroring the batch
+    window's kind-ordered carry exactly."""
+    (t_sec, t_type) = state.get if state.exists else (None, None)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    rows = []
+    if len(merged):
+        for r in merged.sort_values(["ts", "kind", "event_id"]).itertuples():
+            sec = int(r.ts.value // 1_000_000_000)
+            if r.kind == 0:
+                t_sec, t_type = sec, r.event_type
+            else:
+                recent = t_sec is not None and sec - t_sec <= _ATTR_LOOKBACK_S
+                channel = t_type if recent else "direct"
+                val = None if pd.isna(r.value) else float(r.value)
+                rows.append((int(r.event_id), key[0], channel, val))
+    state.update((t_sec, t_type))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "channel", "purchase_value"]
+        )
+
+
+def attribution_events(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame (user_id, ts, event_id, event_type, value, kind)
+    → per-purchase attributed rows. State per user is one touch — O(active
+    users), never O(stream); the streaming twin of the batch
+    events_attribution_last_touch rollup."""
+    from ..session import ship_package
+
+    ship_package(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn,
+        _ATTR_OUT,
+        _ATTR_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -456,3 +456,54 @@ def test_bollinger_state_survives_batch_boundary(spark, tmp_path):
     # it is only detectable because rows 5..11 were retained in state.
     assert list(got["v_micro"]) == [5000]
     assert list(got["ts_epoch"]) == [1200]
+
+
+def test_attribution_state_survives_batch_boundary(spark, tmp_path):
+    """The one-touch state must carry across micro-batches: a click in
+    batch 1 credits a purchase that only arrives in batch 2, and a stale
+    touch (older than the lookback) yields 'direct' even across batches."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import attribution_events
+
+    rows = [
+        # batch 1 (t <= 500): touches only
+        (1, 100, 1, "click", None, 0),
+        (2, 200, 2, "view", None, 0),
+        # batch 2: purchases — user 1 within lookback, user 2's second
+        # purchase beyond it
+        (10, 700, 1, "purchase", 10.0, 1),
+        (11, 5000, 2, "purchase", 20.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, t long, user_id long, event_type string, "
+        "value double, kind int",
+    ).select(
+        "user_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+        "kind",
+    )
+    src = str(tmp_path / "src")
+    df.where("t <= 500").coalesce(1).write.mode("append").parquet(src)
+    df.where("t > 500").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        attribution_events(stream)
+        .writeStream.format("memory")
+        .queryName("attr_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r for r in spark.table("attr_boundary").collect()}
+    assert got[10].channel == "click" and got[10].purchase_value == 10.0
+    assert got[11].channel == "direct"
