@@ -1108,3 +1108,161 @@ _pair(
     "is exact rational arithmetic on the portable hash, so even the "
     "audit hash-compares across engines.",
 )
+
+
+# ---------------------------------------------------------------------------
+# RSI-14 (momentum oscillator over the value series)
+# ---------------------------------------------------------------------------
+
+
+def _rsi14(d: str) -> str:
+    # Simple (cumulative, non-Wilder) RSI over a 14-diff frame, in the
+    # division-safe algebraic form 100·G/(G+L): gains and losses sum
+    # DECIMAL-exact, the single final divide is engine-identical, and a
+    # flat frame (G+L=0) yields NULL rather than a 0/0.
+    frame = f"OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)"
+    sg = f"cast(sum(cast(gain as decimal(38,9))) {frame} as double)"
+    sl = f"cast(sum(cast(loss as decimal(38,9))) {frame} as double)"
+    nd = f"count(diff) {frame}"
+    return f"""
+    WITH diffs AS (
+        SELECT event_id, event_type, ts,
+            value - lag(value) OVER ({_W}) AS diff
+        FROM events
+    ),
+    gl AS (
+        SELECT event_id, event_type, ts,
+            diff,
+            CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+            CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+        FROM diffs
+    )
+    SELECT event_id, event_type,
+        CASE WHEN {nd} = 14 AND {sg} + {sl} > 0
+             THEN round(100 * {sg} / ({sg} + {sl}), 6)
+             ELSE NULL END AS rsi_14
+    FROM gl
+    ORDER BY event_type, event_id
+    """
+
+
+_pair(
+    "window_rsi_14",
+    _rsi14,
+    tags=("window", "series"),
+    doc="RSI-14 momentum oscillator per series (100·gains/(gains+losses) "
+    "over a 14-diff frame; NULL until the frame fills or when flat) — "
+    "with max-drawdown, EWMA and Bollinger this completes the quant "
+    "screen the reference's single ±10% predicate hints at. One window "
+    "pass computes the lag diff, a second the frame sums — both share "
+    "the one series-key exchange and sort.",
+)
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier over embeddings (majority vote of cosine top-10)
+# ---------------------------------------------------------------------------
+
+
+def _knn_classify(d: str) -> str:
+    from .llm_ops import _cosine
+
+    cos = _cosine(d, "q.embedding", "c.embedding")
+    return f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding, label AS true_label
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 15
+    ),
+    scored AS (
+        SELECT q.query_id, q.true_label, c.vec_id, c.label,
+            {cos} AS cosine
+        FROM queries q
+        JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    top10 AS (
+        SELECT query_id, true_label, label FROM (
+            SELECT query_id, true_label, label,
+                row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                ) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 10
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, count(*) AS n_votes
+        FROM top10 GROUP BY query_id, true_label, label
+    )
+    SELECT query_id, true_label,
+        label AS predicted_label,
+        cast(n_votes as bigint) AS n_votes,
+        (label = true_label) AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, label
+        ) AS rn
+        FROM votes
+    ) w WHERE rn = 1
+    ORDER BY query_id
+    """
+
+
+_pair(
+    "sim_knn_classify",
+    _knn_classify,
+    tags=("similarity", "mlprep"),
+    doc="kNN label prediction: majority vote over each query vector's "
+    "cosine top-10 (deterministic tie-breaks on vec_id then label) with a "
+    "per-query correctness flag — the classification read-path of the "
+    "similarity stack. Same broadcast-queries linear scan as the top-k "
+    "baseline; voting is integer counting, argmax is a per-query window "
+    "over at most 10 rows.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Holder-concentration (HHI) per series
+# ---------------------------------------------------------------------------
+
+
+def _hhi(d: str) -> str:
+    # Rugpull risk reads directly off holder concentration: HHI = sum of
+    # squared user shares of the per-type value flow. User sums are
+    # DECIMAL-exact; each share is one divide; share^2 terms re-quantize to
+    # DECIMAL(38,18) so the final sum is order-independent.
+    usum = "cast(sum(cast(value as decimal(38,9))) as double)"
+    return f"""
+    WITH per_user AS (
+        SELECT event_type, user_id, {usum} AS v
+        FROM events
+        WHERE value IS NOT NULL AND value > 0
+        GROUP BY event_type, user_id
+    ),
+    tot AS (
+        SELECT event_type, cast(sum(cast(v as decimal(38,9))) as double) AS t,
+            count(*) AS n_users
+        FROM per_user GROUP BY event_type
+    )
+    SELECT p.event_type,
+        cast(max(t.n_users) as bigint) AS n_users,
+        round(cast(sum(cast((p.v / t.t) * (p.v / t.t) as decimal(38,18)))
+            as double), 6) AS hhi,
+        round(max(p.v / t.t), 6) AS top_share
+    FROM per_user p
+    JOIN tot t ON t.event_type = p.event_type
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """
+
+
+_pair(
+    "agg_holder_concentration",
+    _hhi,
+    tags=("agg", "domain"),
+    doc="Holder-concentration screen: Herfindahl index (sum of squared "
+    "user shares) and top-holder share of each event type's value flow — "
+    "the concentration signal rugpull detection reads off token holder "
+    "tables. Two stacked map-side-combinable aggregations keyed by "
+    "(type, user) then type; shares are single divides of DECIMAL-exact "
+    "sums and the HHI terms re-quantize before summing, so both engines "
+    "agree bit-for-bit.",
+)

@@ -39,6 +39,9 @@ _NLJ_ALLOWED = {
     # MMR re-rank: each greedy step broadcasts the 1-row selected vector
     # against the (small, post-ANN) candidate pool — non-equi by design.
     "sim_mmr_diversify",
+    # kNN classifier: same broadcast-queries linear scan as the top-k
+    # baseline (the non-equi probe is the point).
+    "sim_knn_classify",
 }
 
 
