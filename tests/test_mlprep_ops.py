@@ -356,3 +356,62 @@ def test_pagerank_hand_graph(hand_views):
     got = {r.event_type: r.pagerank for r in graph_pagerank_power3(spark, None).collect()}
     assert got["a"] == pytest.approx(0.339430, abs=1e-6)
     assert got["b"] == pytest.approx(0.660570, abs=1e-6)
+
+
+def test_rsi_frame_fill_and_direction(hand_views):
+    spark = hand_views
+    # 15 monotonically rising samples: first 14 rows have <14 diffs -> NULL;
+    # row 15 has 14 gains, 0 losses -> RSI = 100. A flat series stays NULL
+    # (G+L = 0 guard).
+    rows = [(i, 10 * i, "up", float(i)) for i in range(1, 16)]
+    rows += [(100 + i, 10 * i, "flat", 5.0) for i in range(1, 16)]
+    _mk_events(spark, rows)
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _rsi14
+
+    got = {r.event_id: r.rsi_14 for r in spark.sql(_rsi14(SPARK)).collect()}
+    assert got[14] is None            # only 13 diffs in frame
+    assert got[15] == pytest.approx(100.0)
+    assert got[115] is None           # flat: G+L = 0
+
+
+def test_hhi_two_equal_holders(hand_views):
+    spark = hand_views
+    # two users with equal value -> shares 0.5/0.5 -> HHI 0.5, top 0.5;
+    # a monopolist type -> HHI 1.0. Zero/negative values are excluded.
+    _mk_user_events(
+        spark,
+        [
+            (1, 10, 1, "dual", 30.0),
+            (2, 20, 2, "dual", 30.0),
+            (3, 30, 1, "mono", 9.0),
+            (4, 40, 2, "mono", 0.0),  # excluded: value > 0 filter
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _hhi
+
+    got = {r.event_type: r for r in spark.sql(_hhi(SPARK)).collect()}
+    assert got["dual"].hhi == pytest.approx(0.5) and got["dual"].n_users == 2
+    assert got["dual"].top_share == pytest.approx(0.5)
+    assert got["mono"].hhi == pytest.approx(1.0) and got["mono"].n_users == 1
+
+
+def test_knn_majority_vote_with_tiebreak(hand_views):
+    spark = hand_views
+    # query 5 = [1,0]; ten candidates: six share label 1 near [1,0], four
+    # share label 0 slightly farther -> predicted 1; correctness flag
+    # compares against the query's own label (0 here -> incorrect).
+    rows = [(5, [1.0, 0.0], 0)]
+    for i in range(6):
+        rows.append((20 + i, [1.0, 0.001 * i], 1))
+    for i in range(4):
+        rows.append((40 + i, [0.9, 0.3 + 0.001 * i], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _knn_classify
+
+    got = spark.sql(_knn_classify(SPARK)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.query_id == 5 and r.predicted_label == 1 and r.n_votes == 6
+    assert r.true_label == 0 and r.correct is False
