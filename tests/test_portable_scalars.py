@@ -125,3 +125,38 @@ def test_explode_seq_cross_engine(spark, lo, span):
         .fetchall()
     ]
     assert got == want == list(range(lo, hi + 1))
+
+
+def _bpe_greedy_merge(toks: list[str], pa: str, pb: str) -> list[str]:
+    """Reference BPE merge application: greedy leftmost, non-overlapping."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == pa and toks[i + 1] == pb:
+            out.append(pa + pb)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "ab", "x"]), min_size=1, max_size=12),
+    pa=st.sampled_from(["a", "b", "ab"]),
+    pb=st.sampled_from(["a", "b", "ab"]),
+)
+def test_bpe_replace_trick_equals_greedy_merge(toks, pa, pb):
+    """mlprep_ops._bpe_round2 applies a merge via replace() over a
+    double-space-delimited string (each token owns BOTH its delimiters).
+    Property: for ANY token stream and merge pair — including adjacent
+    runs and pairs whose concatenation collides with an existing token —
+    the trick equals the reference greedy leftmost non-overlapping merge."""
+    s = " " + "  ".join(toks) + " "
+    pat = f" {pa}  {pb} "
+    rep = f" {pa}{pb} "
+    got_s = duckdb.sql(
+        "SELECT replace(?, ?, ?) AS s", params=[s, pat, rep]
+    ).fetchone()[0]
+    got = got_s.strip().split("  ") if got_s.strip() else []
+    assert got == _bpe_greedy_merge(toks, pa, pb)
