@@ -5,22 +5,29 @@ directions the baseline mandates ("text analysis", price-series analytics —
 the reference's only series op is the ±10% lag predicate,
 SERVER/combined_subscriber.py:171-210):
 
-- ``window_rolling_median`` — order-statistic smoothing of the value series
-  (the robust twin of the EWMA/TWAP family in pipeline_ops).
-- ``window_acf_lags`` — autocorrelation of each event-type's value series at
-  lags 1..3: the stationarity/seasonality screen run before any forecasting
-  model, and the series-level analogue of the reference's lag-1 predicate.
-- ``agg_linreg_daily`` — per-series OLS trend (slope/intercept) of the daily
-  mean value: drift detection over price/telemetry series.
-- ``text_word_entropy`` — per-document Shannon entropy of the token
-  distribution: low-entropy docs are keyword-stuffed/repetitive garbage
-  (complements quality_ops' Gopher repetition rules, which count verbatim
-  n-gram repeats rather than distributional concentration).
-- ``text_whitespace_normalize`` — control-char strip + whitespace collapse:
-  the first normalization pass of every corpus-cleaning pipeline.
-- ``text_feature_hash_16`` — hashing-trick bag-of-words (16 buckets) on the
-  cross-engine portable hash: fixed-width sparse features without a
-  vocabulary build, the classic pre-embedding featurizer.
+Series diagnostics: ``window_rolling_median`` (order-statistic smoothing),
+``window_acf_lags`` (lag-1..3 autocorrelation — the series-level analogue
+of the reference's lag-1 predicate), ``agg_linreg_daily`` (OLS drift),
+``window_bollinger_bands`` / ``window_rsi_14`` (volatility envelope +
+momentum oscillator), ``agg_holder_concentration`` (HHI — the rugpull
+holder-concentration screen), ``graph_pagerank_power3`` (flow-graph
+influence, 3 checkpointed power iterations).
+
+Text/corpus prep: ``text_word_entropy`` (distributional-concentration
+quality signal), ``text_whitespace_normalize`` (first-pass cleaning),
+``text_feature_hash_16`` (hashing-trick featurizer),
+``text_bpe_merge_round2`` (merge APPLICATION via replace()'s greedy
+leftmost semantics, then recount), ``text_filter_gate`` (one-pass
+map-only FineWeb-style keep/drop verdict).
+
+Dedup/similarity: ``dedup_containment_ngram`` (asymmetric containment on
+the df-capped inverted index), ``audit_minhash_estimate`` (sketch
+accuracy vs exact Jaccard), ``sim_mmr_diversify`` (greedy MMR re-rank),
+``sim_knn_classify`` (majority-vote read path).
+
+Temporal joins/events: ``join_point_in_time`` (leakage-free SCD2 feature
+lookup), ``events_attribution_last_touch`` (as-of union-carry revenue
+attribution; streaming twin in plans/stream_infra.py).
 
 Scale notes:
 - The two window queries partition by event_type and sort by (ts, event_id)
