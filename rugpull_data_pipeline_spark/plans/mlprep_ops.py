@@ -1273,3 +1273,89 @@ _pair(
     "sums and the HHI terms re-quantize before summing, so both engines "
     "agree bit-for-bit.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free temporal train/test split
+# ---------------------------------------------------------------------------
+
+
+def _temporal_split(d: str) -> str:
+    # The hash split (text_train_val_split) is exchangeable; time-series
+    # models need a TEMPORAL split — train strictly before test — or the
+    # eval leaks the future. Cutoff = exact 80th percentile of epoch
+    # seconds per series (integer interpolation, engine-identical, already
+    # proven by agg_percentiles_exact).
+    e = S.epoch_s("ts", d)
+    pct = (
+        f"percentile(es, 0.8)" if d == SPARK else "quantile_cont(es, 0.8)"
+    )
+    return f"""
+    WITH stamped AS (
+        SELECT event_type, {e} AS es FROM events
+    ),
+    cuts AS (
+        SELECT event_type, {pct} AS cutoff FROM stamped GROUP BY event_type
+    )
+    SELECT event_type, split,
+        cast(count(*) as bigint) AS n_rows,
+        cast(min(es) as bigint) AS min_es,
+        cast(max(es) as bigint) AS max_es
+    FROM (
+        SELECT s.event_type AS event_type, s.es AS es,
+            CASE WHEN s.es <= c.cutoff THEN 'train' ELSE 'test' END AS split
+        FROM stamped s
+        JOIN cuts c ON c.event_type = s.event_type
+    ) tagged
+    GROUP BY event_type, split
+    ORDER BY event_type, split DESC
+    """
+
+
+_pair(
+    "sample_temporal_split",
+    _temporal_split,
+    tags=("sample", "mlprep", "temporal"),
+    doc="Leakage-free temporal train/test split: per series, train = rows "
+    "at or before the exact 80th-percentile timestamp, test strictly "
+    "after — the time-ordered counterpart of the hash-based "
+    "text_train_val_split (which is exchangeable and therefore leaks for "
+    "forecasting). Emitted as per-(series, split) counts and boundaries "
+    "so the no-overlap invariant (max train < min test) is auditable in "
+    "the output itself. One agg for cutoffs (broadcastable), one "
+    "grouped count.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy ROLLUP (hypertable-style day→hour drill-down)
+# ---------------------------------------------------------------------------
+
+
+def _time_rollup(d: str) -> str:
+    day = S.fmt_date("ts", d)
+    return f"""
+    SELECT {day} AS day,
+        hour(ts) AS hr,
+        grouping({day}) AS g_day,
+        grouping(hour(ts)) AS g_hr,
+        cast(count(*) as bigint) AS n_events,
+        {S.dsum('value', d)} AS total_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY ROLLUP ({day}, hour(ts))
+    ORDER BY g_day, g_hr, day, hr
+    """
+
+
+_pair(
+    "agg_time_rollup",
+    _time_rollup,
+    tags=("agg", "temporal"),
+    doc="Hypertable-style time-hierarchy ROLLUP: purchase volume at "
+    "(day, hour), per-day subtotals, and the grand total in ONE "
+    "aggregation pass (grouping() markers distinguish subtotal rows from "
+    "NULL keys) — the continuous-aggregate drill-down shape. Spark plans "
+    "ROLLUP as a single Expand + hash agg: one shuffle for all three "
+    "levels, map-side combinable.",
+)
