@@ -879,3 +879,99 @@ def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint alerts — recursive fold, exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+# Per key: 20-sample warm-up fixes sum20; then s_i = max(0, s_{i-1} +
+# 20·v_i − sum20); alert and reset when s_i > 5·sum20. Integer micro-units
+# end to end, so the Python fold and this recursive walk agree bit-for-bit.
+_CUSUM_ORACLE = """
+WITH RECURSIVE scaled AS (
+    SELECT event_type, ts, event_id,
+        cast(floor(value * 1000000.0) as bigint) AS v
+    FROM events WHERE value IS NOT NULL
+),
+arr AS MATERIALIZED (
+    SELECT event_type,
+        list(v ORDER BY ts, event_id) AS vs,
+        list(ts ORDER BY ts, event_id) AS tss,
+        count(*) AS n
+    FROM scaled GROUP BY event_type
+),
+walk AS (
+    SELECT event_type, 1 AS i,
+        cast(0 as bigint) AS s,
+        cast(1 as bigint) AS n_warm,
+        vs[1] AS sum20,
+        false AS alert
+    FROM arr WHERE n >= 1
+    UNION ALL
+    SELECT w.event_type, w.i + 1,
+        CASE WHEN w.n_warm < 20 THEN cast(0 as bigint)
+             WHEN greatest(cast(0 as bigint),
+                    w.s + 20 * a.vs[w.i + 1] - w.sum20) > 5 * w.sum20
+                 THEN cast(0 as bigint)
+             ELSE greatest(cast(0 as bigint),
+                    w.s + 20 * a.vs[w.i + 1] - w.sum20) END,
+        CASE WHEN w.n_warm < 20 THEN w.n_warm + 1 ELSE w.n_warm END,
+        CASE WHEN w.n_warm < 20 THEN w.sum20 + a.vs[w.i + 1]
+             ELSE w.sum20 END,
+        w.n_warm >= 20
+            AND greatest(cast(0 as bigint),
+                    w.s + 20 * a.vs[w.i + 1] - w.sum20) > 5 * w.sum20
+    FROM walk w JOIN arr a ON a.event_type = w.event_type
+    WHERE w.i < a.n
+)
+SELECT w.event_type,
+    cast(floor(epoch(a.tss[w.i])) as bigint) AS ts_epoch,
+    a.vs[w.i] AS v_micro
+FROM walk w JOIN arr a ON a.event_type = w.event_type
+WHERE w.alert
+ORDER BY w.event_type, ts_epoch, v_micro
+"""
+
+
+@register(
+    "stream_cusum_alert",
+    oracle=_CUSUM_ORACLE,
+    tags=("streaming", "stateful", "series"),
+    doc="CUSUM changepoint detection as a custom stateful streaming "
+    "operator: 20-sample warm-up fixes each key's baseline, then the "
+    "classic one-sided fold s = max(0, s + 20·v − sum20) alerts (and "
+    "resets) on sustained drift past 5·sum20 — the slow-rug signal a "
+    "single-step threshold misses. The fold is EXACT integer arithmetic "
+    "over micro-unit longs (three-long state per key), so the replay "
+    "hash-matches a recursive-CTE walk oracle — the price-fold proof "
+    "technique applied to a second recursive operator.",
+)
+def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import cusum_alerts
+
+    src = (
+        _events_src(spark, sf_dir, ["event_type", "ts", "event_id", "value"])
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+        )
+    )
+    src_dir = tempfile.mkdtemp(prefix="rugpull_cusum_src_")
+    src.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    with _state_partitions(spark, 8):
+        out = cusum_alerts(stream)
+        name = "cusum_sink_" + os.path.basename(src_dir)[-8:]
+        _run_available_now(
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_cusum_ckpt_")
+            )
+        )
+    return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")

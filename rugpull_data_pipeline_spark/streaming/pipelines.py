@@ -556,3 +556,70 @@ def attribution_events(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_epoch", T.LongType()),
+        T.StructField("v_micro", T.LongType()),
+    ]
+)
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("n_warm", T.LongType()),
+        T.StructField("sum20", T.LongType()),
+    ]
+)
+
+_CUSUM_WARMUP = 20
+_CUSUM_H_MULT = 5  # alert when s > 5 * sum20
+
+
+def _cusum_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """CUSUM changepoint detector (one-sided, upper): after a 20-sample
+    warm-up fixes the baseline sum, fold s = max(0, s + 20·v − sum20) and
+    alert (then reset) when s exceeds 5·sum20 — sustained upward drift the
+    reference's single-step ±10% predicate cannot see. The whole recursion
+    is EXACT integer arithmetic over micro-unit longs, so the replay
+    hash-matches the recursive-CTE oracle; state is three longs per key."""
+    (s, n_warm, sum20) = state.get if state.exists else (0, 0, 0)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    rows = []
+    if len(merged):
+        for r in merged.sort_values(["ts", "event_id"]).itertuples():
+            v = int(r.v)
+            if n_warm < _CUSUM_WARMUP:
+                sum20 += v
+                n_warm += 1
+                continue
+            s = max(0, s + _CUSUM_WARMUP * v - sum20)
+            if s > _CUSUM_H_MULT * sum20:
+                rows.append((key[0], int(r.ts.value // 1_000_000_000), v))
+                s = 0
+    state.update((s, n_warm, sum20))
+    if rows:
+        yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
+
+
+def cusum_alerts(values: DataFrame) -> DataFrame:
+    """Streaming DataFrame (event_type, ts, event_id, v) → changepoint
+    alerts. State per key is three longs — O(active keys), never
+    O(stream)."""
+    from ..session import ship_package
+
+    ship_package(values.sparkSession)
+    return values.groupBy("event_type").applyInPandasWithState(
+        _cusum_fn,
+        _CUSUM_OUT,
+        _CUSUM_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

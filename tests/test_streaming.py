@@ -507,3 +507,43 @@ def test_attribution_state_survives_batch_boundary(spark, tmp_path):
     got = {r.event_id: r for r in spark.table("attr_boundary").collect()}
     assert got[10].channel == "click" and got[10].purchase_value == 10.0
     assert got[11].channel == "direct"
+
+
+def test_cusum_state_survives_batch_boundary(spark, tmp_path):
+    """Warm-up accumulates in batch 1; the drift that trips the alert only
+    arrives in batch 2 — the (s, n_warm, sum20) state must carry across the
+    micro-batch boundary for the fold to stay exact."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import cusum_alerts
+
+    # 20 warm-up samples of 1.0 (sum20 = 20e6), then sustained 3.0 samples:
+    # each adds 20*3e6 - 20e6 = 40e6 to s; alert when s > 5*20e6 = 100e6,
+    # i.e. on the 3rd drifted sample (s = 120e6).
+    rows = [(i, 10 * i, "k", 1_000_000) for i in range(1, 21)]
+    rows += [(20 + j, 200 + 10 * j, "k", 3_000_000) for j in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string, v long"
+    ).select(
+        "event_type", F.col("t").cast("timestamp").alias("ts"), "event_id", "v"
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 20").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 20").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cusum_boundary").orderBy("ts_epoch").collect()
+    # exactly one alert, on the 3rd drifted sample (event 23, t=230)
+    assert [(r.ts_epoch, r.v_micro) for r in got] == [(230, 3_000_000)]
