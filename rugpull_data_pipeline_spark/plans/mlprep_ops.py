@@ -1359,3 +1359,52 @@ _pair(
     "ROLLUP as a single Expand + hash agg: one shuffle for all three "
     "levels, map-side combinable.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline deviation (hour-of-day aware anomaly screen)
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_baseline(d: str) -> str:
+    # A global z-score flags every nightly lull and daily peak; the honest
+    # baseline is the (series, hour-of-day) profile. Deviation = value
+    # minus its seasonal-cell mean, reported with the cell population so
+    # thin cells are discountable downstream. Means are DECIMAL-exact
+    # sums / counts (one divide); the join back is on the tiny
+    # (series × 24) profile — broadcastable at any fact scale.
+    cell_mean = (
+        "cast(sum(cast(value as decimal(38,9))) as double)"
+        " / cast(count(value) as double)"
+    )
+    return f"""
+    WITH profile AS (
+        SELECT event_type, hour(ts) AS hr,
+            {cell_mean} AS cell_mean,
+            count(value) AS n_cell
+        FROM events
+        GROUP BY event_type, hour(ts)
+    )
+    SELECT e.event_id, e.event_type,
+        hour(e.ts) AS hr,
+        round(p.cell_mean, 6) AS cell_mean,
+        cast(p.n_cell as bigint) AS n_cell,
+        round(e.value - p.cell_mean, 6) AS seasonal_dev
+    FROM events e
+    JOIN profile p ON p.event_type = e.event_type AND p.hr = hour(e.ts)
+    WHERE e.value IS NOT NULL
+    ORDER BY e.event_id
+    """
+
+
+_pair(
+    "window_seasonal_baseline",
+    _seasonal_baseline,
+    tags=("series", "agg", "quality"),
+    doc="Hour-of-day seasonal baseline: each event's deviation from its "
+    "(series, hour) historical mean, with the cell population attached — "
+    "the seasonality-aware anomaly screen (a global z-score flags every "
+    "nightly lull; agg_zscore_outliers is that global sibling). One "
+    "map-combinable profile aggregation, then a broadcast join of the "
+    "(series × 24)-row profile back onto the facts.",
+)

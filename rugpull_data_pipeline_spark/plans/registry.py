@@ -156,7 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lookup_batched_mapinpandas",
     "json_size_guard_quarantine",
 )
-# Round-5 rotation candidates — the 47 queries registered AFTER this
+# Round-5 rotation candidates — the 48 queries registered AFTER this
 # round's full 50-slot window closed (all repo-oracle-green and
 # driver-sim-rehearsed at sf0.01, never yet in a driver window):
 # text_chunk_sliding, join_asof_tolerance, layout_compaction_plan,
@@ -174,8 +174,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # stream_bollinger_alert, text_filter_gate, events_attribution_last_touch,
 # graph_pagerank_power3, audit_minhash_estimate, stream_attribution_replay,
 # window_rsi_14, sim_knn_classify, agg_holder_concentration,
-# sample_temporal_split, agg_time_rollup, stream_cusum_alert.
-# Next round: fill the 50-slot window with those 47 + 3 rotating
+# sample_temporal_split, agg_time_rollup, stream_cusum_alert,
+# window_seasonal_baseline.
+# Next round: fill the 50-slot window with those 48 + 2 rotating
 # re-proofs, keeping every query driver-verified within the last three
 # rounds.
 
