@@ -1408,3 +1408,62 @@ _pair(
     "map-combinable profile aggregation, then a broadcast join of the "
     "(series × 24)-row profile back onto the facts.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted mixture construction (greedy-by-quality per source)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_TOKENS = 800
+
+
+def _token_budget_mixture(d: str) -> str:
+    # Real training mixtures are built to TOKEN budgets per source, not doc
+    # counts (text_mixture_sample is the doc-count sibling): within each
+    # source, take documents best-quality-first until the running token sum
+    # crosses the budget. Quality proxy = distinct-token ratio (map-only,
+    # engine-identical single divide); the greedy prefix is one window
+    # cumsum per source partition.
+    toks = S.split_ws("text", d)
+    n = "size(toks)" if d == SPARK else "len(toks)"
+    dst = (
+        "size(array_distinct(toks))" if d == SPARK else "len(list_distinct(toks))"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+            {n} AS n_tokens,
+            cast({dst} as double) / {n} AS quality
+        FROM (SELECT doc_id, source, {toks} AS toks FROM documents) t
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens, quality,
+            sum(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS cum_tokens
+        FROM scored
+    )
+    SELECT source, doc_id,
+        cast(n_tokens as bigint) AS n_tokens,
+        round(quality, 6) AS quality,
+        cast(cum_tokens as bigint) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= {_MIX_BUDGET_TOKENS}
+    ORDER BY source, cum_tokens
+    """
+
+
+_pair(
+    "text_token_budget_mixture",
+    _token_budget_mixture,
+    tags=("text", "mlprep", "sample"),
+    doc="Token-budgeted mixture construction: within each source, take "
+    "documents best-quality-first (distinct-token-ratio proxy, "
+    "deterministic tie-breaks) until the running token sum reaches the "
+    "per-source budget — how training mixtures are actually sized "
+    "(text_mixture_sample is the doc-count sibling). One window cumsum "
+    "per source partition; the quality score is map-only, so the single "
+    "shuffle is the source-key window exchange.",
+)
