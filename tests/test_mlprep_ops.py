@@ -415,3 +415,84 @@ def test_knn_majority_vote_with_tiebreak(hand_views):
     r = got[0]
     assert r.query_id == 5 and r.predicted_label == 1 and r.n_votes == 6
     assert r.true_label == 0 and r.correct is False
+
+
+def test_temporal_split_cutoff_and_no_overlap(hand_views):
+    spark = hand_views
+    # 10 samples at t=1..10: the exact 80th percentile is 8.2, so train
+    # holds t<=8 (8 rows) and test t>=9 (2 rows) — max(train) < min(test).
+    _mk_events(spark, [(i, i, "a", 1.0) for i in range(1, 11)])
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _temporal_split
+
+    got = {(r.event_type, r.split): r for r in spark.sql(_temporal_split(SPARK)).collect()}
+    tr, te = got[("a", "train")], got[("a", "test")]
+    assert tr.n_rows == 8 and te.n_rows == 2
+    assert tr.max_es < te.min_es  # leakage-free by construction
+    assert tr.min_es == 1 and te.max_es == 10
+
+
+def test_time_rollup_levels(hand_views):
+    spark = hand_views
+    # purchases: 2 on day1-h0, 1 on day1-h1, 1 on day2-h0 (+ a click that
+    # must be filtered out)
+    D = 86400
+    _mk_events(
+        spark,
+        [
+            (1, 0, "purchase", 1.0),
+            (2, 60, "purchase", 2.0),
+            (3, 3600, "purchase", 4.0),
+            (4, D, "purchase", 8.0),
+            (5, 0, "click", 99.0),
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _time_rollup
+
+    rows = spark.sql(_time_rollup(SPARK)).collect()
+    # leaf rows + 2 day subtotals + 1 grand total
+    leafs = [r for r in rows if r.g_day == 0 and r.g_hr == 0]
+    days = [r for r in rows if r.g_day == 0 and r.g_hr == 1]
+    grand = [r for r in rows if r.g_day == 1 and r.g_hr == 1]
+    assert len(leafs) == 3 and len(days) == 2 and len(grand) == 1
+    assert grand[0].n_events == 4 and grand[0].total_value == 15.0
+    d1 = next(r for r in days if r.day == "1970-01-01")
+    assert d1.n_events == 3 and d1.total_value == 7.0
+
+
+def test_seasonal_baseline_deviation(hand_views):
+    spark = hand_views
+    # hour-0 cell mean for series a = (1+3)/2 = 2 -> devs -1 and +1;
+    # hour-1 cell has one member -> dev 0
+    _mk_events(
+        spark,
+        [
+            (1, 0, "a", 1.0),
+            (2, 60, "a", 3.0),
+            (3, 3600, "a", 7.0),
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _seasonal_baseline
+
+    got = {r.event_id: r for r in spark.sql(_seasonal_baseline(SPARK)).collect()}
+    assert got[1].seasonal_dev == pytest.approx(-1.0) and got[1].n_cell == 2
+    assert got[2].seasonal_dev == pytest.approx(1.0)
+    assert got[3].seasonal_dev == pytest.approx(0.0) and got[3].n_cell == 1
+
+
+def test_token_budget_mixture_greedy_prefix(hand_views):
+    spark = hand_views
+    # one source, budget 800: doc 2 (distinct ratio 1.0, 500 toks) is taken
+    # first, then doc 3 (ratio 0.5, 300 toks) fills to 800; doc 1 (ratio
+    # 0.25, repetitive) would overflow and is dropped despite fitting alone.
+    docs = [
+        (1, " ".join(["w"] * 7 + ["x"])),   # 8 toks, ratio 0.25 — decoy
+        (2, " ".join(f"u{i}" for i in range(500))),          # ratio 1.0
+        (3, " ".join(f"v{i % 150}" for i in range(300))),    # ratio 0.5
+    ]
+    spark.createDataFrame(
+        [(d, t, "s0") for d, t in docs], "doc_id long, text string, source string"
+    ).createOrReplaceTempView("documents")
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _token_budget_mixture
+
+    rows = spark.sql(_token_budget_mixture(SPARK)).collect()
+    assert [(r.doc_id, r.cum_tokens) for r in rows] == [(2, 500), (3, 800)]
