@@ -187,14 +187,18 @@ def _lm_score(d: str) -> str:
         if d == SPARK
         else f"SELECT doc_id, unnest({_toks(d)}) AS tok FROM documents"
     )
-    # Add-one smoothed unigram logprob; each token's ln() is rounded to
-    # 6 decimals inside dsum, killing cross-libm ulp drift. The corpus
-    # totals attach as uncorrelated SCALAR SUBQUERIES — Spark plans these
-    # as reused ScalarSubquery literals (no join node at all), the exact
-    # broadcast-constant semantics the reference's in-process totals have.
+    # Add-one smoothed unigram logprob. Each term is pre-rounded to 7
+    # decimals BEFORE dsum's decimal(38,6) quantization: a 1-ulp ln()
+    # difference between libms then collapses to the same double except
+    # within an ulp of the 1e-7 grid — per DISTINCT token value, not per
+    # occurrence (a shared token's term flipping on the decimal boundary
+    # shifted every doc containing it and cost one sf0.1 row before this).
+    # The corpus totals attach as uncorrelated SCALAR SUBQUERIES — Spark
+    # plans these as reused ScalarSubquery literals (no join node at all),
+    # the exact broadcast-constant semantics of in-process totals.
     lp = (
-        "ln((cnt.c + 1.0) / "
-        "((SELECT n FROM tot) + (SELECT v FROM tot)))"
+        "round(ln((cnt.c + 1.0) / "
+        "((SELECT n FROM tot) + (SELECT v FROM tot))), 7)"
     )
     return f"""
     WITH tok AS ({tok_src}),
@@ -205,7 +209,15 @@ def _lm_score(d: str) -> str:
     )
     SELECT t.doc_id,
         count(*) AS n_tokens,
-        round(-({S.dsum(lp, d)}) / count(*), 6) AS avg_nll
+        -- round-6 computed in EXACT integer micro-nats: the decimal term
+        -- sum divided by count can land EXACTLY on a x.xxxxxx5 tie (it did
+        -- on this fixture: -259.000438/76 = 3.4079005), and the engines
+        -- break double-rounding ties differently. floor((2S + n)/(2n)) is
+        -- half-up over exact integers — tie-proof in both engines.
+        cast({S.idiv(
+            f"2 * cast(-sum(cast(({lp}) as decimal(38,6))) * 1000000 as bigint)"
+            " + count(*)",
+            "2 * count(*)", d)} as double) / 1000000 AS avg_nll
     FROM tok t
     JOIN cnt ON t.tok = cnt.tok
     GROUP BY t.doc_id
