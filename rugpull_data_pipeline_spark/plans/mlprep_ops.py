@@ -1467,3 +1467,98 @@ _pair(
     "per source partition; the quality score is map-only, so the single "
     "shuffle is the source-key window exchange.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: confusion matrix + per-class precision/recall
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion(d: str) -> str:
+    # Model evaluation as a first-class query: the lang-id heuristic's
+    # predictions against the labeled lang column, as a confusion matrix
+    # with per-cell share of the true class (recall decomposition). All
+    # counts are integers; shares are single divides of exact counts.
+    from .llm_ops import _lang_id
+
+    inner = _lang_id(d).replace("ORDER BY doc_id", "")
+    return f"""
+    WITH preds AS ({inner}),
+    cells AS (
+        SELECT labeled_lang, predicted_class, count(*) AS n
+        FROM preds GROUP BY labeled_lang, predicted_class
+    ),
+    totals AS (
+        SELECT labeled_lang, sum(n) AS n_true FROM cells GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang, c.predicted_class,
+        cast(c.n as bigint) AS n,
+        round(cast(c.n as double) / t.n_true, 6) AS recall_share
+    FROM cells c
+    JOIN totals t ON t.labeled_lang = c.labeled_lang
+    ORDER BY c.labeled_lang, c.predicted_class
+    """
+
+
+_pair(
+    "eval_lang_confusion",
+    _lang_confusion,
+    tags=("eval", "text"),
+    doc="Classifier evaluation as a query: confusion matrix of the lang-id "
+    "heuristic's predictions against the labeled lang column, each cell "
+    "with its share of the true class (the recall decomposition) — the "
+    "eval primitive every model-in-the-pipeline needs, distributed as two "
+    "stacked hash aggs over integer counts; the class-total join is "
+    "broadcast-sized.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per series (inequality of user value shares)
+# ---------------------------------------------------------------------------
+
+
+def _gini(d: str) -> str:
+    # G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over per-user value sums x sorted
+    # ascending (rank i from a per-type window). User sums and the Σ i·x
+    # co-moment are DECIMAL-exact; the two final divides are engine-
+    # identical. Complements the HHI screen: Gini reads the whole Lorenz
+    # curve where HHI squares the top shares.
+    usum = "cast(sum(cast(value as decimal(38,9))) as double)"
+    sixi = "cast(sum(cast(i * x as decimal(38,9))) as double)"
+    sx = "cast(sum(cast(x as decimal(38,9))) as double)"
+    n = "cast(count(*) as double)"
+    return f"""
+    WITH per_user AS (
+        SELECT event_type, user_id, {usum} AS x
+        FROM events
+        WHERE value IS NOT NULL AND value > 0
+        GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, x,
+            row_number() OVER (
+                PARTITION BY event_type ORDER BY x, user_id
+            ) AS i
+        FROM per_user
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n_users,
+        round(2 * {sixi} / ({n} * {sx}) - ({n} + 1) / {n}, 6) AS gini
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "agg_gini_value",
+    _gini,
+    tags=("agg", "domain"),
+    doc="Gini coefficient of each event type's per-user value distribution "
+    "(sorted-cumulative-share identity, deterministic rank tie-break on "
+    "user_id) — reads the whole Lorenz curve where agg_holder_"
+    "concentration's HHI weighs the top; together they are the standard "
+    "concentration screen pair. One user-sum aggregation, one per-type "
+    "rank window, DECIMAL-exact co-moments.",
+)
