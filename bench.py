@@ -57,10 +57,13 @@ HEADLINE = [
     "join_asof_tolerance",
     "sim_ivfpq_topk",
     # Round-4b ML-prep operators: token-distribution entropy (explode +
-    # doc-keyed aggs over documents) and the MMR greedy re-rank (pool-
-    # bounded broadcast probes).
+    # doc-keyed aggs over documents), the MMR greedy re-rank (pool-
+    # bounded broadcast probes), the map-only quality gate (zero-shuffle
+    # curation path), and the holder-concentration HHI screen.
     "text_word_entropy",
     "sim_mmr_diversify",
+    "text_filter_gate",
+    "agg_holder_concentration",
     # ~40 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).
