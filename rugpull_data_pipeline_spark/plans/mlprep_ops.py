@@ -1562,3 +1562,145 @@ _pair(
     "concentration screen pair. One user-sum aggregation, one per-type "
     "rank window, DECIMAL-exact co-moments.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next observation at-or-after the anchor)
+# ---------------------------------------------------------------------------
+
+
+def _asof_next_oracle(d: str) -> str:
+    # Deterministic argmin formulation (v.ts >= p.ts, nearest first, ties on
+    # event_id) rather than DuckDB's native ASOF: with duplicate timestamps
+    # the native operator's tie pick is unspecified, and the hash compare
+    # needs one canonical winner on both engines.
+    return f"""
+    SELECT event_id, user_id, ts_s, purchase_value, next_view_value FROM (
+        SELECT p.event_id, p.user_id,
+            {S.fmt_ts('p.ts', d)} AS ts_s,
+            p.value AS purchase_value,
+            v.value AS next_view_value,
+            row_number() OVER (
+                PARTITION BY p.event_id ORDER BY v.ts, v.event_id
+            ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = p.user_id AND v.ts >= p.ts
+    ) r WHERE rn = 1
+    ORDER BY event_id
+    """
+
+
+@register(
+    "join_asof_next_view",
+    oracle=_asof_next_oracle(DUCK),
+    tags=("join", "window", "temporal"),
+    doc="FORWARD as-of join: each purchase picks up the next view at or "
+    "after its timestamp — the label-construction direction (outcome "
+    "observed after feature time), mirror of join_asof_last_view's "
+    "backward lookup. Same union+window scale shape: one shuffle on the "
+    "user key, first(ignoreNulls) over the FOLLOWING frame, no per-user "
+    "join fan-out; the oracle is the independent argmin-join form with "
+    "deterministic tie-breaks.",
+)
+def join_asof_next_view(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    # kind 0 = purchase, 1 = view: at equal ts the purchase row precedes
+    # the views, so the FOLLOWING frame includes same-instant views —
+    # matching the oracle's v.ts >= p.ts.
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    from ..functions import scalars as S
+
+    return (
+        purchases.unionByName(views)
+        .withColumn(
+            "next_view_value", F.first("view_value", ignorenulls=True).over(w)
+        )
+        .where(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(S.fmt_ts("ts")).alias("ts_s"),
+            "purchase_value",
+            "next_view_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (first view → first purchase)
+# ---------------------------------------------------------------------------
+
+
+def _time_to_convert(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    return f"""
+    WITH firsts AS (
+        SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN {e} END) AS first_view,
+            min(CASE WHEN event_type = 'purchase' THEN {e} END)
+                AS first_purchase
+        FROM events
+        GROUP BY user_id
+    ),
+    bucketed AS (
+        SELECT user_id,
+            CASE
+                WHEN first_view IS NULL THEN 'no_view'
+                WHEN first_purchase IS NULL
+                     OR first_purchase < first_view THEN 'never'
+                WHEN first_purchase - first_view <= 3600 THEN 'lt_1h'
+                WHEN first_purchase - first_view <= 86400 THEN 'lt_1d'
+                WHEN first_purchase - first_view <= 604800 THEN 'lt_7d'
+                ELSE 'gte_7d'
+            END AS bucket,
+            CASE WHEN first_view IS NOT NULL AND first_purchase
+                      >= first_view
+                 THEN first_purchase - first_view END AS latency_s
+        FROM firsts
+    )
+    SELECT bucket,
+        cast(count(*) as bigint) AS n_users,
+        cast(min(latency_s) as bigint) AS min_latency_s,
+        cast(max(latency_s) as bigint) AS max_latency_s
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+_pair(
+    "events_time_to_convert",
+    _time_to_convert,
+    tags=("events", "temporal", "agg"),
+    doc="Conversion latency: per user, seconds from first view to first "
+    "purchase, bucketed (<1h, <1d, <7d, >=7d, never/no-view) with min/max "
+    "per bucket — the survival-curve input of funnel analytics "
+    "(events_funnel_stages counts stage reach; this measures HOW LONG "
+    "conversion takes). One conditional-min aggregation per user, then a "
+    "tiny bucket rollup; integer epoch arithmetic throughout.",
+)
