@@ -200,3 +200,42 @@ def resize_blobs(df: DataFrame, target_bytes: int = 32, use_stub: bool = True) -
 
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)
+
+
+def window_energy(df: DataFrame, window_bytes: int = 32, use_stub: bool = True) -> DataFrame:
+    """Audio windowed-energy plumbing: blob in → one row per fixed-size
+    window with its energy (sum of squared byte values, exact integer) —
+    the frame-energy/VAD shape every audio pipeline starts with. A real
+    kernel would decode PCM first; the stub treats the raw bytes as
+    samples, so the DuckDB oracle can reproduce the arithmetic
+    character-for-character."""
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_idx", T.IntegerType()),
+            T.StructField("win_len", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real frame energy requires an audio decoder — not in this container"
+                )
+            out = {"doc_id": [], "win_idx": [], "win_len": [], "energy": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i in range(0, max(len(blob), 1), window_bytes):
+                    win = blob[i : i + window_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(i // window_bytes)
+                    out["win_len"].append(len(win))
+                    out["energy"].append(sum(b * b for b in win))
+            yield pd.DataFrame(out)
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)

@@ -223,3 +223,41 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_blobs(
         attach_blob_column(docs), target_bytes=_RESIZE_TARGET
     ).orderBy("doc_id")
+
+
+# --- audio-style windowed energy (flatMap + per-window integer reduce) ------
+
+_ENERGY_ORACLE = """
+SELECT doc_id,
+    cast(i as int) AS win_idx,
+    cast(least(32, length(text) - i * 32) as int) AS win_len,
+    cast(coalesce(list_sum(list_transform(
+        range(0, least(32, length(text) - i * 32)),
+        j -> ord(substring(text, i * 32 + j + 1, 1))
+             * ord(substring(text, i * 32 + j + 1, 1)))), 0) as bigint)
+        AS energy
+FROM documents,
+    unnest(range(0, cast(ceil(greatest(length(text), 1) / 32.0) as bigint))) AS t(i)
+ORDER BY doc_id, win_idx
+"""
+
+
+@register(
+    "multimodal_window_energy",
+    oracle=_ENERGY_ORACLE,
+    tags=("multimodal", "udf", "series"),
+    doc="Audio frame-energy shape: blob → one row per 32-byte window with "
+    "the exact integer sum of squared byte values — the VAD/loudness "
+    "primitive every audio pipeline starts with (a real kernel decodes "
+    "PCM first; the stub folds raw bytes so the oracle reproduces the "
+    "arithmetic exactly). flatMap-shaped Arrow-batched mapInPandas, "
+    "integer math end-to-end — completes the decode / feature-extract / "
+    "resize / frame-sample / window-reduce kernel set.",
+)
+def multimodal_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import attach_blob_column, window_energy
+
+    docs = spark.table("documents")
+    return window_energy(attach_blob_column(docs), window_bytes=32).orderBy(
+        "doc_id", "win_idx"
+    )

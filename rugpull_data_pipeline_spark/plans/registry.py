@@ -156,7 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lookup_batched_mapinpandas",
     "json_size_guard_quarantine",
 )
-# Round-5 rotation candidates — the 53 queries registered AFTER this
+# Round-5 rotation candidates — the 54 queries registered AFTER this
 # round's full 50-slot window closed (all repo-oracle-green and
 # driver-sim-rehearsed at sf0.01, never yet in a driver window):
 # text_chunk_sliding, join_asof_tolerance, layout_compaction_plan,
@@ -176,7 +176,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # window_rsi_14, sim_knn_classify, agg_holder_concentration,
 # sample_temporal_split, agg_time_rollup, stream_cusum_alert,
 # window_seasonal_baseline, text_token_budget_mixture, eval_lang_confusion,
-# agg_gini_value, join_asof_next_view, events_time_to_convert.
+# agg_gini_value, join_asof_next_view, events_time_to_convert,
+# multimodal_window_energy.
 # Next round: the 50-slot window cannot hold all 51 candidates at once —
 # fill it with 50 of them and carry the remainder (plus rotating re-proofs)
 # into round 6 rotating
