@@ -64,7 +64,7 @@ HEADLINE = [
     "sim_mmr_diversify",
     "text_filter_gate",
     "agg_holder_concentration",
-    # ~40 MB of generated getBlock JSON through the full extraction chain —
+    # ~110 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).
     "solana_balance_extract_xl",

@@ -160,7 +160,7 @@ def resize_blobs(df: DataFrame, target_bytes: int = 32, use_stub: bool = True) -
     The stub 'resample' keeps every k-th byte (k = ceil(n/target)) — the
     byte-domain analogue of nearest-neighbor downsampling — so the output
     payload is deterministic and the DuckDB oracle can reproduce it
-    character-for-character. A real kernel (PIL.Image.resize) drops in
+    byte-for-byte (UTF-8 byte domain). A real kernel (PIL.Image.resize) drops in
     behind the same schema: (doc_id, out_bytes, resized_hash), payload
     hashed rather than carried so downstream stages never shuffle media.
     """
@@ -180,7 +180,12 @@ def resize_blobs(df: DataFrame, target_bytes: int = 32, use_stub: bool = True) -
             return 0, hashlib.md5(b"").hexdigest()
         k = max(1, -(-len(payload) // target_bytes))  # ceil div
         r = payload[::k]
-        return len(r), hashlib.md5(r).hexdigest()
+        # Hash the UPPERCASE-HEX encoding of the resampled bytes, not the
+        # raw bytes: the DuckDB oracle has no md5(BLOB), so the shared
+        # contract is md5 over hex text (identical information, and
+        # byte-exact for non-ASCII payloads where char-domain hashing
+        # would diverge).
+        return len(r), hashlib.md5(r.hex().upper().encode("ascii")).hexdigest()
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,7 +213,7 @@ def window_energy(df: DataFrame, window_bytes: int = 32, use_stub: bool = True) 
     the frame-energy/VAD shape every audio pipeline starts with. A real
     kernel would decode PCM first; the stub treats the raw bytes as
     samples, so the DuckDB oracle can reproduce the arithmetic
-    character-for-character."""
+    byte-for-byte (UTF-8 byte domain)."""
     from ..session import ship_package
 
     ship_package(df.sparkSession)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import DUCK, SPARK
 from ..operators.balance import extract_balance_changes, parse_blocks
 from ..sources.solana import hot_addresses, write_blocks_json
+from ..tmpdirs import scratch_dir
 from .registry import register
 
 _N_BLOCKS, _SEED, _FILES = 40, 11, 4
@@ -169,7 +170,7 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sink each micro-batch to a parquet table CLUSTER-side (the S5 Flight
     # sink role) — nothing is collected to the driver; the registered query
     # reads the sink table back, exactly how a downstream consumer would.
-    out_dir = tempfile.mkdtemp(prefix="rugpull_stream_out_")
+    out_dir = scratch_dir(prefix="rugpull_stream_out_")
 
     def sink(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(out_dir)
@@ -182,7 +183,7 @@ def solana_balance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         watch_dir,
         sink,
         max_files_per_trigger=1,  # force multiple micro-batches
-        checkpoint_dir=tempfile.mkdtemp(prefix="rugpull_stream_ckpt_"),
+        checkpoint_dir=scratch_dir(prefix="rugpull_stream_ckpt_"),
     )
     q.processAllAvailable()
     q.stop()
@@ -419,7 +420,7 @@ def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") + F.lit(1.0)).alias("base_price"),
         (F.col("value") / F.lit(1.5) + F.lit(1.0)).alias("quote_price"),
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_price_src_")
+    src_dir = scratch_dir(prefix="rugpull_price_src_")
     prices.repartition(2).write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(prices.schema).parquet(src_dir)
     out = price_change_events(stream)
@@ -430,7 +431,7 @@ def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_price_ckpt_")
+            "checkpointLocation", scratch_dir(prefix="rugpull_price_ckpt_")
         )
         .start()
     )

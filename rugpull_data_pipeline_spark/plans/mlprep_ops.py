@@ -1290,12 +1290,22 @@ def _temporal_split(d: str) -> str:
     pct = (
         f"percentile(es, 0.8)" if d == SPARK else "quantile_cont(es, 0.8)"
     )
+    # Quantize the interpolated cutoff to integer MICRO-seconds before the
+    # comparison. The 0.8-interpolation of integer seconds is mathematically
+    # an exact multiple of 0.2 s — an integer in micro units — but the two
+    # engines' fp evaluation can land an ulp on either side of it; rounding
+    # to the nearest micro (fp error ≪ 0.5 micro at any epoch magnitude)
+    # makes the train/test boundary engine-identical even when the true
+    # percentile coincides with a data value. Same integer-quantized-compare
+    # convention as the repo's fixed-point folds.
     return f"""
     WITH stamped AS (
         SELECT event_type, {e} AS es FROM events
     ),
     cuts AS (
-        SELECT event_type, {pct} AS cutoff FROM stamped GROUP BY event_type
+        SELECT event_type,
+            cast(round({pct} * 1000000) as bigint) AS cutoff_micro
+        FROM stamped GROUP BY event_type
     )
     SELECT event_type, split,
         cast(count(*) as bigint) AS n_rows,
@@ -1303,7 +1313,8 @@ def _temporal_split(d: str) -> str:
         cast(max(es) as bigint) AS max_es
     FROM (
         SELECT s.event_type AS event_type, s.es AS es,
-            CASE WHEN s.es <= c.cutoff THEN 'train' ELSE 'test' END AS split
+            CASE WHEN s.es * 1000000 <= c.cutoff_micro
+                 THEN 'train' ELSE 'test' END AS split
         FROM stamped s
         JOIN cuts c ON c.event_type = s.event_type
     ) tagged

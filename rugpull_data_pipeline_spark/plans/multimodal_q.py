@@ -183,23 +183,34 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESIZE_TARGET = 32
 
+# The kernel operates on UTF-8 BYTES (blob = encode(text, 'UTF-8')), so the
+# oracle must too: DuckDB exposes the byte stream as hex(encode(text)) and
+# byte p (1-based) is cast('0x' || substring(h, 2p-1, 2) as int). The hash
+# is md5 over the UPPERCASE-HEX encoding of the resampled bytes — chosen
+# because this DuckDB build has no md5(BLOB); the Python kernel hashes the
+# same hex text, so the contract stays engine-identical for non-ASCII input
+# (char-position arithmetic would diverge from byte-position there).
 _RESIZE_ORACLE = f"""
 WITH k AS (
-    SELECT doc_id, text, length(text) AS ln,
-        greatest(cast(ceil(length(text) / {_RESIZE_TARGET}.0) as bigint), 1)
-            AS step
+    SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS nb,
+        greatest(cast(ceil(octet_length(encode(text)) / {_RESIZE_TARGET}.0)
+            as bigint), 1) AS step
     FROM documents
 ),
 px AS (
-    SELECT doc_id, i, substring(text, cast(i as int), 1) AS ch
-    FROM k, unnest(range(1, ln + 1, step)) AS t(i)
+    SELECT doc_id, i, substring(h, cast(2 * i - 1 as int), 2) AS hx
+    FROM k, unnest(range(1, nb + 1, step)) AS t(i)
+),
+agg AS (
+    SELECT doc_id, count(*) AS nsel, string_agg(hx, '' ORDER BY i) AS hxs
+    FROM px GROUP BY doc_id
 )
-SELECT doc_id,
-    cast(count(*) as int) AS out_bytes,
-    md5(string_agg(ch, '' ORDER BY i)) AS resized_hash
-FROM px
-GROUP BY doc_id
-ORDER BY doc_id
+SELECT k.doc_id,
+    cast(coalesce(a.nsel, 0) as int) AS out_bytes,
+    md5(coalesce(a.hxs, '')) AS resized_hash
+FROM k LEFT JOIN agg a ON a.doc_id = k.doc_id
+ORDER BY k.doc_id
 """
 
 
@@ -211,7 +222,7 @@ ORDER BY doc_id
     "Arrow-batched mapInPandas (stub kernel keeps every k-th byte, "
     "k = ceil(n/target) — the byte-domain analogue of nearest-neighbor "
     "resampling; a real PIL kernel drops in behind the same schema). The "
-    "DuckDB oracle reproduces the resample character-for-character, so "
+    "DuckDB oracle reproduces the resample byte-for-byte (UTF-8 byte domain), so "
     "the batch shape, partition-parallel fan-out, and payload handling "
     "are verified bit-for-bit; output carries the hash, not the media, so "
     "downstream stages never shuffle blobs.",
@@ -227,17 +238,29 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- audio-style windowed energy (flatMap + per-window integer reduce) ------
 
+# Byte-exact oracle: the kernel windows and squares UTF-8 BYTES, so the
+# oracle windows octet_length(encode(text)) and reads byte values out of
+# hex(encode(text)) — ord()-of-character would diverge on any non-ASCII
+# text (multi-byte codepoints shift both the window boundaries and the
+# folded values).
 _ENERGY_ORACLE = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS nb
+    FROM documents
+)
 SELECT doc_id,
     cast(i as int) AS win_idx,
-    cast(least(32, length(text) - i * 32) as int) AS win_len,
+    cast(least(32, nb - i * 32) as int) AS win_len,
     cast(coalesce(list_sum(list_transform(
-        range(0, least(32, length(text) - i * 32)),
-        j -> ord(substring(text, i * 32 + j + 1, 1))
-             * ord(substring(text, i * 32 + j + 1, 1)))), 0) as bigint)
+        range(0, least(32, nb - i * 32)),
+        j -> cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
+                as bigint)
+             * cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
+                as bigint))), 0) as bigint)
         AS energy
-FROM documents,
-    unnest(range(0, cast(ceil(greatest(length(text), 1) / 32.0) as bigint))) AS t(i)
+FROM b,
+    unnest(range(0, cast(ceil(greatest(nb, 1) / 32.0) as bigint))) AS t(i)
 ORDER BY doc_id, win_idx
 """
 

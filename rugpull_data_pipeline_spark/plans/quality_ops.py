@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
+from ..tmpdirs import scratch_dir
 from .registry import register, sql_pair
 
 _N_CENTROIDS = 8
@@ -406,7 +407,7 @@ def stream_session_windows(spark, sf_dir):
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     src = ev.select("user_id", "ts")
-    src_dir = tempfile.mkdtemp(prefix="rugpull_sess_src_")
+    src_dir = scratch_dir(prefix="rugpull_sess_src_")
     src.repartition(2).write.mode("overwrite").parquet(src_dir)
 
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
@@ -433,7 +434,7 @@ def stream_session_windows(spark, sf_dir):
             .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="rugpull_sess_ckpt_"),
+                scratch_dir(prefix="rugpull_sess_ckpt_"),
             )
             .start()
         )

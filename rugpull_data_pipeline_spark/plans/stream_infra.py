@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
 from ..sources.tables import load_tables
+from ..tmpdirs import scratch_dir
 from .registry import register
 
 _WM_DELAY = "30 minutes"
@@ -138,9 +139,9 @@ def stream_dim_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("user_id", "ts", "event_id", "value")
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_dim_src_")
+    src_dir = scratch_dir(prefix="rugpull_dim_src_")
     _write_slices(src, src_dir, 4)
-    dim_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_dim_out_"), "dim")
+    dim_dir = os.path.join(scratch_dir(prefix="rugpull_dim_out_"), "dim")
 
     stream = (
         spark.readStream.schema(src.schema)
@@ -155,7 +156,7 @@ def stream_dim_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _run_available_now(
         stream.writeStream.foreachBatch(apply).option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_dim_ckpt_")
+            "checkpointLocation", scratch_dir(prefix="rugpull_dim_ckpt_")
         )
     )
     return (
@@ -198,9 +199,9 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "click")
         .select("user_id", "event_id", "value")
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_ckpt_src_")
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_ckpt_out_"), "out")
-    ckpt = tempfile.mkdtemp(prefix="rugpull_ckpt_log_")
+    src_dir = scratch_dir(prefix="rugpull_ckpt_src_")
+    out_dir = os.path.join(scratch_dir(prefix="rugpull_ckpt_out_"), "out")
+    ckpt = scratch_dir(prefix="rugpull_ckpt_log_")
 
     def run_once() -> None:
         stream = spark.readStream.schema(src.schema).parquet(src_dir)
@@ -251,9 +252,9 @@ ORDER BY bucket
 )
 def stream_backpressure_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_src(spark, sf_dir, ["event_id", "user_id"])
-    src_dir = tempfile.mkdtemp(prefix="rugpull_paced_src_")
+    src_dir = scratch_dir(prefix="rugpull_paced_src_")
     _write_slices(src, src_dir, 4)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_paced_out_"), "out")
+    out_dir = os.path.join(scratch_dir(prefix="rugpull_paced_out_"), "out")
 
     batch_ids: list[int] = []
 
@@ -268,7 +269,7 @@ def stream_backpressure_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_available_now(
         stream.writeStream.foreachBatch(apply).option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_paced_ckpt_")
+            "checkpointLocation", scratch_dir(prefix="rugpull_paced_ckpt_")
         )
     )
     return (
@@ -311,10 +312,10 @@ ORDER BY user_id
 )
 def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_src(spark, sf_dir, ["event_id", "user_id", "event_type", "value"])
-    src_dir = tempfile.mkdtemp(prefix="rugpull_fan_src_")
+    src_dir = scratch_dir(prefix="rugpull_fan_src_")
     _write_slices(src, src_dir, 2)
-    sink_a = os.path.join(tempfile.mkdtemp(prefix="rugpull_fan_a_"), "clicks")
-    sink_b = os.path.join(tempfile.mkdtemp(prefix="rugpull_fan_b_"), "purchases")
+    sink_a = os.path.join(scratch_dir(prefix="rugpull_fan_a_"), "clicks")
+    sink_b = os.path.join(scratch_dir(prefix="rugpull_fan_b_"), "purchases")
 
     def apply(batch: DataFrame, _bid: int) -> None:
         batch.where(F.col("event_type") == "click").write.mode("append").parquet(sink_a)
@@ -329,7 +330,7 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_available_now(
         stream.writeStream.foreachBatch(apply).option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_fan_ckpt_")
+            "checkpointLocation", scratch_dir(prefix="rugpull_fan_ckpt_")
         )
     )
     clicks = (
@@ -384,7 +385,7 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("user_id"),
         (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_wm_src_")
+    src_dir = scratch_dir(prefix="rugpull_wm_src_")
     src.unionByName(sentinel).repartition(2).write.mode("overwrite").parquet(src_dir)
 
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
@@ -401,7 +402,7 @@ def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_wm_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_wm_ckpt_")
             )
         )
     # The sentinel's own (still-open) window never emits; every real window
@@ -597,7 +598,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "view")
         .select("event_id", "ts", "user_id", "value")
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_sdedup_src_")
+    src_dir = scratch_dir(prefix="rugpull_sdedup_src_")
     # Originals land in files 1-3 (non-multiples sliced into 2, multiples of
     # 3 as the 3rd); the SAME multiples-of-3 rows append again as the 4th
     # file, so every duplicate arrives in a LATER micro-batch than its
@@ -609,7 +610,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(src_dir)
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_sdedup_out_"), "rows")
+    out_dir = os.path.join(scratch_dir(prefix="rugpull_sdedup_out_"), "rows")
 
     stream = (
         spark.readStream.schema(src.schema)
@@ -622,7 +623,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped.writeStream.format("parquet")
             .option("path", out_dir)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_sdedup_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_sdedup_ckpt_")
             )
             .outputMode("append")
         )
@@ -680,8 +681,8 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
     )
-    c_dir = tempfile.mkdtemp(prefix="rugpull_ssj_c_")
-    p_dir = tempfile.mkdtemp(prefix="rugpull_ssj_p_")
+    c_dir = scratch_dir(prefix="rugpull_ssj_c_")
+    p_dir = scratch_dir(prefix="rugpull_ssj_p_")
     _write_slices(clicks, c_dir, 2, slice_col="click_id")
     _write_slices(purchases, p_dir, 2, slice_col="purchase_id")
 
@@ -710,13 +711,13 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_s"),
     )
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="rugpull_ssj_out_"), "rows")
+    out_dir = os.path.join(scratch_dir(prefix="rugpull_ssj_out_"), "rows")
     with _state_partitions(spark):
         _run_available_now(
             joined.writeStream.format("parquet")
             .option("path", out_dir)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_ssj_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_ssj_ckpt_")
             )
             .outputMode("append")
         )
@@ -786,7 +787,7 @@ def stream_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
         )
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_boll_src_")
+    src_dir = scratch_dir(prefix="rugpull_boll_src_")
     src.repartition(2).write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
     with _state_partitions(spark, 8):
@@ -797,7 +798,7 @@ def stream_bollinger_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_boll_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_boll_ckpt_")
             )
         )
     return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")
@@ -855,7 +856,7 @@ def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)),
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_attr_src_")
+    src_dir = scratch_dir(prefix="rugpull_attr_src_")
     src.repartition(2).write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
     with _state_partitions(spark, 8):
@@ -866,7 +867,7 @@ def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_attr_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_attr_ckpt_")
             )
         )
     return (
@@ -960,7 +961,7 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
         )
     )
-    src_dir = tempfile.mkdtemp(prefix="rugpull_cusum_src_")
+    src_dir = scratch_dir(prefix="rugpull_cusum_src_")
     src.repartition(2).write.mode("overwrite").parquet(src_dir)
     stream = spark.readStream.schema(src.schema).parquet(src_dir)
     with _state_partitions(spark, 8):
@@ -971,7 +972,7 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="rugpull_cusum_ckpt_")
+                "checkpointLocation", scratch_dir(prefix="rugpull_cusum_ckpt_")
             )
         )
     return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")

@@ -117,3 +117,52 @@ def test_resize_without_stub_raises(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real image resize"):
         resize_blobs(attach_blob_column(docs), use_stub=False).collect()
+
+
+def test_multimodal_oracles_byte_exact_on_non_ascii(spark):
+    """The resize/energy kernels fold UTF-8 BYTES; their oracles must agree
+    even when characters are multi-byte (é, €, emoji) — the divergence the
+    char-domain oracle had before it was rewritten over hex(encode(text))."""
+    import duckdb
+    import pandas as pd
+
+    from rugpull_data_pipeline_spark.multimodal.columns import (
+        resize_blobs,
+        window_energy,
+    )
+    from rugpull_data_pipeline_spark.plans.multimodal_q import (
+        _ENERGY_ORACLE,
+        _RESIZE_ORACLE,
+    )
+    from rugpull_data_pipeline_spark.tmpdirs import scratch_dir
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld é" * 7),          # 2-byte codepoints
+            (2, "€uro sign price: 42€" * 5),   # 3-byte codepoints
+            (3, "emoji \U0001f680 mix " * 9),  # 4-byte codepoint
+            (4, "plain ascii baseline"),
+        ],
+        "doc_id long, text string",
+    )
+    pq = scratch_dir("nonascii_docs_") + "/documents.parquet"
+    docs.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+
+    src = attach_blob_column(spark.read.parquet(pq))
+    for build, oracle, keys in (
+        (lambda: resize_blobs(src).orderBy("doc_id"), _RESIZE_ORACLE, ["doc_id"]),
+        (
+            lambda: window_energy(src).orderBy("doc_id", "win_idx"),
+            _ENERGY_ORACLE,
+            ["doc_id", "win_idx"],
+        ),
+    ):
+        got = build().toPandas().sort_values(keys).reset_index(drop=True)
+        want = con.execute(oracle).fetchdf().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
+    con.close()
