@@ -184,7 +184,12 @@ _BOLL_OUT = T.StructType(
 )
 
 _BOLL_STATE = T.StructType(
-    [T.StructField("vals", T.ArrayType(T.LongType()))]
+    [
+        T.StructField("vals", T.ArrayType(T.LongType())),
+        # Ordering guard: last folded (ts ns, event_id) — see _bollinger_fn.
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
 )
 
 
@@ -199,8 +204,21 @@ def _bollinger_fn(
     integer arithmetic — (n-1)·(n·v - s)² > 4·n·(n·s2 - s²) over micro-unit
     longs — so the emitted row set is bit-identical to the SQL window oracle
     (a float sd near the threshold could flip the flag between engines).
-    State is ≤7 longs per key, bounded regardless of stream length (ST4)."""
-    buf = list(state.get[0]) if state.exists else []
+    State is ≤7 longs plus the last folded (ts, event_id) per key, bounded
+    regardless of stream length (ST4).
+
+    ORDERING CONTRACT: the fold is only correct when rows arrive in
+    event-time order ACROSS micro-batches (within a batch the kernel sorts).
+    A late file that regresses event time cannot be folded retroactively —
+    the ring buffer has already advanced — so such rows are DROPPED, guarded
+    by the last-folded key kept in state: the same drop-late-data policy the
+    watermark-based operators apply, made explicit here because
+    applyInPandasWithState has no watermark of its own."""
+    if state.exists:
+        (stored, last_ts, last_eid) = state.get
+        buf = list(stored)
+    else:
+        buf, last_ts, last_eid = [], None, None
     chunks = [pdf for pdf in pdfs if len(pdf)]
     merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     rows = []
@@ -208,6 +226,10 @@ def _bollinger_fn(
         # Same multi-chunk hazard as the price kernel: concatenate, sort ONCE
         # by the oracle's (ts, event_id) total order.
         for r in merged.sort_values(["ts", "event_id"]).itertuples():
+            ts_ns = int(r.ts.value)
+            eid = int(r.event_id)
+            if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                continue  # regressed behind the fold frontier: late, dropped
             v = int(r.v)
             frame = buf[-7:] + [v]
             n = len(frame)
@@ -215,9 +237,10 @@ def _bollinger_fn(
                 s = sum(frame)
                 s2 = sum(x * x for x in frame)
                 if (n - 1) * (n * v - s) ** 2 > 4 * n * (n * s2 - s * s):
-                    rows.append((key[0], int(r.ts.value // 1_000_000_000), v))
+                    rows.append((key[0], ts_ns // 1_000_000_000, v))
             buf = frame[-7:]
-    state.update((buf,))
+            last_ts, last_eid = ts_ns, eid
+    state.update((buf, last_ts, last_eid))
     if rows:
         yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
 
@@ -227,7 +250,10 @@ def bollinger_alerts(values: DataFrame) -> DataFrame:
 
     The streaming twin of the batch ``window_bollinger_bands`` operator,
     emitting only full-frame (n=8) breakouts; state per key is a ≤7-long
-    ring buffer, so total state is O(active keys), never O(stream)."""
+    ring buffer, so total state is O(active keys), never O(stream).
+
+    Requires event-time-monotonic arrival across micro-batches; rows that
+    regress behind a key's fold frontier are dropped (see _bollinger_fn)."""
     from ..session import ship_package
 
     ship_package(values.sparkSession)
@@ -503,6 +529,10 @@ _ATTR_STATE = T.StructType(
     [
         T.StructField("t_sec", T.LongType()),
         T.StructField("t_type", T.StringType()),
+        # Ordering guard: last folded (ts ns, kind, event_id).
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_kind", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
     ]
 )
 
@@ -519,22 +549,39 @@ def _attribution_fn(
     attributed channel ('direct' when the touch is absent or older than the
     lookback). Rows fold in (ts, kind, event_id) order so a same-instant
     touch lands before the purchase that credits it, mirroring the batch
-    window's kind-ordered carry exactly."""
-    (t_sec, t_type) = state.get if state.exists else (None, None)
+    window's kind-ordered carry exactly.
+
+    ORDERING CONTRACT: correctness across micro-batches requires
+    event-time-monotonic arrival — a purchase folded before a LATER batch
+    delivers an earlier touch has already been attributed and emitted
+    (append mode cannot retract it). Rows that regress behind the last
+    folded (ts, kind, event_id) key held in state are therefore DROPPED,
+    the explicit analogue of the watermark operators' late-data policy."""
+    (t_sec, t_type, last_ts, last_kind, last_eid) = (
+        state.get if state.exists else (None, None, None, None, None)
+    )
     chunks = [pdf for pdf in pdfs if len(pdf)]
     merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     rows = []
     if len(merged):
         for r in merged.sort_values(["ts", "kind", "event_id"]).itertuples():
-            sec = int(r.ts.value // 1_000_000_000)
-            if r.kind == 0:
+            ts_ns, kind, eid = int(r.ts.value), int(r.kind), int(r.event_id)
+            if last_ts is not None and (ts_ns, kind, eid) <= (
+                last_ts,
+                last_kind,
+                last_eid,
+            ):
+                continue  # regressed behind the fold frontier: late, dropped
+            sec = ts_ns // 1_000_000_000
+            if kind == 0:
                 t_sec, t_type = sec, r.event_type
             else:
                 recent = t_sec is not None and sec - t_sec <= _ATTR_LOOKBACK_S
                 channel = t_type if recent else "direct"
                 val = None if pd.isna(r.value) else float(r.value)
-                rows.append((int(r.event_id), key[0], channel, val))
-    state.update((t_sec, t_type))
+                rows.append((eid, key[0], channel, val))
+            last_ts, last_kind, last_eid = ts_ns, kind, eid
+    state.update((t_sec, t_type, last_ts, last_kind, last_eid))
     if rows:
         yield pd.DataFrame(
             rows, columns=["event_id", "user_id", "channel", "purchase_value"]
@@ -545,7 +592,10 @@ def attribution_events(events: DataFrame) -> DataFrame:
     """Streaming DataFrame (user_id, ts, event_id, event_type, value, kind)
     → per-purchase attributed rows. State per user is one touch — O(active
     users), never O(stream); the streaming twin of the batch
-    events_attribution_last_touch rollup."""
+    events_attribution_last_touch rollup.
+
+    Requires event-time-monotonic arrival across micro-batches; rows that
+    regress behind a user's fold frontier are dropped (see _attribution_fn)."""
     from ..session import ship_package
 
     ship_package(events.sparkSession)
@@ -571,6 +621,9 @@ _CUSUM_STATE = T.StructType(
         T.StructField("s", T.LongType()),
         T.StructField("n_warm", T.LongType()),
         T.StructField("sum20", T.LongType()),
+        # Ordering guard: last folded (ts ns, event_id).
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
     ]
 )
 
@@ -588,13 +641,25 @@ def _cusum_fn(
     alert (then reset) when s exceeds 5·sum20 — sustained upward drift the
     reference's single-step ±10% predicate cannot see. The whole recursion
     is EXACT integer arithmetic over micro-unit longs, so the replay
-    hash-matches the recursive-CTE oracle; state is three longs per key."""
-    (s, n_warm, sum20) = state.get if state.exists else (0, 0, 0)
+    hash-matches the recursive-CTE oracle; state is five longs per key.
+
+    ORDERING CONTRACT: the recursion consumes rows in (ts, event_id) order
+    and cannot be rewound once folded, so correctness across micro-batches
+    requires event-time-monotonic arrival; rows regressing behind the
+    last folded key held in state are DROPPED (the watermark operators'
+    late-data policy, made explicit)."""
+    (s, n_warm, sum20, last_ts, last_eid) = (
+        state.get if state.exists else (0, 0, 0, None, None)
+    )
     chunks = [pdf for pdf in pdfs if len(pdf)]
     merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
     rows = []
     if len(merged):
         for r in merged.sort_values(["ts", "event_id"]).itertuples():
+            ts_ns, eid = int(r.ts.value), int(r.event_id)
+            if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                continue  # regressed behind the fold frontier: late, dropped
+            last_ts, last_eid = ts_ns, eid
             v = int(r.v)
             if n_warm < _CUSUM_WARMUP:
                 sum20 += v
@@ -602,17 +667,19 @@ def _cusum_fn(
                 continue
             s = max(0, s + _CUSUM_WARMUP * v - sum20)
             if s > _CUSUM_H_MULT * sum20:
-                rows.append((key[0], int(r.ts.value // 1_000_000_000), v))
+                rows.append((key[0], ts_ns // 1_000_000_000, v))
                 s = 0
-    state.update((s, n_warm, sum20))
+    state.update((s, n_warm, sum20, last_ts, last_eid))
     if rows:
         yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
 
 
 def cusum_alerts(values: DataFrame) -> DataFrame:
     """Streaming DataFrame (event_type, ts, event_id, v) → changepoint
-    alerts. State per key is three longs — O(active keys), never
-    O(stream)."""
+    alerts. State per key is five longs — O(active keys), never O(stream).
+
+    Requires event-time-monotonic arrival across micro-batches; rows that
+    regress behind a key's fold frontier are dropped (see _cusum_fn)."""
     from ..session import ship_package
 
     ship_package(values.sparkSession)

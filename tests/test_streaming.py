@@ -547,3 +547,87 @@ def test_cusum_state_survives_batch_boundary(spark, tmp_path):
     got = spark.table("cusum_boundary").orderBy("ts_epoch").collect()
     # exactly one alert, on the 3rd drifted sample (event 23, t=230)
     assert [(r.ts_epoch, r.v_micro) for r in got] == [(230, 3_000_000)]
+
+
+def test_bollinger_drops_event_time_regression(spark, tmp_path):
+    """Ordering-contract guard: a file that arrives AFTER the fold frontier
+    has advanced but contains OLDER event times must be dropped, not folded —
+    folding it would corrupt the ring buffer (and could emit a bogus alert)
+    with no error. The guard keys on the last folded (ts, event_id) held in
+    state."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import bollinger_alerts
+
+    rows = [(i, 100 * i, "k", 1000 + (i % 3)) for i in range(1, 12)]
+    rows.append((12, 1200, "k", 5000))  # genuine breakout in batch 1
+    # Late batch: regressed timestamps carrying an extreme value that WOULD
+    # trip the envelope if folded.
+    late = [(13, 500, "k", 9000), (14, 550, "k", 9500)]
+    df = spark.createDataFrame(
+        rows + late, "event_id long, t long, event_type string, raw long"
+    ).select(
+        "event_type",
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_id",
+        F.col("raw").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 12").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 12").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bollinger_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("boll_regress")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("boll_regress").orderBy("ts_epoch").toPandas()
+    # only the in-order breakout; both regressed rows were dropped
+    assert list(got["v_micro"]) == [5000]
+
+
+def test_cusum_drops_event_time_regression(spark, tmp_path):
+    """Same guard on the CUSUM fold: late regressed samples may not feed the
+    recursion (they would inflate s without any error surfacing)."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import cusum_alerts
+
+    rows = [(i, 10 * i, "k", 1_000_000) for i in range(1, 21)]
+    rows += [(20 + j, 200 + 10 * j, "k", 3_000_000) for j in range(1, 3)]
+    # after batch 1 the frontier is t=220; these regress and must be dropped
+    late = [(30, 50, "k", 50_000_000), (31, 60, "k", 50_000_000)]
+    df = spark.createDataFrame(
+        rows + late, "event_id long, t long, event_type string, v long"
+    ).select(
+        "event_type", F.col("t").cast("timestamp").alias("ts"), "event_id", "v"
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 22").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 22").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cusum_alerts(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_regress")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cusum_regress").collect()
+    # two drifted samples reach s = 80e6 < 100e6 threshold → no alert; the
+    # dropped 50e6 samples would have tripped it instantly if folded
+    assert got == []
