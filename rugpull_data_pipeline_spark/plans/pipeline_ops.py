@@ -197,6 +197,69 @@ _pair(
 
 
 # ---------------------------------------------------------------------------
+# VACUUM / retention delete-list planner (lakehouse maintenance)
+# ---------------------------------------------------------------------------
+
+_RETENTION_S = 14 * 86400  # retention horizon: 14 days behind the newest file
+_TOMBSTONE_BYTES = 2400  # retained files smaller than this are compaction
+# leftovers (superseded originals) and get tombstoned
+
+
+def _vacuum_plan(d: str) -> str:
+    day = S.fmt_date("ts", d)
+    slot = S.idiv("hour(ts)", "3", d)
+    e = S.epoch_s("ts", d)
+    return f"""
+    WITH files AS (
+        SELECT {day} AS day, {slot} AS slot,
+            cast(count(*) * {_ROW_BYTES} as bigint) AS bytes,
+            max({e}) AS newest_es
+        FROM events
+        GROUP BY {day}, {slot}
+    ),
+    flagged AS (
+        -- The retention horizon is a global scalar over the METADATA-scale
+        -- files table (a few hundred rows even at 100 TB of data), so an
+        -- unpartitioned window max is the cheap shape — a scalar-subquery
+        -- cross join would plan a BroadcastNestedLoopJoin for nothing.
+        SELECT day, slot, bytes,
+            CASE WHEN newest_es <
+                     max(newest_es) OVER () - {_RETENTION_S} THEN 'expired'
+                 WHEN bytes < {_TOMBSTONE_BYTES} THEN 'superseded'
+            END AS reason
+        FROM files
+    )
+    SELECT day, reason,
+        cast(count(*) as int) AS n_files,
+        {S.isum('bytes', d)} AS reclaim_bytes,
+        cast(min(slot) as int) AS first_slot,
+        cast(max(slot) as int) AS last_slot
+    FROM flagged
+    WHERE reason IS NOT NULL
+    GROUP BY day, reason
+    ORDER BY day, reason
+    """
+
+
+_pair(
+    "layout_vacuum_plan",
+    _vacuum_plan,
+    tags=("layout",),
+    doc="VACUUM / retention delete-list planner — the maintenance twin of "
+    "layout_compaction_plan (that one plans OPTIMIZE's merges; this one "
+    "plans the deletes): per file (one per 3-hour write slot), 'expired' "
+    f"when its newest row is older than the {_RETENTION_S // 86400}-day "
+    "retention horizon behind the table's newest file, 'superseded' when "
+    f"a retained file is under {_TOMBSTONE_BYTES} bytes (a compaction "
+    "leftover), aggregated to per-(partition, reason) counts and "
+    "reclaimable bytes. The horizon is a global window max over the file "
+    "METADATA (orders of magnitude smaller than the data), so like its "
+    "twin the plan step is metadata-scale at 100 TB; integer epoch "
+    "arithmetic end-to-end keeps the boundary engine-identical.",
+)
+
+
+# ---------------------------------------------------------------------------
 # IVF + PQ combined ANN query (IVFADC)
 # ---------------------------------------------------------------------------
 

@@ -90,99 +90,89 @@ def get(name: str) -> QuerySpec:
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Round 2 verified the
 # relational/TPC-H block, round 3 the Solana chain + LLM dedup/similarity
-# core (CORRECTNESS_r02/r03.json, 49+49 green). Round 4 rotates in the 42
-# queries never yet driver-checked, the round-3 red row re-proven after the
-# TIMESTAMP_NTZ fix, and the seven new streaming-infrastructure replays
-# (S8/S9/P12/ST2/ST3/ST6/ST7) — completing driver verification of every
-# registered query across rounds. Everything NOT listed keeps registration
+# core, round 4 the streaming-infrastructure replays plus the round-3
+# backlog (CORRECTNESS_r02/r03/r04.json, 50+50+50 green — cumulative 148
+# distinct queries). Round 5 rotates in 50 of the 56 queries that have
+# never had a CORRECTNESS row: the 55 computed as
+# set(all_queries) − union(CORRECTNESS_r02..r04) — including
+# q20_potential_promotion, which earlier candidate notes omitted — plus the
+# new S10 control-gated replay. Everything NOT listed keeps registration
 # order behind these, so already-green queries still run when the driver
 # checks more than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Re-proof: r3's one red row, green again after the NTZ normalization.
-    "join_range_time_window",
-    # Temporal window family broken by the same root cause in r3.
-    "window_lead_range_frame",
-    "window_resample_gapfill",
-    "window_percent_cume",
-    "window_ohlc_candles",
-    # TPC-H shapes never yet in a driver window.
-    "q04_order_priority",
-    "q10_returned_items",
-    "q13_order_count_dist",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    # Aggregation / analytics surface.
-    "agg_grouping_sets",
-    "agg_collect_sorted_set",
-    "agg_percentiles_exact",
-    "agg_cms_heavy_hitters",
-    "agg_histogram_fixed_bins",
-    "agg_zscore_outliers",
-    "setop_intersect_all",
-    "setop_except_all",
-    "scalar_higher_order_funcs",
-    "scalar_null_safe_ops",
-    "subquery_uncorrelated_scalar",
-    # Lakehouse-maintenance / pipeline patterns.
-    "dim_scd2_price_history",
-    "cdc_merge_apply",
-    "layout_zorder_stats",
-    "layout_bucketed_join",
-    "profile_table_stats",
-    "sample_reservoir_per_key",
-    "events_funnel_stages",
-    "events_retention_cohorts",
-    # Round-3 LLM/corpus operators registered after the r3 window closed.
-    "text_pii_redact",
-    "text_stratified_sample",
-    "text_contamination_ngram",
-    "text_ngram_lm_score",
-    "text_paragraph_dedup",
-    "text_repetition_score",
-    "text_bpe_merge_pairs",
-    "dedup_substring_spans",
-    "dedup_keep_best_source",
-    "dedup_semantic_cluster",
-    "dedup_cc_fixpoint",
-    "kmeans_lloyd_fit",
-    "sim_pq_encode",
-    "stream_session_windows",
-    # New round-4 streaming-infrastructure replays (S8/S9/P12/ST2/ST3/ST6/ST7).
-    "stream_dim_upsert_replay",
-    "stream_checkpoint_restart",
-    "stream_backpressure_paced",
-    "stream_fanout_two_sinks",
-    "stream_watermark_append",
-    "lookup_batched_mapinpandas",
-    "json_size_guard_quarantine",
+    # The last never-driver-green SURVEY §2 row: S10 pub/sub control source.
+    "stream_control_gated_replay",
+    # Omitted from every prior window/candidate list — first slot this round.
+    "q20_potential_promotion",
+    # Round-4b stateful / watermark / stream-stream replays.
+    "stream_cusum_alert",
+    "stream_bollinger_alert",
+    "stream_attribution_replay",
+    "stream_dedup_watermark",
+    "stream_stream_join_replay",
+    # Multimodal kernels (oracles rewritten byte-exact this round).
+    "multimodal_resize_batch",
+    "multimodal_window_energy",
+    # Spark-4 surface trio.
+    "pipe_syntax_monthly_revenue",
+    "spark4_exec_immediate_params",
+    "spark4_collated_grouping",
+    # ANN / graph / audit.
+    "sim_ivfpq_topk",
+    "sim_mmr_diversify",
+    "sim_knn_classify",
+    "graph_pagerank_power3",
+    "audit_minhash_estimate",
+    # Dedup / decontamination tier 2.
+    "dedup_chunk_decontaminate",
+    "dedup_containment_ngram",
+    "dedup_winnow_pairs",
+    # Text / corpus tier 2.
+    "text_winnow_fingerprint",
+    "text_chunk_sliding",
+    "text_filter_gate",
+    "text_word_entropy",
+    "text_feature_hash_16",
+    "text_pmi_collocations",
+    "text_bpe_merge_round2",
+    "text_token_budget_mixture",
+    # Joins: as-of / interval / point-in-time family.
+    "join_asof_tolerance",
+    "join_asof_next_view",
+    "join_point_in_time",
+    "join_interval_overlap",
+    # Events analytics.
+    "events_transition_matrix",
+    "events_path_trigrams",
+    "events_attribution_last_touch",
+    "events_time_to_convert",
+    # Sampling / profiling / lakehouse.
+    "sample_importance_weighted",
+    "sample_temporal_split",
+    "profile_fk_integrity",
+    "layout_compaction_plan",
+    # Window / series analytics.
+    "window_twap_irregular",
+    "window_max_drawdown",
+    "window_ewma_halflife",
+    "window_bollinger_bands",
+    "window_rsi_14",
+    # Aggregates / eval.
+    "agg_mad_outliers",
+    "agg_holder_concentration",
+    "agg_time_rollup",
+    "eval_lang_confusion",
+    "agg_gini_value",
 )
-# Round-5 rotation candidates — the 54 queries registered AFTER this
-# round's full 50-slot window closed (all repo-oracle-green and
-# driver-sim-rehearsed at sf0.01, never yet in a driver window):
-# text_chunk_sliding, join_asof_tolerance, layout_compaction_plan,
-# sim_ivfpq_topk, dedup_chunk_decontaminate, events_transition_matrix,
-# join_interval_overlap, stream_dedup_watermark, window_twap_irregular,
-# sample_importance_weighted, agg_mad_outliers, multimodal_resize_batch,
-# text_winnow_fingerprint, text_pmi_collocations, dedup_winnow_pairs,
-# pipe_syntax_monthly_revenue, spark4_exec_immediate_params,
-# spark4_collated_grouping, stream_stream_join_replay, events_path_trigrams,
-# window_max_drawdown, window_ewma_halflife, profile_fk_integrity,
-# agg_series_correlation, window_rolling_median, window_acf_lags,
-# agg_linreg_daily, text_word_entropy, text_whitespace_normalize,
-# text_feature_hash_16, dedup_containment_ngram, window_bollinger_bands,
-# sim_mmr_diversify, text_bpe_merge_round2, join_point_in_time,
-# stream_bollinger_alert, text_filter_gate, events_attribution_last_touch,
-# graph_pagerank_power3, audit_minhash_estimate, stream_attribution_replay,
-# window_rsi_14, sim_knn_classify, agg_holder_concentration,
-# sample_temporal_split, agg_time_rollup, stream_cusum_alert,
-# window_seasonal_baseline, text_token_budget_mixture, eval_lang_confusion,
-# agg_gini_value, join_asof_next_view, events_time_to_convert,
-# multimodal_window_energy.
-# Next round: the 50-slot window cannot hold all 51 candidates at once —
-# fill it with 50 of them and carry the remainder (plus rotating re-proofs)
-# into round 6 rotating
-# re-proofs, keeping every query driver-verified within the last three
-# rounds.
+# Round-6 rotation candidates: (a) the 6 carried over from this window —
+# window_rolling_median, window_acf_lags, window_seasonal_baseline,
+# agg_series_correlation, agg_linreg_daily, text_whitespace_normalize —
+# (b) any query registered after round 5's window closed, and (c) rotating
+# RE-PROOFS, oldest-verified-first (the round-2 relational/TPC-H block),
+# which is the standing policy: every query re-earns a driver-green row
+# within a trailing three-round horizon. Recompute the authoritative
+# never-checked set as set(all_queries()) − union(CORRECTNESS_r02..r05 keys)
+# rather than trusting this comment.
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

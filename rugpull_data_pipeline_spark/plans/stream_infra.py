@@ -976,3 +976,165 @@ def stream_cusum_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.table(name).orderBy("event_type", "ts_epoch", "v_micro")
+
+
+# ---------------------------------------------------------------------------
+# S10 — pub/sub control source: a start-signal gates which slices the
+# paced stream admits
+# ---------------------------------------------------------------------------
+
+# The reference's control plane is a Redis pub/sub channel carrying a
+# "starting_slot,start_time" text message (SERVER/subscriber.py:152-161):
+# each worker parses the signal, derives my_slot = starting_slot + worker_id,
+# and then polls only the slot residue class my_slot % NUM_WORKERS
+# (SERVER/subscriber.py:110-112, slot += NUM_WORKERS). Malformed messages
+# are swallowed by the handler's try/except (SERVER/subscriber.py:184-185)
+# rather than crashing the worker. The Spark analogue: the control channel
+# is a FILE the job reads as a tiny static DataFrame; each parsed signal
+# admits one slot-residue class, and the paced event stream is gated by a
+# broadcast stream-static semi-join on that residue — control messages
+# change WHAT the stream processes without touching the streaming query.
+#
+# Parse is defensively tri-format, JVM-side (no Python in the path):
+#   1. JSON object  {"starting_slot": N, "start_time": T}
+#   2. CSV          "N,T"            (the reference's actual wire format)
+#   3. bare integer "N"
+# anything else is ignored (the reference's try/except), expressed as
+# coalesce(try_cast(json)..., try_cast(split_part)...) in BOTH dialects.
+
+_CTRL_WORKERS = 4
+_CTRL_LINES = (
+    "6,1700000000.5",                                     # CSV → residue 2
+    '{"starting_slot": 9, "start_time": 1700000100.0}',   # JSON → residue 1
+    "12",                                                 # bare → residue 0
+    "not-a-signal",                                       # junk → ignored
+)
+
+
+def _ctrl_corpus_path() -> str:
+    # Content-keyed stable path (NOT scratch_dir: the oracle text embeds it,
+    # so it must resolve identically in a fresh DuckDB-only process).
+    return os.path.join(
+        tempfile.gettempdir(), f"rugpull_ctrl_corpus_{_CTRL_WORKERS}_{len(_CTRL_LINES)}"
+    )
+
+
+def _ensure_ctrl_corpus() -> str:
+    path = _ctrl_corpus_path()
+    file = os.path.join(path, "control.txt")
+    if os.path.exists(file):
+        return file
+    os.makedirs(path, exist_ok=True)
+    tmp = file + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(_CTRL_LINES) + "\n")
+    os.replace(tmp, file)
+    return file
+
+
+_CTRL_SLOT_SQL = (
+    "coalesce("
+    "try_cast({json_slot} as bigint), "
+    "try_cast(split_part({line}, ',', 1) as bigint))"
+)
+
+_CTRL_ORACLE = f"""
+WITH raw AS (
+    SELECT line
+    FROM read_csv('{os.path.join(_ctrl_corpus_path(), "control.txt")}',
+        columns={{'line': 'VARCHAR'}}, delim=chr(1), header=false,
+        quote='', escape='')
+), sig AS (
+    SELECT {_CTRL_SLOT_SQL.format(
+        json_slot="CASE WHEN json_valid(line) THEN json_extract_string(line, '$.starting_slot') END",
+        line="line")} AS slot
+    FROM raw
+), res AS (
+    SELECT DISTINCT slot % {_CTRL_WORKERS} AS residue FROM sig
+    WHERE slot IS NOT NULL
+)
+SELECT r.residue,
+    cast(count(*) as bigint) AS n_events,
+    {S.dsum('e.value', DUCK)} AS sum_value,
+    cast(max(nb.n_batches) as bigint) AS n_batches
+FROM events e
+JOIN res r ON e.event_id % {_CTRL_WORKERS} = r.residue
+CROSS JOIN (SELECT {_CTRL_WORKERS} AS n_batches) nb
+GROUP BY r.residue
+ORDER BY r.residue
+"""
+
+
+@register(
+    "stream_control_gated_replay",
+    oracle=_CTRL_ORACLE,
+    tags=("streaming", "control"),
+    doc="S10 pub/sub control source (SERVER/subscriber.py:143-185): a "
+    "control file of start-signal messages — tri-format-parsed JVM-side "
+    "(JSON object / the reference's 'slot,time' CSV / bare int; junk "
+    "swallowed like the reference's try/except) — admits one slot-residue "
+    "class per signal (my_slot % NUM_WORKERS, the worker-stride sharding "
+    "of subscriber.py:110-112). The 4-file paced replay is gated by a "
+    "broadcast stream-static semi-join on that residue inside the "
+    "streaming query, so the ungated residue's slice flows through a "
+    "micro-batch but lands zero rows; the gated union must equal the "
+    "batch answer over admitted residues. At scale the control dimension "
+    "is O(signals) and broadcast; the gate costs no shuffle.",
+)
+def stream_control_gated_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctrl_file = _ensure_ctrl_corpus()
+    line = F.col("value")
+    slot = F.expr(
+        _CTRL_SLOT_SQL.format(
+            json_slot="get_json_object(value, '$.starting_slot')", line="value"
+        )
+    )
+    residues = (
+        spark.read.text(ctrl_file)
+        .select(slot.alias("slot"))
+        .where(F.col("slot").isNotNull())
+        .select((F.col("slot") % _CTRL_WORKERS).alias("residue"))
+        .distinct()
+    )
+
+    src = _events_src(spark, sf_dir, ["event_id", "value"])
+    src_dir = scratch_dir(prefix="rugpull_ctrl_src_")
+    _write_slices(src, src_dir, _CTRL_WORKERS)
+    out_dir = os.path.join(scratch_dir(prefix="rugpull_ctrl_out_"), "out")
+
+    batch_ids: list[int] = []
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        batch_ids.append(bid)
+        batch.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    gated = (
+        stream.withColumn(
+            "residue", F.pmod(F.col("event_id"), F.lit(_CTRL_WORKERS))
+        )
+        .join(F.broadcast(residues), "residue", "inner")
+    )
+    _run_available_now(
+        gated.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", scratch_dir(prefix="rugpull_ctrl_ckpt_")
+        )
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("residue").cast("bigint").alias("residue"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(S.dsum("value", SPARK)).alias("sum_value"),
+        )
+        .withColumn("n_batches", F.lit(len(batch_ids)).cast("bigint"))
+        .orderBy("residue")
+    )
+
+
+# Materialize the control corpus at import so the oracle runs standalone.
+_ensure_ctrl_corpus()

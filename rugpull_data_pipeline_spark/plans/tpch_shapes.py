@@ -364,12 +364,13 @@ _pair(
 
 def _q20(d: str) -> str:
     # Adapted: no partsupp/ps_availqty in the fixtures, so "has excess
-    # stock of a promo part" becomes "shipped more than half of a promo
-    # part's recent volume" — same optimizer shape: IN(subquery) nesting an
-    # IN(dim filter) and a correlated scalar aggregate on the join key.
-    # Quantity sums stay decimal(38,6) end-to-end so the >-threshold compare
-    # is exact integer arithmetic in both engines (no double rounding at the
-    # boundary).
+    # stock of a promo part" becomes "shipped more than a sixth of a promo
+    # part's recent volume" (~3× the fair share: the fixture spreads each
+    # part over ~20 suppliers, so a 1/2 threshold selects nothing at any
+    # SF) — same optimizer shape: IN(subquery) nesting an IN(dim filter)
+    # and a correlated scalar aggregate on the join key. Quantity sums stay
+    # decimal(38,6) end-to-end so the >-threshold compare is exact integer
+    # arithmetic in both engines (no double rounding at the boundary).
     return """
     WITH by_supp AS (
         SELECT l_suppkey AS suppkey, l_partkey AS partkey,
@@ -383,7 +384,7 @@ def _q20(d: str) -> str:
     WHERE s_suppkey IN (
         SELECT b.suppkey FROM by_supp b
         WHERE b.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-          AND b.qty * 2 > (
+          AND b.qty * 6 > (
               SELECT sum(t.qty) FROM by_supp t WHERE t.partkey = b.partkey
           )
     )

@@ -39,41 +39,53 @@ def test_registry_coverage(spark):
 
 def test_driver_window_rotation():
     """The driver verifies the first 50 queries in iteration order. The
-    round-4 rotation must put the never-yet-driver-checked queries (plus
-    round 3's one red row and the new streaming-infra replays) inside that
-    window, and every priority name must really exist."""
+    round-5 rotation must fill that window exclusively with queries that
+    have never had a green CORRECTNESS row (computed from the recorded
+    r02–r04 files, the authoritative source — comments have drifted
+    before), must include the named high-value rows, and every priority
+    name must really exist."""
     names = list(registry.all_queries())
     unknown = [n for n in registry.DRIVER_PRIORITY if n not in names]
     assert not unknown, f"priority list names unknown queries: {unknown}"
     window = set(names[:50])
     required = {
-        "join_range_time_window",
-        "window_lead_range_frame",
-        "kmeans_lloyd_fit",
-        "sim_pq_encode",
-        "stream_dim_upsert_replay",
-        "stream_checkpoint_restart",
-        "stream_watermark_append",
-        "lookup_batched_mapinpandas",
-        "json_size_guard_quarantine",
+        # the last never-driver-green SURVEY §2 row (S10)
+        "stream_control_gated_replay",
+        # omitted from every pre-round-5 candidate list
+        "q20_potential_promotion",
+        # round-4b stateful streaming replays
+        "stream_cusum_alert",
+        "stream_bollinger_alert",
+        "stream_attribution_replay",
+        # multimodal kernels with the byte-exact oracles
+        "multimodal_resize_batch",
+        "multimodal_window_energy",
+        # Spark-4 trio + ANN scale path
+        "spark4_exec_immediate_params",
+        "sim_ivfpq_topk",
+        # changed this round — must re-earn its driver row
+        "sample_temporal_split",
     }
     assert required <= window, f"missing from driver window: {required - window}"
-    # Round 4 closes the loop: with r2+r3 green retained, every name in the
-    # window must be one that has never had a green CORRECTNESS row.
+    import glob as _glob
     import json as _json
     import os as _os
 
     seen = set()
-    for fname in ("CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        path = _os.path.join(_os.path.dirname(__file__), "..", fname)
-        if _os.path.exists(path):
-            with open(path) as fh:
-                rows = _json.load(fh)
-            seen |= {k for k, v in rows.items() if v.get("hash_match")}
+    base = _os.path.join(_os.path.dirname(__file__), "..")
+    for path in sorted(_glob.glob(_os.path.join(base, "CORRECTNESS_r0*.json"))):
+        with open(path) as fh:
+            rows = _json.load(fh)
+        seen |= {k for k, v in rows.items() if v.get("hash_match")}
     already_green = window & seen
     assert not already_green, (
         f"window slots wasted on already-green queries: {sorted(already_green)}"
     )
+    # Everything never-checked and NOT in the window is the round-6
+    # carry-over; it must stay small enough for one more rotation.
+    never = set(names) - seen
+    carried = never - window
+    assert len(carried) <= 10, f"carry-over too large: {sorted(carried)}"
 
 
 def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
