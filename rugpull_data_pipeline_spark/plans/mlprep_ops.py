@@ -1054,9 +1054,6 @@ def _minhash_audit(d: str) -> str:
         n_a, n_b = "len(sa.shs)", "len(sb.shs)"
     jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
     est = f"cast(({n_match}) as double) / {_N_HASHES}"
-    match_bits = ",\n            ".join(
-        f"a.h{j} = b.h{j} AS m{j}" for j in range(_N_HASHES)
-    )
 
     return f"""
     WITH sh_hashed AS (
@@ -1726,7 +1723,27 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _lsh_band_sensitivity(d: str) -> str:
+def _lsh_configs() -> list[tuple[int, int, str, float]]:
+    # Every (b, r) factorization of the 16-hash signature, each with its
+    # collision predicate over the m0..m15 per-position match bits and the
+    # theoretical S-curve value 1 − (1 − 0.5^r)^b at J = 0.5.
+    from .llm_ops import _N_HASHES
+
+    out = []
+    for b_bands in (16, 8, 4, 2):
+        r_rows = _N_HASHES // b_bands
+        collide = " OR ".join(
+            "("
+            + " AND ".join(f"m{band * r_rows + r}" for r in range(r_rows))
+            + ")"
+            for band in range(b_bands)
+        )
+        theo = round(1.0 - (1.0 - 0.5**r_rows) ** b_bands, 6)
+        out.append((b_bands, r_rows, collide, theo))
+    return out
+
+
+def _lsh_flags_query(d: str) -> str:
     # dedup_minhash_lsh fixes (b=4, r=4) over the 16-hash signature; this
     # audit measures what THAT choice trades away, by re-partitioning the
     # same signatures into every (b, r) factorization — (16,1), (8,2),
@@ -1740,6 +1757,8 @@ def _lsh_band_sensitivity(d: str) -> str:
     # two signatures alone, with NO extra join: one 16-band capped
     # equi-join builds the universe, plain boolean algebra does the rest
     # (the audit_minhash_estimate machinery, re-aimed at parameter choice).
+    # Returns the per-pair flag table (is_true + m0..m15); the aggregation
+    # over it differs per engine — see audit_lsh_band_sensitivity.
     from .llm_ops import (
         _LSH_BUCKET_CAP,
         _MINHASH_AB,
@@ -1778,33 +1797,6 @@ def _lsh_band_sensitivity(d: str) -> str:
         n_a, n_b = "len(sa.shs)", "len(sb.shs)"
     jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
 
-    def match(j: int) -> str:
-        return f"m{j}"
-
-    configs = []
-    for b_bands in (16, 8, 4, 2):
-        r_rows = _N_HASHES // b_bands
-        collide = " OR ".join(
-            "("
-            + " AND ".join(match(band * r_rows + r) for r in range(r_rows))
-            + ")"
-            for band in range(b_bands)
-        )
-        theo = round(1.0 - (1.0 - 0.5**r_rows) ** b_bands, 6)
-        configs.append((b_bands, r_rows, collide, theo))
-
-    branches = "\n    UNION ALL\n".join(
-        f"""
-    SELECT 'b{b:02d}r{r}' AS config, {b} AS n_bands, {r} AS rows_per_band,
-        {S.isum(f'CASE WHEN {collide} THEN 1 ELSE 0 END', d)} AS n_candidates,
-        {S.isum(f'CASE WHEN ({collide}) AND is_true THEN 1 ELSE 0 END', d)}
-            AS n_true_captured,
-        {S.isum('CASE WHEN is_true THEN 1 ELSE 0 END', d)} AS n_true_universe,
-        cast({theo} as double) AS theo_p_at_05
-    FROM flags"""
-        for b, r, collide, theo in configs
-    )
-
     match_bits = ",\n            ".join(
         f"a.h{j} = b.h{j} AS m{j}" for j in range(_N_HASHES)
     )
@@ -1835,25 +1827,42 @@ def _lsh_band_sensitivity(d: str) -> str:
         JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
     ),
-    doc_sets AS ({doc_sets}),
-    flags AS (
-        SELECT u.doc_a, u.doc_b,
-            ({jacc}) >= 0.5 AS is_true,
-            {match_bits}
-        FROM universe u
-        JOIN sigs a ON a.doc_id = u.doc_a
-        JOIN sigs b ON b.doc_id = u.doc_b
-        JOIN doc_sets sa ON sa.doc_id = u.doc_a
-        JOIN doc_sets sb ON sb.doc_id = u.doc_b
+    doc_sets AS ({doc_sets})
+    SELECT u.doc_a, u.doc_b,
+        ({jacc}) >= 0.5 AS is_true,
+        {match_bits}
+    FROM universe u
+    JOIN sigs a ON a.doc_id = u.doc_a
+    JOIN sigs b ON b.doc_id = u.doc_b
+    JOIN doc_sets sa ON sa.doc_id = u.doc_a
+    JOIN doc_sets sb ON sb.doc_id = u.doc_b
+    """
+
+
+def _lsh_oracle() -> str:
+    # DuckDB materializes a multiply-referenced CTE once, so the pure-SQL
+    # UNION-of-aggregates form is already single-pass there.
+    branches = "\n    UNION ALL\n".join(
+        f"""
+    SELECT 'b{b:02d}r{r}' AS config, {b} AS n_bands, {r} AS rows_per_band,
+        {S.isum(f'CASE WHEN {collide} THEN 1 ELSE 0 END', DUCK)} AS n_candidates,
+        {S.isum(f'CASE WHEN ({collide}) AND is_true THEN 1 ELSE 0 END', DUCK)}
+            AS n_true_captured,
+        {S.isum('CASE WHEN is_true THEN 1 ELSE 0 END', DUCK)} AS n_true_universe,
+        cast({theo} as double) AS theo_p_at_05
+    FROM flags"""
+        for b, r, collide, theo in _lsh_configs()
     )
+    return f"""
+    WITH flags AS ({_lsh_flags_query(DUCK)})
     SELECT * FROM ({branches}) c
     ORDER BY config
     """
 
 
-_pair(
+@register(
     "audit_lsh_band_sensitivity",
-    _lsh_band_sensitivity,
+    oracle=_lsh_oracle(),
     tags=("dedup", "audit", "sketch"),
     doc="LSH parameter-sensitivity audit: the production (b=4, r=4) banding "
     "of the 16-hash MinHash signature, re-evaluated against every other "
@@ -1864,5 +1873,38 @@ _pair(
     "Per config: surfaced candidate pairs, true near-dups captured (exact "
     "Jaccard ≥ 0.5), and the theoretical S-curve value 1−(1−0.5^r)^b — "
     "the measured evidence behind the banding choice, refreshable at any "
-    "scale for the cost of one LSH pass.",
+    "scale for the cost of one LSH pass. Spark side: the flag table is "
+    "materialized ONCE (localCheckpoint — Spark inlines multiply-"
+    "referenced CTEs, so the pure-SQL UNION form re-ran the whole "
+    "shingle→minhash→join pipeline 4×: 24 file scans, measured 2.7 s → "
+    "0.9 s at sf0.1), then ALL four configs aggregate in a single pass "
+    "and stack() unpivots the one-row result.",
 )
+def audit_lsh_band_sensitivity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    flags = spark.sql(_lsh_flags_query(SPARK)).localCheckpoint()
+    aggs = []
+    for b, r, collide, _theo in _lsh_configs():
+        aggs.append(
+            F.expr(S.isum(f"CASE WHEN {collide} THEN 1 ELSE 0 END", SPARK)).alias(
+                f"c_{b}"
+            )
+        )
+        aggs.append(
+            F.expr(
+                S.isum(f"CASE WHEN ({collide}) AND is_true THEN 1 ELSE 0 END", SPARK)
+            ).alias(f"t_{b}")
+        )
+    aggs.append(
+        F.expr(S.isum("CASE WHEN is_true THEN 1 ELSE 0 END", SPARK)).alias("tu")
+    )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'b{b:02d}r{r}', {b}, {r}, c_{b}, t_{b}, tu, cast({theo} as double)"
+        for b, r, _collide, theo in _lsh_configs()
+    )
+    return one.selectExpr(
+        f"stack(4, {stack_args}) AS (config, n_bands, rows_per_band, "
+        "n_candidates, n_true_captured, n_true_universe, theo_p_at_05)"
+    ).orderBy("config")
