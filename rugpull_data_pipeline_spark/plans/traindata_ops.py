@@ -436,8 +436,10 @@ def _moments(d: str) -> str:
     SELECT event_type, cast(n as bigint) AS n_rows,
         round(mu, 6) AS mean_value,
         round(m2, 6) AS var_pop,
-        round(m3 / power(m2, 1.5), 6) AS skewness_pop,
-        round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+        CASE WHEN m2 > 0 THEN round(m3 / power(m2, 1.5), 6) END
+            AS skewness_pop,
+        CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END
+            AS excess_kurtosis
     FROM mom
     ORDER BY event_type
     """

@@ -1,0 +1,170 @@
+"""Edge-semantics unit tests for the round-5 training-data operators on
+tiny hand-built frames (oracle parity is covered for every query by
+test_correctness_oracle; these pin the boundary behaviors a hash-compare
+could only reveal indirectly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.scalars import SPARK
+from rugpull_data_pipeline_spark.plans import registry
+from rugpull_data_pipeline_spark.plans.traindata_ops import (
+    _boilerplate,
+    _group_holdout,
+    _incremental,
+    _moments,
+    _psi_drift,
+    _rebalance,
+    _target_encode,
+    _triangles,
+)
+
+
+@pytest.fixture
+def hand_views(spark):
+    yield spark
+    registry._VIEWS_FOR.pop(id(spark), None)
+
+
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def _mk_docs(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).createOrReplaceTempView("documents")
+
+
+def test_boilerplate_df_threshold_is_inclusive_and_tail_segment_counts(hand_views):
+    spark = hand_views
+    # "a b c d" appears in exactly 5 docs (== _BOILER_DF -> boilerplate);
+    # each doc's second segment is unique (not boilerplate). Doc 9 has a
+    # 5-word text: a full segment plus a 1-word tail segment.
+    rows = [(i, f"a b c d u{i} x y z{i}", "src1") for i in range(5)]
+    rows += [(5 + i, f"e f g h p q r s{i}", "src1") for i in range(4)]
+    rows += [(9, "m n o p q", "src1")]
+    _mk_docs(spark, rows)
+    got = {r.doc_id: r for r in spark.sql(_boilerplate(SPARK)).collect()}
+    assert got[0].n_segments == 2 and got[0].n_boilerplate == 1
+    assert got[0].boiler_frac == pytest.approx(0.5)
+    assert got[5].n_boilerplate == 0  # df=4 is below the threshold
+    assert got[9].n_segments == 2 and got[9].n_boilerplate == 0
+
+
+def test_incremental_dedup_excludes_base_and_keeps_first_in_snapshot(hand_views):
+    spark = hand_views
+    _mk_docs(
+        spark,
+        [
+            (1, "X", "src1"),  # base corpus
+            (10, "X", "src10"),  # snapshot dup of base -> dropped
+            (11, "Y", "src10"),  # first Y in snapshot -> kept
+            (12, "Y", "src11"),  # later Y -> dropped
+            (13, "Z", "src12"),  # new -> kept
+        ],
+    )
+    got = [r.doc_id for r in spark.sql(_incremental(SPARK)).collect()]
+    assert got == [11, 13]
+
+
+def test_target_encode_loo_excludes_self_and_singleton_falls_to_gmean(hand_views):
+    spark = hand_views
+    rows = [
+        (1, 10, 1, "a", 1.0),
+        (2, 20, 1, "a", 2.0),
+        (3, 30, 1, "a", 3.0),
+        (4, 40, 2, "b", 10.0),
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_id: r for r in spark.sql(_target_encode(SPARK)).collect()}
+    assert got[1].te_loo == pytest.approx(2.5)  # (2+3)/2, own value excluded
+    assert got[4].te_loo is None  # singleton class has no LOO estimate
+    # singleton smoothing: (10-10 + 10*gmean)/(0+10) == gmean == 16/4
+    assert got[4].te_smooth == pytest.approx(4.0)
+
+
+def test_class_rebalance_downsamples_every_type_to_minority_count(hand_views):
+    spark = hand_views
+    rows = [(i, 10 * i, 1, "a", 1.0) for i in range(5)]
+    rows += [(100 + i, 10 * i, 1, "b", 1.0) for i in range(2)]
+    _mk_events(spark, rows)
+    out = spark.sql(_rebalance(SPARK)).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r.sample_rank)
+    assert sorted(by_type["a"]) == [1, 2]
+    assert sorted(by_type["b"]) == [1, 2]
+
+
+def test_triangles_counted_once_and_hot_group_is_capped_out(hand_views):
+    spark = hand_views
+    # users 1,2,3 co-occur in ('click', hour 0) -> one triangle; users 4,5
+    # share a group (edge, no triangle); a 41-user 'view' group exceeds
+    # _GRP_CAP=40 and must contribute nothing.
+    rows = [(i, 10 + i, u, "click", 1.0) for i, u in enumerate([1, 2, 3])]
+    rows += [(10 + i, 20 + i, u, "buy", 1.0) for i, u in enumerate([4, 5])]
+    rows += [(100 + i, 30 + i, 1000 + i, "view", 1.0) for i in range(41)]
+    _mk_events(spark, rows)
+    got = {r.user_id: r.n_triangles for r in spark.sql(_triangles(SPARK)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_psi_zero_for_identical_halves_and_positive_for_shift(hand_views):
+    spark = hand_views
+    rows = []
+    eid = 0
+    # 'same': identical bin counts on an even day (day 0) and an odd day
+    # (day 1) -> every (pa - pb) term is exactly 0.
+    for day in (0, 1):
+        for v in (5.0, 15.0, 15.0, 95.0):
+            eid += 1
+            rows.append((eid, 86400 * day + eid, 1, "same", v))
+    # 'shift': bin 0 on the even day, bin 9 on the odd day.
+    for day, v in ((0, 5.0), (0, 5.0), (1, 95.0), (1, 95.0)):
+        eid += 1
+        rows.append((eid, 86400 * day + eid, 1, "shift", v))
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_psi_drift(SPARK)).collect()}
+    assert got["same"].psi == pytest.approx(0.0)
+    assert got["shift"].psi > 0.5
+    assert got["shift"].n_even_days == 2 and got["shift"].n_odd_days == 2
+
+
+def test_group_holdout_keeps_each_user_in_one_split(hand_views):
+    spark = hand_views
+    rows = [(i, 10 * i, i % 7, "click", 1.0) for i in range(40)]
+    _mk_events(spark, rows)
+    out = spark.sql(_group_holdout(SPARK)).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, set()).add((r.split, r.user_bucket))
+        assert (r.split == "test") == (r.user_bucket == 0)
+    assert all(len(s) == 1 for s in per_user.values())
+
+
+def test_moments_symmetric_series_and_zero_variance_guard(hand_views):
+    spark = hand_views
+    rows = [(i, 10 * i, 1, "sym", v) for i, v in enumerate([-2.0, -1.0, 1.0, 2.0])]
+    rows += [(100 + i, 10 * i, 1, "flat", 7.0) for i in range(3)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_moments(SPARK)).collect()}
+    sym = got["sym"]
+    assert sym.mean_value == pytest.approx(0.0)
+    assert sym.var_pop == pytest.approx(2.5)
+    assert sym.skewness_pop == pytest.approx(0.0)
+    assert sym.excess_kurtosis == pytest.approx(8.5 / 6.25 - 3.0)
+    flat = got["flat"]
+    assert flat.var_pop == pytest.approx(0.0)
+    assert flat.skewness_pop is None and flat.excess_kurtosis is None
