@@ -411,6 +411,152 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (power iteration over the transition chain)
+# ---------------------------------------------------------------------------
+
+
+def _markov_stationary(d: str) -> str:
+    # Three power iterations x' = xP over the event-type transition matrix.
+    # Each iteration is a join against the tiny (k x k) probability table —
+    # the same broadcast-iteration shape as graph_pagerank_power3 — and the
+    # decimal-exact dsum keeps every iteration order-independent.
+    def step(prev: str) -> str:
+        return (
+            f"SELECT p.dst AS state, {S.dsum(f'{prev}.w * p.p', d)} AS w "
+            f"FROM {prev} JOIN p ON p.src = {prev}.state GROUP BY p.dst"
+        )
+
+    return f"""
+    WITH steps AS (
+        SELECT user_id, event_type,
+            lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS c
+        FROM steps WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+    ),
+    p AS (
+        SELECT src, dst,
+            c / cast(sum(c) OVER (PARTITION BY src) as double) AS p
+        FROM trans
+    ),
+    states AS (SELECT DISTINCT src AS state FROM p),
+    x0 AS (
+        SELECT state,
+            1.0 / cast((SELECT count(*) FROM states) as double) AS w
+        FROM states
+    ),
+    x1 AS ({step('x0')}),
+    x2 AS ({step('x1')}),
+    x3 AS ({step('x2')})
+    SELECT state AS event_type, round(w, 6) AS stationary_w
+    FROM x3 ORDER BY state
+    """
+
+
+_pair(
+    "events_markov_stationary",
+    _markov_stationary,
+    tags=("events", "graph", "iterative"),
+    doc="Stationary distribution of the per-user event-type transition "
+    "chain: one lag window builds the transition counts, row-normalized "
+    "into P, then three power iterations x' = xP from the uniform vector. "
+    "The heavy work is the single window shuffle over the fact table; the "
+    "iterations are joins against the k x k probability table (broadcast "
+    "at any scale, k = event-type cardinality), the same "
+    "collect-nothing iteration shape as graph_pagerank_power3. Decimal "
+    "dsum makes every iteration order-independent, so engines and "
+    "partitionings agree exactly.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count (first-touch flag, no growing state)
+# ---------------------------------------------------------------------------
+
+
+def _running_distinct(d: str) -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts, event_type,
+            CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT event_id, user_id,
+        cast(sum(first_seen) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+            AS distinct_types_so_far
+    FROM flagged
+    ORDER BY event_id
+    """
+
+
+_pair(
+    "window_running_distinct_types",
+    _running_distinct,
+    tags=("window", "events"),
+    doc="Running distinct-count per user (how many distinct event types "
+    "has this user touched so far): a first-occurrence flag via "
+    "row_number over (user, type), then a plain running sum of the flag "
+    "over (user, time). The naive form — size(collect_set() OVER ...) — "
+    "carries a growing set through every frame and dies at scale; the "
+    "flag decomposition is two bounded window shuffles with O(1) state "
+    "per row, the standard trick for distinct-so-far.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Top-k category encoding ('other' rollup + count encoding)
+# ---------------------------------------------------------------------------
+
+_ONEHOT_K = 3
+
+
+def _category_encode(d: str) -> str:
+    return f"""
+    WITH freq AS (
+        SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+    ),
+    topk AS (
+        SELECT event_type FROM freq ORDER BY c DESC, event_type
+        LIMIT {_ONEHOT_K}
+    )
+    SELECT e.event_id,
+        CASE WHEN t.event_type IS NOT NULL THEN e.event_type
+             ELSE 'other' END AS feature_name,
+        f.c AS count_enc
+    FROM events e
+    JOIN freq f ON f.event_type = e.event_type
+    LEFT JOIN topk t ON t.event_type = e.event_type
+    ORDER BY e.event_id
+    """
+
+
+_pair(
+    "mlprep_category_encode",
+    _category_encode,
+    tags=("mlprep",),
+    doc="Categorical feature encoding: the top-3 categories by frequency "
+    "keep their identity, the tail rolls up to 'other' (bounded one-hot "
+    "vocabulary), and every row carries its category's global frequency "
+    "(count encoding). The top-k is an ordered LIMIT (TakeOrderedAndProject"
+    " — no global window over the category table, which at web scale is "
+    "high-cardinality), and both lookups are broadcast joins against "
+    "aggregate tables keyed by category.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments (skewness / kurtosis) via decimal power sums
+# ---------------------------------------------------------------------------
+
+
 def _moments(d: str) -> str:
     # Engine aggregate skewness()/kurtosis() differ between Spark
     # (population) and DuckDB (sample, bias-corrected) — so compute both

@@ -12,11 +12,14 @@ from rugpull_data_pipeline_spark.functions.scalars import SPARK
 from rugpull_data_pipeline_spark.plans import registry
 from rugpull_data_pipeline_spark.plans.traindata_ops import (
     _boilerplate,
+    _category_encode,
     _group_holdout,
     _incremental,
+    _markov_stationary,
     _moments,
     _psi_drift,
     _rebalance,
+    _running_distinct,
     _target_encode,
     _triangles,
 )
@@ -152,6 +155,48 @@ def test_group_holdout_keeps_each_user_in_one_split(hand_views):
         per_user.setdefault(r.user_id, set()).add((r.split, r.user_bucket))
         assert (r.split == "test") == (r.user_bucket == 0)
     assert all(len(s) == 1 for s in per_user.values())
+
+
+def test_markov_stationary_power3_matches_hand_fold(hand_views):
+    spark = hand_views
+    # One user, sequence a a a a b a: P(a->a)=3/4, P(a->b)=1/4, P(b->a)=1.
+    # Folding x0=(.5,.5) three times by hand: a=0.8046875, b=0.1953125.
+    seq = ["a", "a", "a", "a", "b", "a"]
+    rows = [(i, 10 * i, 1, t, 1.0) for i, t in enumerate(seq)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r.stationary_w for r in spark.sql(_markov_stationary(SPARK)).collect()}
+    assert got["a"] == pytest.approx(0.8046875, abs=2e-6)
+    assert got["b"] == pytest.approx(0.1953125, abs=2e-6)
+
+
+def test_running_distinct_counts_first_touches_only(hand_views):
+    spark = hand_views
+    rows = [
+        (1, 10, 1, "a", 1.0),
+        (2, 20, 1, "b", 1.0),
+        (3, 30, 1, "a", 1.0),  # repeat: count stays
+        (4, 40, 1, "c", 1.0),
+        (5, 15, 2, "a", 1.0),  # other user independent
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_id: r.distinct_types_so_far for r in spark.sql(_running_distinct(SPARK)).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
+
+
+def test_category_encode_rolls_tail_to_other_with_count_encoding(hand_views):
+    spark = hand_views
+    rows = []
+    eid = 0
+    for t, n in (("w", 3), ("x", 2), ("y", 2), ("z", 1)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 10 * eid, 1, t, 1.0))
+    _mk_events(spark, rows)
+    out = spark.sql(_category_encode(SPARK)).collect()
+    feats = {r.event_id: (r.feature_name, r.count_enc) for r in out}
+    assert feats[1] == ("w", 3)
+    assert feats[4] == ("x", 2)
+    assert feats[8] == ("other", 1)  # 'z' rolls up but keeps its own count
 
 
 def test_moments_symmetric_series_and_zero_variance_guard(hand_views):
