@@ -82,10 +82,12 @@ def test_driver_window_rotation():
         f"window slots wasted on already-green queries: {sorted(already_green)}"
     )
     # Everything never-checked and NOT in the window is the round-6
-    # carry-over; it must stay small enough for one more rotation.
+    # carry-over; it must fit in ONE more 50-slot rotation with >= 5 slots
+    # left for the standing oldest-first re-proof policy (so every query
+    # still re-earns a driver row within a trailing three-round horizon).
     never = set(names) - seen
     carried = never - window
-    assert len(carried) <= 10, f"carry-over too large: {sorted(carried)}"
+    assert len(carried) <= 45, f"carry-over too large: {sorted(carried)}"
 
 
 def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
