@@ -412,6 +412,162 @@ _pair(
 
 
 # ---------------------------------------------------------------------------
+# Incremental NEAR-dup: MinHash LSH of the snapshot against the base corpus
+# ---------------------------------------------------------------------------
+
+
+def _minhash_incremental(d: str) -> str:
+    # Same signature/banding machinery as dedup_minhash_lsh (16 portable
+    # minhashes over word-3-gram shingles, 4x4 banding, bucket cap), but the
+    # candidate join is CROSS-CORPUS ONLY: incoming bands (src10..src19)
+    # probe base bands (src0..src9). Within-snapshot and within-base pairs
+    # never form — the daily-ingest shape where yesterday's corpus is the
+    # reference, re-signing nothing (at scale the base signatures are a
+    # materialized table; here they derive in the same query).
+    from .llm_ops import (
+        _BAND_SIZE,
+        _LSH_BUCKET_CAP,
+        _MINHASH_AB,
+        _MINHASH_P,
+        _N_HASHES,
+        _ngram_shingles,
+    )
+
+    shh = S.portable_hash64("sh", d)
+    min_cols = ",\n            ".join(
+        f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{_BAND_SIZE * band + r}" for r in range(_BAND_SIZE))
+        + "))"
+        for band in range(_N_HASHES // _BAND_SIZE)
+    )
+    if d == SPARK:
+        bands = f"""
+        SELECT doc_id, side, band, band_key
+        FROM sigs
+        LATERAL VIEW posexplode(array({band_keys})) AS band, band_key
+        """
+        doc_sets = (
+            "SELECT doc_id, collect_set(shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        )
+        n_inter = "size(array_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "size(sa.shs)", "size(sb.shs)"
+    else:
+        bands = f"""
+        SELECT doc_id, side, i AS band, [{band_keys}][i + 1] AS band_key
+        FROM sigs, unnest(range(0, {_N_HASHES // _BAND_SIZE})) t(i)
+        """
+        doc_sets = (
+            "SELECT doc_id, list(DISTINCT shh) AS shs FROM sh_hashed GROUP BY doc_id"
+        )
+        n_inter = "len(list_intersect(sa.shs, sb.shs))"
+        n_a, n_b = "len(sa.shs)", "len(sb.shs)"
+    jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
+    return f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+            CASE WHEN length(source) = 4 THEN 'base' ELSE 'inc' END AS side
+        FROM documents
+    ),
+    sh_hashed AS (
+        SELECT doc_id, {shh} AS shh
+        FROM ({_ngram_shingles(d).replace('documents', 'tagged')}) raw
+    ),
+    sigs AS (
+        SELECT s.doc_id, max(t.side) AS side,
+            {min_cols}
+        FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM sh_hashed) s
+        JOIN tagged t ON t.doc_id = s.doc_id
+        GROUP BY s.doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    bands_capped AS (
+        SELECT doc_id, side, band, band_key FROM (
+            SELECT doc_id, side, band, band_key,
+                count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ) f WHERE bsz <= {_LSH_BUCKET_CAP}
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS inc_doc, b.doc_id AS base_doc
+        FROM bands_capped a
+        JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.side = 'inc' AND b.side = 'base'
+    ),
+    doc_sets AS ({doc_sets})
+    SELECT c.inc_doc, c.base_doc, round({jacc}, 6) AS jaccard
+    FROM candidates c
+    JOIN doc_sets sa ON sa.doc_id = c.inc_doc
+    JOIN doc_sets sb ON sb.doc_id = c.base_doc
+    WHERE {jacc} >= 0.1
+    ORDER BY c.inc_doc, c.base_doc
+    """
+
+
+_pair(
+    "dedup_minhash_incremental",
+    _minhash_incremental,
+    tags=("dedup", "etl"),
+    doc="Cross-corpus near-dup: the incoming snapshot (src10..src19) LSH-"
+    "probes the existing corpus (src0..src9) through the same 16-minhash / "
+    "4x4-band machinery as dedup_minhash_lsh, but candidates form ONLY "
+    "across the corpus boundary — the near-dup complement of "
+    "dedup_incremental_newonly's exact-hash gate. Band buckets stay "
+    "capped (>32 docs skipped) so a boilerplate cluster spanning both "
+    "corpora cannot detonate the probe; at 100 TB the base-side "
+    "signatures and bands are a materialized bucketed table, making the "
+    "daily probe a co-partitioned equi-join against static state.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew advisor (lakehouse layout ops)
+# ---------------------------------------------------------------------------
+
+
+def _skew_advisor(d: str) -> str:
+    med = (
+        "percentile(n_rows, 0.5)" if d == SPARK else "quantile_cont(n_rows, 0.5)"
+    )
+    return f"""
+    WITH per_part AS (
+        SELECT {S.fmt_month('l_shipdate', d)} AS part_month,
+            count(*) AS n_rows
+        FROM lineitem GROUP BY {S.fmt_month('l_shipdate', d)}
+    ),
+    stats AS (
+        SELECT {med} AS med, {S.isum('n_rows', d)} AS total FROM per_part
+    )
+    SELECT part_month, n_rows,
+        round(n_rows / cast(total as double), 6) AS row_share,
+        round(n_rows / med, 6) AS skew_vs_median,
+        cast(greatest(1, ceil(n_rows / med)) as int) AS advised_salt
+    FROM per_part, stats
+    ORDER BY part_month
+    """
+
+
+_pair(
+    "layout_partition_skew_advisor",
+    _skew_advisor,
+    tags=("layout", "profiling"),
+    doc="Partition-skew advisor over the ship-month partitioning of "
+    "lineitem: per-partition row counts, share of total, skew ratio "
+    "against the median partition, and the salting factor "
+    "(ceil(rows/median)) a writer should apply before shuffling on this "
+    "key — the planning input for AQE-less engines and for choosing "
+    "bucketing factors. One hash-agg over the fact table (map-side "
+    "partial), then algebra on the O(partitions) summary joined to a "
+    "1-row stats broadcast.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Markov stationary distribution (power iteration over the transition chain)
 # ---------------------------------------------------------------------------
 

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from rugpull_data_pipeline_spark.functions.scalars import SPARK
 from rugpull_data_pipeline_spark.plans import registry
 from rugpull_data_pipeline_spark.plans.traindata_ops import (
+    _minhash_incremental,
+    _skew_advisor,
     _boilerplate,
     _category_encode,
     _group_holdout,
@@ -155,6 +157,40 @@ def test_group_holdout_keeps_each_user_in_one_split(hand_views):
         per_user.setdefault(r.user_id, set()).add((r.split, r.user_bucket))
         assert (r.split == "test") == (r.user_bucket == 0)
     assert all(len(s) == 1 for s in per_user.values())
+
+
+def test_minhash_incremental_pairs_cross_corpus_only(hand_views):
+    spark = hand_views
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    _mk_docs(
+        spark,
+        [
+            (1, t1, "src1"),  # base
+            (11, t1, "src10"),  # inc clone of base -> pair (11, 1)
+            (12, t2, "src11"),  # inc clones of EACH OTHER only:
+            (13, t2, "src12"),  # no cross-corpus pair may form
+        ],
+    )
+    got = [(r.inc_doc, r.base_doc, r.jaccard) for r in spark.sql(_minhash_incremental(SPARK)).collect()]
+    assert got == [(11, 1, 1.0)]
+
+
+def test_skew_advisor_shares_and_salt(hand_views):
+    spark = hand_views
+    rows = [("2024-01-0%d" % (i + 1),) for i in range(4)] + [
+        ("2024-02-01",),
+        ("2024-02-02",),
+    ]
+    spark.createDataFrame(rows, "l_shipdate string").select(
+        F.col("l_shipdate").cast("date")
+    ).createOrReplaceTempView("lineitem")
+    got = {r.part_month: r for r in spark.sql(_skew_advisor(SPARK)).collect()}
+    jan, feb = got["2024-01"], got["2024-02"]
+    assert jan.n_rows == 4 and feb.n_rows == 2
+    assert jan.row_share == pytest.approx(4 / 6, abs=1e-6)
+    assert jan.skew_vs_median == pytest.approx(4 / 3, abs=1e-6)
+    assert jan.advised_salt == 2 and feb.advised_salt == 1
 
 
 def test_markov_stationary_power3_matches_hand_fold(hand_views):
