@@ -64,6 +64,11 @@ HEADLINE = [
     "sim_mmr_diversify",
     "text_filter_gate",
     "agg_holder_concentration",
+    # Round-5 training-data operators: CCNet boilerplate detection (explode
+    # + df hash-agg + co-partitioned join back on the segment hash) and the
+    # cross-corpus incremental MinHash probe (snapshot bands vs base bands).
+    "text_boilerplate_ccnet",
+    "dedup_minhash_incremental",
     # ~110 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).

@@ -42,6 +42,16 @@ _NLJ_ALLOWED = {
     # kNN classifier: same broadcast-queries linear scan as the top-k
     # baseline (the non-equi probe is the point).
     "sim_knn_classify",
+    # 1-row aggregate broadcasts (global mean / minority count / partition
+    # totals): a cross join by syntax, a map-side constant by execution —
+    # the alternative, a global OVER () window, would funnel every row
+    # through one partition.
+    "mlprep_target_encode_loo",
+    "sample_class_rebalance",
+    "layout_partition_skew_advisor",
+    # deliberate tiny-dim cross join (event types × 10-bin grid), the same
+    # shape as join_cross_region_bands.
+    "profile_drift_psi",
 }
 
 
