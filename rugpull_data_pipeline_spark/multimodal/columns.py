@@ -244,3 +244,69 @@ def window_energy(df: DataFrame, window_bytes: int = 32, use_stub: bool = True) 
 
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)
+
+
+_PHASH_BITS = 64
+_PHASH_WORDS = 4  # 4 x 16-bit words (pigeonhole blocks for the near-dup join)
+
+
+def phash_words(df: DataFrame, use_stub: bool = True) -> DataFrame:
+    """Perceptual-hash plumbing: blob → 64-bit average-hash as FOUR 16-bit
+    words, long-form (doc_id, w, wv) — one row per word.
+
+    The stub kernel is the aHash algorithm applied to raw bytes instead of
+    decoded luma pixels: split the payload into 64 position blocks
+    (block(i) = i*64//n), set bit b when block b's mean exceeds the global
+    mean, decided by the exact integer cross-product sum_b * n > total *
+    len_b (no floating point anywhere, so the DuckDB oracle reproduces
+    every bit). A real kernel (DCT over decoded pixels) drops in behind
+    the same (doc_id, w, wv) schema. Emitting 16-bit words rather than one
+    64-bit value IS the index layout: the near-dup join buckets on exact
+    word matches (pigeonhole: hamming <= 3 guarantees a shared word), so
+    downstream never touches payloads — 4 small ints per media object.
+    """
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("wv", T.IntegerType()),
+        ]
+    )
+
+    def _words(payload: bytes) -> list[int]:
+        n = len(payload)
+        if n == 0:
+            return [0] * _PHASH_WORDS
+        sums = [0] * _PHASH_BITS
+        lens = [0] * _PHASH_BITS
+        for i, v in enumerate(payload):
+            b = i * _PHASH_BITS // n
+            sums[b] += v
+            lens[b] += 1
+        total = sum(sums)
+        words = [0] * _PHASH_WORDS
+        for b in range(_PHASH_BITS):
+            if sums[b] * n > total * lens[b]:
+                words[b // 16] |= 1 << (b % 16)
+        return words
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_stub:
+                raise NotImplementedError(
+                    "real perceptual hashing requires an image decoder — "
+                    "not in this container; run with use_stub=True"
+                )
+            out = {"doc_id": [], "w": [], "wv": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for w, wv in enumerate(_words(blob)):
+                    out["doc_id"].append(doc_id)
+                    out["w"].append(w)
+                    out["wv"].append(wv)
+            yield pd.DataFrame(out)
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select("doc_id", "blob").repartition(n).mapInPandas(mapper, schema)

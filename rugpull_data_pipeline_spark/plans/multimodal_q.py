@@ -284,3 +284,133 @@ def multimodal_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_energy(attach_blob_column(docs), window_bytes=32).orderBy(
         "doc_id", "win_idx"
     )
+
+
+# --- perceptual-hash near-dup (aHash words + pigeonhole join) ---------------
+
+# Byte-exact oracle: reproduces the kernel's integer aHash bit-for-bit from
+# hex(encode(text)) — block membership blk = i*64//n, bit decided by the
+# integer cross-product sum_b * n > total * len_b, words as 16-bit packs.
+_PHASH_CAP = 64
+_PHASH_HAM_MAX = 20
+
+_PHASH_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS nb
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id, nb, i,
+        cast(('0x' || substring(h, cast(2 * i + 1 as int), 2)) as bigint) AS v,
+        cast((i * 64) // nb as int) AS blk
+    FROM b, unnest(range(0, nb)) AS t(i)
+    WHERE nb > 0
+),
+blocks AS (
+    SELECT doc_id, nb, blk, sum(v) AS bs, count(*) AS bl
+    FROM bytes GROUP BY doc_id, nb, blk
+),
+tot AS (SELECT doc_id, sum(v) AS ts FROM bytes GROUP BY doc_id),
+bits AS (
+    SELECT bl.doc_id, bl.blk,
+        CASE WHEN bl.bs * bl.nb > t.ts * bl.bl THEN 1 ELSE 0 END AS bit
+    FROM blocks bl JOIN tot t ON t.doc_id = bl.doc_id
+),
+wgrid AS (
+    SELECT d.doc_id, wi.w
+    FROM (SELECT DISTINCT doc_id FROM documents) d,
+         unnest(range(0, 4)) AS wi(w)
+),
+words AS (
+    SELECT g.doc_id, cast(g.w as int) AS w,
+        cast(coalesce(sum(bit << (blk % 16)), 0) as int) AS wv
+    FROM wgrid g
+    LEFT JOIN bits ON bits.doc_id = g.doc_id AND bits.blk // 16 = g.w
+    GROUP BY g.doc_id, g.w
+),
+capped AS (
+    SELECT doc_id, w, wv FROM (
+        SELECT doc_id, w, wv,
+            count(*) OVER (PARTITION BY w, wv) AS bsz
+        FROM words
+    ) f WHERE bsz <= {_PHASH_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+        ON a.w = b.w AND a.wv = b.wv AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+    cast(sum(bit_count(xor(wa.wv, wb.wv))) as int) AS hamming_bits
+FROM cand c
+JOIN words wa ON wa.doc_id = c.doc_a
+JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+GROUP BY c.doc_a, c.doc_b
+HAVING cast(sum(bit_count(xor(wa.wv, wb.wv))) as int) <= {_PHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_PHASH_ORACLE,
+    tags=("multimodal", "dedup", "udf"),
+    doc="Image near-dup by perceptual hash: the aHash kernel (Arrow-batched "
+    "mapInPandas, integer-exact block means over raw bytes — a DCT pHash "
+    "over decoded pixels drops in behind the same schema) emits each "
+    "media object as four 16-bit words; candidates form ONLY where a word "
+    "matches exactly (pigeonhole: hamming <= 3 guarantees a shared word), "
+    "buckets capped at 64, then the exact Hamming distance over the full "
+    "64 bits verifies each pair (<= 20 of 64 reported). The words ARE the "
+    "index: 8 bytes per object travel through the shuffle, never "
+    "payloads — the image-dedup shape a multimodal corpus runs next to "
+    "MinHash text dedup.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..multimodal.columns import attach_blob_column, phash_words
+
+    docs = spark.table("documents")
+    words = phash_words(attach_blob_column(docs)).localCheckpoint()
+    capped = (
+        words.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("w", "wv"))
+        )
+        .where(F.col("bsz") <= _PHASH_CAP)
+        .drop("bsz")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.wv") == F.col("b.wv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    return (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(
+            wb,
+            (F.col("wb.doc_id") == F.col("doc_b"))
+            & (F.col("wb.w") == F.col("wa.w")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("wa.wv").bitwiseXOR(F.col("wb.wv"))
+                )
+            ).cast("int").alias("hamming_bits")
+        )
+        .where(F.col("hamming_bits") <= _PHASH_HAM_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

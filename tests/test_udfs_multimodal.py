@@ -166,3 +166,105 @@ def test_multimodal_oracles_byte_exact_on_non_ascii(spark):
             got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
         )
     con.close()
+
+
+def test_phash_words_known_pattern_and_neardup_pairing(spark):
+    from rugpull_data_pipeline_spark.multimodal.columns import phash_words
+
+    # 64 bytes: first 32 are 0xFF, last 32 are 0x00 -> blocks 0..31 sit
+    # above the global mean, 32..63 at/below -> w0 = w1 = 0xFFFF, w2 = w3 = 0.
+    blob = bytes([255] * 32 + [0] * 32)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    got = {r.w: r.wv for r in phash_words(df).collect()}
+    assert got == {0: 0xFFFF, 1: 0xFFFF, 2: 0, 3: 0}
+
+    # empty payload -> all-zero words (defined, not an error)
+    empty = spark.createDataFrame([(2, bytearray(b""))], "doc_id long, blob binary")
+    assert {r.wv for r in phash_words(empty).collect()} == {0}
+
+
+def test_phash_neardup_finds_clone_pairs(spark):
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.plans.multimodal_q import (
+        multimodal_phash_neardup,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(1, t1), (2, t1), (3, "zzz qqq xxx completely different text payload")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    try:
+        got = [
+            (r.doc_a, r.doc_b, r.hamming_bits)
+            for r in multimodal_phash_neardup(spark, "unused").collect()
+        ]
+    finally:
+        registry._VIEWS_FOR.pop(id(spark), None)
+    assert (1, 2, 0) in got  # identical payloads -> hamming 0
+    assert all(a == 1 and b == 2 for a, b, _h in got) or all(
+        h <= 20 for _a, _b, h in got
+    )
+
+
+def test_phash_words_byte_exact_on_non_ascii(spark):
+    """The aHash kernel folds UTF-8 BYTES; the words the oracle's SQL
+    derives from hex(encode(text)) must match bit-for-bit on multi-byte
+    codepoints."""
+    import duckdb
+    import pandas as pd
+
+    from rugpull_data_pipeline_spark.multimodal.columns import phash_words
+    from rugpull_data_pipeline_spark.tmpdirs import scratch_dir
+
+    docs = spark.createDataFrame(
+        [
+            (1, "héllo wörld é" * 7),
+            (2, "€uro sign price: 42€" * 5),
+            (3, "emoji \U0001f680 mix " * 9),
+            (4, "plain ascii baseline"),
+        ],
+        "doc_id long, text string",
+    )
+    pq = scratch_dir("nonascii_phash_") + "/documents.parquet"
+    docs.coalesce(1).write.parquet(pq)
+
+    from rugpull_data_pipeline_spark.multimodal.columns import attach_blob_column
+
+    got = (
+        phash_words(attach_blob_column(spark.read.parquet(pq)))
+        .toPandas()
+        .sort_values(["doc_id", "w"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                octet_length(encode(text)) AS nb FROM documents),
+        bytes AS (SELECT doc_id, nb, i,
+                cast(('0x' || substring(h, cast(2*i+1 as int), 2)) as bigint) AS v,
+                cast((i * 64) // nb as int) AS blk
+            FROM b, unnest(range(0, nb)) AS t(i) WHERE nb > 0),
+        blocks AS (SELECT doc_id, nb, blk, sum(v) AS bs, count(*) AS bl
+            FROM bytes GROUP BY 1, 2, 3),
+        tot AS (SELECT doc_id, sum(v) AS ts FROM bytes GROUP BY 1),
+        bits AS (SELECT bl.doc_id, bl.blk,
+                CASE WHEN bl.bs * bl.nb > t.ts * bl.bl THEN 1 ELSE 0 END AS bit
+            FROM blocks bl JOIN tot t USING (doc_id)),
+        wgrid AS (SELECT d.doc_id, wi.w
+            FROM (SELECT DISTINCT doc_id FROM documents) d,
+                 unnest(range(0, 4)) AS wi(w)),
+        words AS (SELECT g.doc_id, cast(g.w as int) AS w,
+                cast(coalesce(sum(bit << (blk % 16)), 0) as int) AS wv
+            FROM wgrid g
+            LEFT JOIN bits ON bits.doc_id = g.doc_id AND bits.blk // 16 = g.w
+            GROUP BY 1, 2)
+        SELECT doc_id, w, wv FROM words ORDER BY doc_id, w
+        """
+    ).fetchdf()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
