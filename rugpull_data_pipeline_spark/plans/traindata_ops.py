@@ -709,6 +709,73 @@ _pair(
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit fraud screen
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford(d: str) -> str:
+    # First significant digit WITHOUT log10-of-double (libm floor(log10(x))
+    # can straddle an integer differently per engine near powers of ten):
+    # values quantize to integer cents, and the leading character of the
+    # integer's decimal rendering — engine-identical by construction — is
+    # the digit.
+    digit = (
+        "cast(substring(cast(cast(round(value * 100) as bigint) as string),"
+        " 1, 1) as int)"
+    )
+    p_case = " ".join(f"WHEN {dd} THEN {p!r}" for dd, p in _BENFORD_P.items())
+    return f"""
+    WITH digits AS (
+        SELECT event_type, {digit} AS d1
+        FROM events WHERE value > 0
+    ),
+    counts AS (
+        SELECT event_type, d1, count(*) AS c
+        FROM digits GROUP BY event_type, d1
+    ),
+    types AS (
+        SELECT event_type, count(*) AS n FROM digits GROUP BY event_type
+    ),
+    grid AS (
+        SELECT t.event_type, t.n, g.d1,
+            coalesce(max(c.c), 0) AS obs,
+            CASE g.d1 {p_case} END * t.n AS exp
+        FROM types t
+        CROSS JOIN (SELECT d1 FROM (SELECT 1 AS one) o
+                    {S.explode_seq('d1', '1', '9', d)}) g
+        LEFT JOIN counts c ON c.event_type = t.event_type AND c.d1 = g.d1
+        GROUP BY t.event_type, t.n, g.d1
+    )
+    SELECT event_type, max(n) AS n_pos,
+        round({S.dsum('(obs - exp) * (obs - exp) / exp', d)}, 6)
+            AS chi_square,
+        round(max(CASE WHEN d1 = 1 THEN obs / cast(n as double) END), 6)
+            AS digit1_share
+    FROM grid
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "profile_benford_screen",
+    _benford,
+    tags=("profiling", "quality"),
+    doc="Benford's-law first-digit screen per event_type: observed leading-"
+    "digit counts against the log10(1+1/d) expectation, chi-square "
+    "distance and the digit-1 share (fabricated or synthetic financial "
+    "values flatten the curve — the wash-trading/rugpull tell). The digit "
+    "extracts from the integer-cents rendering, NOT floor(log10(x)) "
+    "(libm rounding near powers of ten differs per engine); one hash-agg "
+    "over the fact table, then algebra on the 9-bin-per-type grid.",
+)
+
+
+# ---------------------------------------------------------------------------
 # Exact higher moments (skewness / kurtosis) via decimal power sums
 # ---------------------------------------------------------------------------
 

@@ -235,6 +235,28 @@ def test_category_encode_rolls_tail_to_other_with_count_encoding(hand_views):
     assert feats[8] == ("other", 1)  # 'z' rolls up but keeps its own count
 
 
+def test_benford_digit_extraction_and_shares(hand_views):
+    spark = hand_views
+    # all-digit-1 values (1.00, 10.50, 199.99, 0.01 -> cents 1) and one
+    # zero/negative row that must be excluded entirely
+    rows = [
+        (1, 10, 1, "a", 1.00),
+        (2, 20, 1, "a", 10.50),
+        (3, 30, 1, "a", 199.99),
+        (4, 40, 1, "a", 0.01),  # first significant digit of 0.01 is 1
+        (5, 50, 1, "a", 0.0),  # excluded: not > 0
+        (6, 60, 1, "b", 0.05),  # digit 5 via cents rendering
+    ]
+    _mk_events(spark, rows)
+    from rugpull_data_pipeline_spark.plans.traindata_ops import _benford
+
+    got = {r.event_type: r for r in spark.sql(_benford(SPARK)).collect()}
+    assert got["a"].n_pos == 4
+    assert got["a"].digit1_share == pytest.approx(1.0)
+    assert got["a"].chi_square > 0  # all mass on one digit != Benford
+    assert got["b"].digit1_share == pytest.approx(0.0)  # no digit-1 values
+
+
 def test_moments_symmetric_series_and_zero_variance_guard(hand_views):
     spark = hand_views
     rows = [(i, 10 * i, 1, "sym", v) for i, v in enumerate([-2.0, -1.0, 1.0, 2.0])]
