@@ -1138,3 +1138,76 @@ def stream_control_gated_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Materialize the control corpus at import so the oracle runs standalone.
 _ensure_ctrl_corpus()
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: PSI re-evaluated after every micro-batch
+# ---------------------------------------------------------------------------
+
+_PSI_N_BATCHES = 4
+
+
+def _psi_prefix_sql(d: str, where: str, batch_id: int) -> str:
+    """profile_drift_psi's algebra evaluated over an event-id-sliced prefix
+    of the stream, tagged with the micro-batch id that completed it."""
+    from .traindata_ops import _psi_drift
+
+    body = _psi_drift(d).replace("FROM events", f"FROM events WHERE {where}")
+    body = body.rsplit("ORDER BY", 1)[0]
+    return f"SELECT cast({batch_id} as int) AS batch_id, q.* FROM ({body}) q"
+
+
+_PSI_STREAM_ORACLE = (
+    "\nUNION ALL\n".join(
+        _psi_prefix_sql(DUCK, f"event_id % {_PSI_N_BATCHES} <= {k}", k)
+        for k in range(_PSI_N_BATCHES)
+    )
+    + "\nORDER BY batch_id, event_type"
+)
+
+
+@register(
+    "stream_psi_drift_replay",
+    oracle=_PSI_STREAM_ORACLE,
+    tags=("streaming", "profiling", "mlprep"),
+    doc="The drift monitor as a stream: events replay in 4 paced "
+    "micro-batches (maxFilesPerTrigger=1 over event_id%4 slices) and "
+    "foreachBatch re-evaluates profile_drift_psi's even/odd-day PSI over "
+    "everything accumulated so far, emitting one (batch_id, type, psi) "
+    "row set per batch — the converging drift estimate an on-refresh "
+    "monitor would alert on, not just the final answer. The oracle "
+    "recomputes each prefix independently; accumulated state is a keyed "
+    "parquet sink (O(rows seen), re-aggregated per batch over a "
+    "few-hundred-row grid), and the emitted history is append-only.",
+)
+def stream_psi_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_src(spark, sf_dir, ["event_id", "ts", "event_type", "value"])
+    src_dir = scratch_dir(prefix="rugpull_psi_src_")
+    _write_slices(src, src_dir, _PSI_N_BATCHES)
+    acc_dir = os.path.join(scratch_dir(prefix="rugpull_psi_acc_"), "acc")
+    res_dir = os.path.join(scratch_dir(prefix="rugpull_psi_res_"), "res")
+    view = f"psi_acc_{os.getpid()}_{abs(hash(acc_dir)) % 10**8}"
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        batch.write.mode("append").parquet(acc_dir)
+        s = batch.sparkSession
+        s.read.parquet(acc_dir).createOrReplaceTempView(view)
+        from .traindata_ops import _psi_drift
+
+        body = _psi_drift(SPARK).replace("FROM events", f"FROM {view}")
+        body = body.rsplit("ORDER BY", 1)[0]
+        s.sql(
+            f"SELECT cast({bid} as int) AS batch_id, q.* FROM ({body}) q"
+        ).write.mode("append").parquet(res_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_available_now(
+        stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", scratch_dir(prefix="rugpull_psi_ckpt_")
+        )
+    )
+    return spark.read.parquet(res_dir).orderBy("batch_id", "event_type")

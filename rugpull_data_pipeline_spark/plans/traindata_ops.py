@@ -322,9 +322,20 @@ _PSI_PRIOR = 0.5  # Laplace smoothing per bin
 def _psi_drift(d: str) -> str:
     day = "cast(floor(" + S.epoch_s("ts", d) + " / 86400) as bigint)"
     bin_expr = "least(9, greatest(0, cast(floor(value / 10) as int)))"
+    # Every operand forced to DOUBLE before the division: a bare 0.5/5.0
+    # literal is DECIMAL in both engines, and Spark's and DuckDB's
+    # decimal-DIVISION scale rules differ (~1e-9 in the quotient — enough
+    # to cross a 6-dp rounding quantum on an unlucky term). Pure IEEE
+    # double arithmetic is bit-identical across engines.
     smooth_tot = f"{_PSI_PRIOR * _PSI_BINS}"
-    pa = f"((grid.ca + {_PSI_PRIOR}) / (tot.ta + {smooth_tot}))"
-    pb = f"((grid.cb + {_PSI_PRIOR}) / (tot.tb + {smooth_tot}))"
+    pa = (
+        f"((cast(grid.ca as double) + {_PSI_PRIOR})"
+        f" / (cast(tot.ta as double) + {smooth_tot}))"
+    )
+    pb = (
+        f"((cast(grid.cb as double) + {_PSI_PRIOR})"
+        f" / (cast(tot.tb as double) + {smooth_tot}))"
+    )
     return f"""
     WITH binned AS (
         SELECT event_type,
@@ -743,7 +754,8 @@ def _benford(d: str) -> str:
     grid AS (
         SELECT t.event_type, t.n, g.d1,
             coalesce(max(c.c), 0) AS obs,
-            CASE g.d1 {p_case} END * t.n AS exp
+            cast(CASE g.d1 {p_case} END as double)
+                * cast(t.n as double) AS exp
         FROM types t
         CROSS JOIN (SELECT d1 FROM (SELECT 1 AS one) o
                     {S.explode_seq('d1', '1', '9', d)}) g
