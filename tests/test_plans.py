@@ -49,9 +49,10 @@ _NLJ_ALLOWED = {
     "mlprep_target_encode_loo",
     "sample_class_rebalance",
     "layout_partition_skew_advisor",
-    # deliberate tiny-dim cross join (event types × 10-bin grid), the same
-    # shape as join_cross_region_bands.
+    # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
+    # the same shape as join_cross_region_bands.
     "profile_drift_psi",
+    "profile_benford_screen",
 }
 
 
