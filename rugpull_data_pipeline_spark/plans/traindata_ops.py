@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -838,3 +838,141 @@ _pair(
     "sample statistics. The distribution profile a mixture designer reads "
     "next to profile_drift_psi.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by full-batch gradient descent (broadcast iteration)
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 3
+_LR_RATE = "1.0"  # learning rate (double literal, cast at use sites)
+
+
+def _lr_feats(d: str) -> str:
+    # Every ratio forced through double casts: a bare 1000.0 divisor is a
+    # DECIMAL literal and the engines' decimal-division scale rules differ.
+    toks = _toks(d)
+    ntok = f"cast({S.arr_len('toks', d)} as double)"
+    ndis = f"cast({S.arr_len(S.arr_distinct('toks', d), d)} as double)"
+    return f"""
+    SELECT doc_id,
+        CASE WHEN lang = 'en' THEN cast(1 as double)
+             ELSE cast(0 as double) END AS y,
+        cast(n_chars as double) / cast(1000 as double) AS x1,
+        {ntok} / cast(100 as double) AS x2,
+        {ndis} / greatest({ntok}, cast(1 as double)) AS x3
+    FROM (SELECT doc_id, lang, n_chars, {toks} AS toks FROM documents) t
+    """
+
+
+def _lr_z(w: list[str]) -> str:
+    return (
+        f"(cast({w[0]} as double) + cast({w[1]} as double) * x1"
+        f" + cast({w[2]} as double) * x2 + cast({w[3]} as double) * x3)"
+    )
+
+
+def _lr_grad_cols(d: str, z: str) -> list[str]:
+    p = f"(cast(1 as double) / (cast(1 as double) + exp(-{z})))"
+    xs = ["cast(1 as double)", "x1", "x2", "x3"]
+    return [
+        f"{S.dsum(f'(y - {p}) * {x}', d)} / cast(count(*) as double) AS g{j}"
+        for j, x in enumerate(xs)
+    ]
+
+
+def _lr_oracle() -> str:
+    # The 3 gradient-descent rounds UNROLLED as chained 1-row CTEs (the
+    # pagerank/kmeans oracle convention): each round aggregates the exact
+    # decimal gradient over the feature table, updates the quantized
+    # weights, and the next round's z references them via a cross join.
+    parts = [f"WITH feats AS ({_lr_feats(DUCK)})"]
+    w_cols = ["w0", "w1", "w2", "w3"]
+    prev = None
+    for it in range(1, _LR_ITERS + 1):
+        if prev is None:
+            z = _lr_z(["0", "0", "0", "0"])
+            src = "feats"
+        else:
+            z = _lr_z([f"{prev}.{c}" for c in w_cols])
+            src = f"feats, {prev}"
+        gcols = ", ".join(_lr_grad_cols(DUCK, z))
+        parts.append(f"g{it} AS (SELECT {gcols} FROM {src})")
+        upd = ", ".join(
+            f"round(coalesce({prev}.{c} + 0, 0) + cast({_LR_RATE} as double)"
+            f" * g{it}.g{j}, 6) AS {c}"
+            if prev
+            else f"round(cast({_LR_RATE} as double) * g{it}.g{j}, 6) AS {c}"
+            for j, c in enumerate(w_cols)
+        )
+        frm = f"g{it}, {prev}" if prev else f"g{it}"
+        parts.append(f"wr{it} AS (SELECT {upd} FROM {frm})")
+        prev = f"wr{it}"
+    zf = _lr_z([f"{prev}.{c}" for c in w_cols])
+    return (
+        ",\n".join(parts).replace("WITH feats AS", "WITH feats AS", 1)
+        + f"""
+    SELECT {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3,
+        round({S.isum(f'CASE WHEN ({zf} > 0) = (y = 1) THEN 1 ELSE 0 END', DUCK)}
+            / cast(count(*) as double), 6) AS train_accuracy,
+        cast(count(*) as bigint) AS n_rows
+    FROM feats, {prev}
+    GROUP BY {prev}.w0, {prev}.w1, {prev}.w2, {prev}.w3
+    """
+    )
+
+
+def _round_half_up6(x: float) -> float:
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+@register(
+    "mlprep_logreg_gd3",
+    oracle=_lr_oracle(),
+    tags=("mlprep", "iterative"),
+    doc="Logistic regression (is-English from 3 document stats) trained by "
+    "3 rounds of FULL-BATCH gradient descent — the model-in-the-pipeline "
+    "quality-classifier shape (FineWeb/CCNet train exactly such gates): "
+    "each round is ONE map-side-combinable aggregation of per-row "
+    "gradient contributions (exact decimal sums), and only the 4-float "
+    "gradient reaches the driver — the kmeans/pagerank broadcast-"
+    "iteration contract. Weights quantize to 6 dp (SQL half-up, mirrored "
+    "driver-side with decimal ROUND_HALF_UP) so both engines fold "
+    "identically; the final accuracy tests z > 0, not sigmoid > 0.5, "
+    "keeping the decision boundary exp()-free and exact. Oracle = the 3 "
+    "rounds unrolled as chained 1-row CTEs.",
+)
+def mlprep_logreg_gd3(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    feats = spark.sql(_lr_feats(SPARK)).localCheckpoint()
+    n = feats.count()
+    w = ["0", "0", "0", "0"]
+    for _ in range(_LR_ITERS):
+        z = _lr_z(w)
+        row = feats.agg(
+            *[F.expr(c.split(" AS ")[0]).alias(f"g{j}")
+              for j, c in enumerate(_lr_grad_cols(SPARK, z))]
+        ).collect()[0]
+        w = [
+            repr(_round_half_up6(float(w[j]) + float(_LR_RATE) * row[f"g{j}"]))
+            for j in range(4)
+        ]
+    zf = _lr_z(w)
+    return feats.agg(
+        F.expr(f"cast({w[0]} as double)").alias("w0"),
+        F.expr(f"cast({w[1]} as double)").alias("w1"),
+        F.expr(f"cast({w[2]} as double)").alias("w2"),
+        F.expr(f"cast({w[3]} as double)").alias("w3"),
+        F.expr(
+            f"round({S.isum(f'CASE WHEN ({zf} > 0) = (y = 1) THEN 1 ELSE 0 END', SPARK)}"
+            " / cast(count(*) as double), 6)"
+        ).alias("train_accuracy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )

@@ -271,3 +271,67 @@ def test_moments_symmetric_series_and_zero_variance_guard(hand_views):
     flat = got["flat"]
     assert flat.var_pop == pytest.approx(0.0)
     assert flat.skewness_pop is None and flat.excess_kurtosis is None
+
+
+def test_logreg_gd3_matches_python_replica(hand_views):
+    spark = hand_views
+    # Separable-ish fixture: long docs are 'en', short ones are not.
+    rows = []
+    for i in range(8):
+        long = i % 2 == 0
+        rows.append(
+            (
+                i,
+                ("w " * (40 if long else 4)).strip(),
+                "en" if long else "de",
+                40 * 2 if long else 4 * 2,
+            )
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).createOrReplaceTempView("documents")
+
+    from rugpull_data_pipeline_spark.plans.traindata_ops import (
+        _LR_ITERS,
+        _round_half_up6,
+        mlprep_logreg_gd3,
+    )
+
+    got = mlprep_logreg_gd3(spark, "unused").collect()[0]
+
+    # Python replica of the exact quantized fold.
+    import decimal
+    import math
+
+    def q6(x):
+        return decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    feats = []
+    for i in range(8):
+        long = i % 2 == 0
+        ntok = 40.0 if long else 4.0
+        ndis = 1.0  # all tokens are 'w'
+        feats.append(
+            (
+                1.0 if long else 0.0,
+                (80.0 if long else 8.0) / 1000.0,
+                ntok / 100.0,
+                ndis / max(ntok, 1.0),
+            )
+        )
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        sums = [decimal.Decimal(0)] * 4
+        for y, x1, x2, x3 in feats:
+            z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j, x in enumerate((1.0, x1, x2, x3)):
+                sums[j] += q6((y - p) * x)
+        w = [_round_half_up6(w[j] + float(sums[j]) / 8.0) for j in range(4)]
+    assert [got.w0, got.w1, got.w2, got.w3] == w
+    # separation direction: longer docs are 'en', so the length weights
+    # must come out positive and the distinct-ratio weight negative
+    assert got.w2 > 0 and got.w3 < 0
+    assert got.n_rows == 8
