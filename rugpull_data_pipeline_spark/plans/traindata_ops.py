@@ -976,3 +976,82 @@ def mlprep_logreg_gd3(spark, sf_dir):
         ).alias("train_accuracy"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-convert with right-censoring)
+# ---------------------------------------------------------------------------
+
+
+def _km_survival(d: str) -> str:
+    # The KM product folds as exp(cumulative-sum(ln)), with each ln step
+    # quantized to 9 dp and summed as exact decimal so the cumulative fold
+    # is order- and engine-independent. d == n (everyone at risk converts)
+    # would be ln(0): a finite -99 sentinel keeps the decimal sum total and
+    # exp() rounds it to survival 0. The at-risk window runs over the
+    # MINUTE-BUCKETED aggregate — bounded by calendar minutes, not input
+    # rows, so the single-partition window is O(time-range) at any scale.
+    ep = S.epoch_s("ts", d)
+    return f"""
+    WITH fv AS (
+        SELECT user_id, min({ep}) AS v
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id, min({ep}) AS p
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND {ep} >= fv.v
+        GROUP BY e.user_id
+    ),
+    mx AS (SELECT max({ep}) AS m FROM events),
+    subj AS (
+        SELECT fv.user_id,
+            CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS ev,
+            cast(floor(CASE WHEN fp.p IS NOT NULL THEN fp.p - fv.v
+                            ELSE mx.m - fv.v END / 60.0) as bigint) AS t
+        FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id, mx
+    ),
+    agg AS (
+        SELECT t, {S.isum('ev', d)} AS d_ev, count(*) AS c
+        FROM subj GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d_ev,
+            cast(sum(c) OVER (ORDER BY t DESC) as bigint) AS n_risk
+        FROM agg
+    ),
+    steps AS (
+        SELECT t, d_ev, n_risk,
+            CASE WHEN d_ev < n_risk THEN
+                round(ln(cast(1 as double)
+                    - cast(d_ev as double) / cast(n_risk as double)), 9)
+                ELSE cast(-99 as double) END AS l
+        FROM risk
+    ),
+    km AS (
+        SELECT t, d_ev, n_risk,
+            cast(sum(cast(l as decimal(38,9))) OVER (ORDER BY t) as double)
+                AS cl
+        FROM steps
+    )
+    SELECT t AS t_minutes, n_risk AS n_at_risk, d_ev AS n_events,
+        round(exp(cl), 6) AS km_survival
+    FROM km WHERE d_ev > 0
+    ORDER BY t_minutes
+    """
+
+
+_pair(
+    "events_survival_km",
+    _km_survival,
+    tags=("events", "mlprep"),
+    doc="Kaplan-Meier survival of view→purchase conversion with honest "
+    "right-censoring (users who never purchase are censored at the "
+    "observation horizon, shrinking the at-risk set without counting as "
+    "events — what events_time_to_convert's converter-only latencies "
+    "cannot express). Minute-bucketed event times; at-risk via one "
+    "descending cumulative count over the bucket aggregate (bounded by "
+    "calendar minutes, not input rows); the KM product folds as "
+    "exp(decimal-exact cumsum of 9-dp-quantized ln terms), with a finite "
+    "sentinel for the d = n boundary so survival hits exactly 0.",
+)

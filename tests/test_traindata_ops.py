@@ -335,3 +335,26 @@ def test_logreg_gd3_matches_python_replica(hand_views):
     # must come out positive and the distinct-ratio weight negative
     assert got.w2 > 0 and got.w3 < 0
     assert got.n_rows == 8
+
+
+def test_km_survival_with_censoring_hand_values(hand_views):
+    spark = hand_views
+    # 4 users view at t=0; u1 purchases at 60 s (bucket 1), u2 at 120 s
+    # (bucket 2), u3/u4 never purchase -> censored at the horizon (120 s,
+    # bucket 2; still at risk through bucket 2 but not events).
+    rows = [
+        (1, 0, 1, "view", 1.0),
+        (2, 0, 2, "view", 1.0),
+        (3, 0, 3, "view", 1.0),
+        (4, 0, 4, "view", 1.0),
+        (5, 60, 1, "purchase", 9.0),
+        (6, 120, 2, "purchase", 9.0),
+    ]
+    _mk_events(spark, rows)
+    from rugpull_data_pipeline_spark.plans.traindata_ops import _km_survival
+
+    got = {r.t_minutes: r for r in spark.sql(_km_survival(SPARK)).collect()}
+    assert got[1].n_at_risk == 4 and got[1].n_events == 1
+    assert got[1].km_survival == pytest.approx(0.75, abs=1e-6)
+    assert got[2].n_at_risk == 3 and got[2].n_events == 1
+    assert got[2].km_survival == pytest.approx(0.5, abs=1e-6)
