@@ -49,6 +49,7 @@ _NLJ_ALLOWED = {
     "mlprep_target_encode_loo",
     "sample_class_rebalance",
     "layout_partition_skew_advisor",
+    "events_survival_km",  # 1-row censoring-horizon (max ts) broadcast
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",
