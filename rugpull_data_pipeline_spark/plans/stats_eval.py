@@ -1,0 +1,582 @@
+"""Round-5 evaluation & statistics operators: ranking metrics, drift
+tests, interpretable model baselines, independence tests, link prediction,
+corpus law fitting, and a power-iteration PCA.
+
+These close the eval/statistics tier of a training-data pipeline: after
+curation (``llm_ops``/``corpus_ops``) and preparation (``mlprep_ops``/
+``traindata_ops``), a daily refresh still needs to SCORE what it built —
+does the quality signal actually rank positives above negatives (AUC),
+did the distribution move (KS, the nonparametric complement of
+``profile_drift_psi``), are two categorical factors independent (chi²),
+and does the corpus obey the token-frequency law a healthy natural-language
+mix should (Zipf). Reference anchor: the pipeline's rugpull score ranking
+and hot-set membership (``RECEIVER/stage2_processing.cpp:149-434``,
+``SERVER/flightWithRedisLatest.py:54-137``) are threshold classifiers over
+streamed values; the stump/AUC/calibration shapes here are the evaluation
+layer such thresholds need. The rest is capability uplift mandated by
+BASELINE.json ("dedup, similarity search, text analysis").
+
+Cross-engine determinism strategy (the repo's standing fp discipline):
+every statistic stays in EXACT INTEGER arithmetic as long as possible —
+AUC via the doubled Mann-Whitney rank sum, KS via the cross-multiplied
+cumulative counts, the stump via misclassification COUNTS — with exactly
+one integer→double division at the end. Where a transcendental is
+unavoidable (ln in chi²/NB/Zipf/Adamic-Adar), each per-row term is
+quantized (``dsum``'s decimal(38,6) cast, or an explicit 9-dp round) so
+the aggregate is an exact decimal sum, order- and engine-independent.
+
+Scale notes (each op, at 1000 executors / 100 TB):
+- AUC / KS / stump: one hash-agg to the DISTINCT-VALUE grid (bounded by
+  the value quantization — cents here — not by row count), then windows
+  over that small grid. The windows are single-partition but O(grid), the
+  same bounded-domain convention as ``events_survival_km``'s minute axis.
+- chi²: one hash-agg to the (lang × source) contingency grid; everything
+  after is algebra on a few hundred cells.
+- Adamic-Adar: distinct (user, type) first, degree-capped (2..32, the
+  LSH-band-cap convention) BEFORE the per-user pair build, so a hot
+  entity cannot detonate the quadratic step; the pair join is a
+  self-equi-join on user_id.
+- Naive Bayes: token counts are one hash-agg; scoring fans each test
+  token occurrence out only by the number of classes (a tiny broadcast),
+  then one (doc × class) hash-agg. No per-row Python anywhere.
+- Zipf: vocabulary agg + one ordered top-100 (TakeOrderedAndProject) +
+  a 100-row regression.
+- PCA: the kmeans/pagerank/logreg broadcast-iteration contract — each
+  power-iteration round is one co-partitioned join against a 64-row
+  broadcast vector plus two hash-aggs; only 64 floats reach the driver
+  per round.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+def _toks(d: str) -> str:
+    return S.split_ws("text", d)
+
+
+def _word_tokens(table_sql: str, d: str) -> str:
+    """(doc_id, lang, tok) — one row per token occurrence."""
+    if d == SPARK:
+        return f"SELECT doc_id, lang, explode({_toks(d)}) AS tok FROM ({table_sql})"
+    return f"SELECT doc_id, lang, unnest({_toks(d)}) AS tok FROM ({table_sql})"
+
+
+# Cents quantization via floor: round() half-way rules differ between the
+# engines on doubles; floor(x*100) is exact-identical IEEE.
+_CENTS = "cast(floor(value * cast(100 as double)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC via the Mann-Whitney rank statistic (tie-corrected, all-integer)
+# ---------------------------------------------------------------------------
+
+
+def _auc(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS s,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT s, count(*) AS c, {S.isum('y', d)} AS pos
+        FROM sl GROUP BY s
+    ),
+    w AS (
+        SELECT s, c, pos,
+            coalesce(cast(sum(c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint),
+                0) AS lt
+        FROM g
+    ),
+    tot AS (
+        SELECT {S.isum('pos', d)} AS np, {S.isum('c - pos', d)} AS nn FROM g
+    ),
+    rs AS (
+        -- doubled rank sum of positives: ties get the average rank
+        -- (lt + (c+1)/2), kept integer by carrying the factor 2.
+        SELECT {S.isum('pos * (2 * lt + c + 1)', d)} AS r2 FROM w
+    )
+    SELECT tot.np AS n_pos, tot.nn AS n_neg,
+        round(cast(rs.r2 - tot.np * (tot.np + 1) as double)
+            / cast(2 * tot.np * tot.nn as double), 6) AS auc
+    FROM rs, tot
+    """
+
+
+_pair(
+    "eval_auc_roc",
+    _auc,
+    tags=("eval", "mlprep"),
+    doc="ROC AUC of 'event value predicts purchase' via the tie-corrected "
+    "Mann-Whitney rank statistic: group to the distinct cents grid, one "
+    "cumulative window over that grid for the below-count, then "
+    "auc = (2*ranksum - np(np+1)) / (2*np*nn) — ENTIRELY integer "
+    "arithmetic until the single final division, so the engines cannot "
+    "disagree. The metric every quality-classifier gate (FineWeb-style) "
+    "is judged by before its threshold is chosen. Grid-bounded: the "
+    "window is over distinct cent values, not rows.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (even- vs odd-day halves, per type)
+# ---------------------------------------------------------------------------
+
+
+def _ks_drift(d: str) -> str:
+    day = "cast(floor(" + S.epoch_s("ts", d) + " / 86400) as bigint)"
+    return f"""
+    WITH base AS (
+        SELECT event_type,
+            CASE WHEN {day} % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+            {_CENTS} AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type, v,
+            {S.isum('is_a', d)} AS ca, {S.isum('1 - is_a', d)} AS cb
+        FROM base GROUP BY event_type, v
+    ),
+    cum AS (
+        SELECT event_type, v,
+            cast(sum(ca) OVER (PARTITION BY event_type ORDER BY v)
+                as bigint) AS fa,
+            cast(sum(cb) OVER (PARTITION BY event_type ORDER BY v)
+                as bigint) AS fb
+        FROM c
+    ),
+    tot AS (
+        SELECT event_type, {S.isum('ca', d)} AS na, {S.isum('cb', d)} AS nb
+        FROM c GROUP BY event_type
+    )
+    SELECT cum.event_type, max(tot.na) AS n_even_days,
+        max(tot.nb) AS n_odd_days,
+        round(cast(max(abs(cum.fa * tot.nb - cum.fb * tot.na)) as double)
+            / cast(max(tot.na) * max(tot.nb) as double), 6) AS ks_stat
+    FROM cum JOIN tot ON cum.event_type = tot.event_type
+    GROUP BY cum.event_type
+    ORDER BY cum.event_type
+    """
+
+
+_pair(
+    "profile_drift_ks",
+    _ks_drift,
+    tags=("profiling", "mlprep"),
+    doc="Two-sample Kolmogorov-Smirnov statistic between even- and odd-day "
+    "value distributions per event_type — the binning-free nonparametric "
+    "complement of profile_drift_psi (PSI needs bins and a smoothing "
+    "prior; KS is max |F_A - F_B| over the pooled support). The max runs "
+    "over CROSS-MULTIPLIED integer cumulative counts |fa*nb - fb*na|, so "
+    "ordering is exact; one final division. Per-type windows over the "
+    "distinct cents grid — bounded by the value domain, not row count.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Decision stump by exact misclassification count
+# ---------------------------------------------------------------------------
+
+
+def _stump(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS v,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT v, count(*) AS c, {S.isum('y', d)} AS pos
+        FROM sl GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+            cast(sum(c) OVER (ORDER BY v) as bigint) AS cnt_le,
+            cast(sum(pos) OVER (ORDER BY v) as bigint) AS pos_le
+        FROM g
+    ),
+    tot AS (
+        SELECT {S.isum('pos', d)} AS np, {S.isum('c - pos', d)} AS nn FROM g
+    ),
+    scored AS (
+        -- split: value <= v goes left. Predict the majority side labels;
+        -- errors = min(posL, negL) + min(posR, negR), an exact integer.
+        SELECT cum.v AS threshold_cents,
+            least(cum.pos_le, cum.cnt_le - cum.pos_le)
+                + least(tot.np - cum.pos_le,
+                        tot.nn - (cum.cnt_le - cum.pos_le)) AS misclassified,
+            cum.cnt_le AS n_left, tot.np + tot.nn AS n
+        FROM cum, tot
+    )
+    SELECT threshold_cents, n_left, misclassified,
+        round(cast(n - misclassified as double) / cast(n as double), 6)
+            AS accuracy
+    FROM scored
+    ORDER BY misclassified, threshold_cents
+    LIMIT 1
+    """
+
+
+_pair(
+    "mlprep_decision_stump",
+    _stump,
+    tags=("mlprep", "eval"),
+    doc="Best single-threshold classifier (decision stump) for "
+    "value→purchase by EXACT misclassification count: cumulative "
+    "label counts over the distinct cents grid give every candidate "
+    "split's error as pure integer arithmetic; argmin with a "
+    "deterministic tie-break on the threshold. The 1-rule baseline every "
+    "learned gate must beat, and the thresholded-score shape of the "
+    "reference's rugpull alert (stage2_processing.cpp price-change "
+    "trigger). Ordered LIMIT 1 plans as TakeOrderedAndProject.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (lang × source contingency)
+# ---------------------------------------------------------------------------
+
+
+def _chi2(d: str) -> str:
+    e = "(cast(rl as double) * cast(cs as double) / cast(n as double))"
+    return f"""
+    WITH cell AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, {S.isum('c', d)} AS rl FROM cell GROUP BY lang),
+    ct AS (SELECT source, {S.isum('c', d)} AS cs FROM cell GROUP BY source),
+    tt AS (SELECT {S.isum('c', d)} AS n FROM cell),
+    grid AS (
+        SELECT rt.lang, ct.source, rt.rl, ct.cs, tt.n,
+            coalesce(max(cell.c), 0) AS o
+        FROM rt CROSS JOIN ct CROSS JOIN tt
+        LEFT JOIN cell ON cell.lang = rt.lang AND cell.source = ct.source
+        GROUP BY rt.lang, ct.source, rt.rl, ct.cs, tt.n
+    )
+    SELECT
+        round({S.dsum(f'(cast(o as double) - {e}) * (cast(o as double) - {e}) / {e}', d)},
+            6) AS chi2,
+        cast((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+            as bigint) AS dof,
+        max(n) AS n_docs
+    FROM grid
+    """
+
+
+_pair(
+    "agg_chi2_independence",
+    _chi2,
+    tags=("profiling", "eval"),
+    doc="Pearson chi-square test of lang × source independence over the "
+    "documents corpus — the are-my-sources-language-balanced screen a "
+    "mixture designer runs before trusting per-source quotas. One "
+    "hash-agg to the contingency grid (including structural zeros via "
+    "the dimension cross join), expected counts as double algebra on "
+    "integer marginals, per-cell terms decimal-quantized so the sum is "
+    "order-free. Everything after the first agg is a few hundred cells.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the user-event_type bipartite graph
+# ---------------------------------------------------------------------------
+
+_AA_DEG_CAP = 32  # entities above this degree are skipped (hot-key guard)
+
+
+def _adamic_adar(d: str) -> str:
+    return f"""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    deg AS (
+        SELECT user_id, count(*) AS dg FROM ut GROUP BY user_id
+    ),
+    adm AS (
+        -- only entities connecting >= 2 types contribute; the {_AA_DEG_CAP}
+        -- cap keeps a hot entity from detonating the quadratic pair build
+        -- (mirrored here and in the Spark plan — the LSH band-cap rule).
+        SELECT ut.user_id, ut.event_type, deg.dg
+        FROM ut JOIN deg ON ut.user_id = deg.user_id
+        WHERE deg.dg BETWEEN 2 AND {_AA_DEG_CAP}
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, a.dg
+        FROM adm a JOIN adm b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, count(*) AS common_users,
+        round({S.dsum('cast(1 as double) / ln(cast(dg as double))', d)}, 6)
+            AS adamic_adar
+    FROM pairs
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """
+
+
+_pair(
+    "graph_adamic_adar",
+    _adamic_adar,
+    tags=("graph",),
+    doc="Adamic-Adar link prediction between event types through shared "
+    "users: score(a,b) = sum over common neighbors u of 1/ln(deg(u)), "
+    "down-weighting promiscuous entities — on production rugpull data the "
+    "nodes are wallets and tokens and the score ranks which token pairs "
+    "share an unusually specific holder base. Distinct-edge agg, degree "
+    "join, degree-capped (2..32) self-equi-join on the shared entity, "
+    "then one pair-keyed agg of decimal-quantized 1/ln terms. The cap "
+    "bounds the per-entity fan-out exactly like the LSH band cap.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train even docs, test odd)
+# ---------------------------------------------------------------------------
+
+
+def _naive_bayes(d: str) -> str:
+    train_docs = "SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0"
+    test_docs = "SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1"
+    ll = (
+        "round(ln((cast(coalesce(tc.c, 0) as double) + cast(1 as double))"
+        " / (cast(cl.tot as double) + cast(v.v as double))), 9)"
+    )
+    prior = (
+        "round(ln(cast(cl.nd as double) / cast(nt.n as double)), 9)"
+    )
+    return f"""
+    WITH tr AS ({_word_tokens(train_docs, d)}),
+    te AS ({_word_tokens(test_docs, d)}),
+    tc AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY lang, tok),
+    cl AS (
+        SELECT tr.lang, count(*) AS tot, count(DISTINCT tr.doc_id) AS nd
+        FROM tr GROUP BY tr.lang
+    ),
+    v AS (SELECT count(DISTINCT tok) AS v FROM tr),
+    nt AS (SELECT count(DISTINCT doc_id) AS n FROM tr),
+    scored AS (
+        -- every test token occurrence fans out only by #classes (tiny
+        -- broadcast); Laplace-smoothed log-likelihood terms quantized to
+        -- 9 dp, then decimal-summed per (doc, class) — order-free.
+        SELECT te.doc_id, min(te.lang) AS actual_lang, cl.lang AS cand_lang,
+            {S.dsum(ll, d)} + min({prior}) AS score
+        FROM te
+        CROSS JOIN nt CROSS JOIN v CROSS JOIN cl
+        LEFT JOIN tc ON tc.lang = cl.lang AND tc.tok = te.tok
+        GROUP BY te.doc_id, cl.lang
+    ),
+    pred AS (
+        SELECT doc_id, actual_lang, cand_lang AS pred_lang,
+            row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, cand_lang) AS rk
+        FROM scored
+    )
+    SELECT actual_lang, pred_lang, count(*) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY actual_lang, pred_lang
+    ORDER BY actual_lang, pred_lang
+    """
+
+
+_pair(
+    "mlprep_naive_bayes",
+    _naive_bayes,
+    tags=("mlprep", "text", "eval"),
+    doc="Multinomial naive Bayes language ID trained on even doc_ids and "
+    "evaluated on odd (output = the confusion matrix): Laplace-smoothed "
+    "token log-likelihoods plus a document-frequency prior, argmax with a "
+    "deterministic tie-break. The learned counterpart of "
+    "text_lang_id_heuristic and the classic 'cheap classifier in the "
+    "data pipeline' (CCNet's LM-filter role). Token counts are one "
+    "hash-agg; scoring fans each test token out only by the 5-class "
+    "broadcast and re-aggregates on (doc, class); log terms quantized to "
+    "9 dp and decimal-summed so both engines fold identically.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf law fit over the token frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+
+def _zipf(d: str) -> str:
+    toks = _word_tokens("SELECT doc_id, lang, text FROM documents", d)
+    x = "round(ln(cast(rk as double)), 9)"
+    y = "round(ln(cast(c as double)), 9)"
+    return f"""
+    WITH tk AS ({toks}),
+    freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+    top AS (
+        -- ordered LIMIT first (TakeOrderedAndProject), THEN the rank
+        -- window over only the surviving {_ZIPF_TOP} rows.
+        SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+        SELECT tok, c,
+            row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM top
+    ),
+    reg AS (
+        SELECT count(*) AS n,
+            {S.dsum(x, d)} AS sx, {S.dsum(y, d)} AS sy,
+            {S.dsum(f'({x}) * ({y})', d)} AS sxy,
+            {S.dsum(f'({x}) * ({x})', d)} AS sxx
+        FROM ranked
+    )
+    SELECT
+        round((cast(n as double) * sxy - sx * sy)
+            / (cast(n as double) * sxx - sx * sx), 6) AS zipf_slope,
+        round((sy - ((cast(n as double) * sxy - sx * sy)
+            / (cast(n as double) * sxx - sx * sx)) * sx)
+            / cast(n as double), 6) AS intercept,
+        cast(n as bigint) AS n_terms
+    FROM reg
+    """
+
+
+_pair(
+    "text_zipf_fit",
+    _zipf,
+    tags=("text", "profiling"),
+    doc="Zipf's-law fit: least-squares slope of ln(frequency) on ln(rank) "
+    "over the top-100 vocabulary — healthy natural text sits near -1; "
+    "template/boilerplate-heavy or synthetic corpora deviate, making the "
+    "slope a one-number corpus-health screen next to text_word_entropy. "
+    "Vocabulary hash-agg, one ordered top-100 (TakeOrderedAndProject), "
+    "then a 100-row regression of 9-dp-quantized log terms with exact "
+    "decimal moment sums.",
+)
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by power iteration (broadcast iteration, 2 rounds)
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 2
+_PCA_DIMS = 64
+
+
+def _pca_xv(d: str) -> str:
+    """Long-format embedding view (vec_id, d, x) — 0-based dim."""
+    if d == SPARK:
+        return (
+            "SELECT vec_id, pos AS dm, cast(col as double) AS x "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col"
+        )
+    return (
+        "SELECT vec_id, i - 1 AS dm, cast(embedding[i] as double) AS x "
+        "FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)"
+    )
+
+
+def _pca_oracle() -> str:
+    # Rounds unrolled as chained CTEs (the kmeans/logreg oracle
+    # convention). v0 = 1/8 in every coordinate (unit norm for 64 dims);
+    # each matvec y = X v, c = X^T y runs as decimal-exact sums with the
+    # 64 components re-quantized to 6 dp between rounds — mirroring the
+    # Spark builder's collect → round → literal-rebroadcast exactly.
+    parts = [f"WITH xv AS ({_pca_xv(DUCK)})"]
+    prev_v = None  # CTE name holding (dm, m)
+    for r in range(1, _PCA_ROUNDS + 1):
+        if prev_v is None:
+            y_src = (
+                f"SELECT vec_id, "
+                f"{S.dsum('x * cast(0.125 as double)', DUCK)} AS y "
+                f"FROM xv GROUP BY vec_id"
+            )
+        else:
+            y_src = (
+                f"SELECT xv.vec_id, {S.dsum('xv.x * v.m', DUCK)} AS y "
+                f"FROM xv JOIN {prev_v} v ON xv.dm = v.dm GROUP BY xv.vec_id"
+            )
+        parts.append(f"y{r} AS ({y_src})")
+        parts.append(
+            f"c{r} AS (SELECT xv.dm, "
+            f"round({S.dsum('y{r}.y * xv.x'.format(r=r), DUCK)}, 6) AS m "
+            f"FROM xv JOIN y{r} ON xv.vec_id = y{r}.vec_id GROUP BY xv.dm)"
+        )
+        prev_v = f"c{r}"
+    last = prev_v
+    return (
+        ",\n".join(parts)
+        + f""",
+    nrm AS (
+        SELECT sqrt({S.dsum('m * m', DUCK)}) AS nr FROM {last}
+    )
+    SELECT {last}.dm AS dim, round({last}.m / nrm.nr, 6) AS loading
+    FROM {last}, nrm
+    ORDER BY dim
+    """
+    )
+
+
+def _round_half_up6(x: float) -> float:
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+@register(
+    "sim_pca_power1",
+    oracle=_pca_oracle(),
+    tags=("similarity", "iterative"),
+    doc="Top principal direction of the embedding table by 2 rounds of "
+    "power iteration on the (uncentered) Gram matrix — the whitening / "
+    "anisotropy probe an embedding-dedup stage runs before trusting "
+    "cosine thresholds (dominant-direction removal à la all-but-the-top). "
+    "Each round is two co-partitioned hash-aggs against a 64-row "
+    "broadcast vector (y = Xv then c = X^T y); only 64 floats reach the "
+    "driver per round, re-quantized to 6 dp before rebroadcast (the "
+    "kmeans/pagerank/logreg broadcast-iteration contract), with "
+    "normalization deferred to one final 64-row SQL step so no driver fp "
+    "enters the result. Oracle = the rounds unrolled as chained CTEs "
+    "over decimal-exact sums.",
+)
+def sim_pca_power1(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    xv = spark.sql(_pca_xv(SPARK)).localCheckpoint()
+    xv.createOrReplaceTempView("pca_xv")
+    v = [0.125] * _PCA_DIMS
+    for _ in range(_PCA_ROUNDS):
+        vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
+        comp = spark.sql(
+            f"""
+            WITH vt AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
+            y AS (
+                SELECT xv.vec_id, {S.dsum('xv.x * vt.m', SPARK)} AS y
+                FROM pca_xv xv JOIN vt ON xv.dm = vt.dm GROUP BY xv.vec_id
+            )
+            SELECT xv.dm, round({S.dsum('y.y * xv.x', SPARK)}, 6) AS m
+            FROM pca_xv xv JOIN y ON xv.vec_id = y.vec_id GROUP BY xv.dm
+            """
+        ).collect()
+        nxt = [0.0] * _PCA_DIMS
+        for row in comp:
+            nxt[row["dm"]] = _round_half_up6(row["m"])
+        v = nxt
+    vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
+    return spark.sql(
+        f"""
+        WITH ct AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
+        nrm AS (SELECT sqrt({S.dsum('m * m', SPARK)}) AS nr FROM ct)
+        SELECT ct.dm AS dim, round(ct.m / nrm.nr, 6) AS loading
+        FROM ct, nrm ORDER BY dim
+        """
+    )

@@ -54,6 +54,14 @@ _NLJ_ALLOWED = {
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",
     "profile_benford_screen",
+    # 1-row aggregate broadcasts (class totals / norm scalars) and the
+    # tiny class/dimension grids of the round-5 eval/stats family: the
+    # broadcast side is bounded by the label or value domain, never rows.
+    "eval_auc_roc",
+    "mlprep_decision_stump",
+    "agg_chi2_independence",
+    "mlprep_naive_bayes",
+    "sim_pca_power1",
 }
 
 

@@ -1,0 +1,186 @@
+"""Edge-semantics unit tests for the round-5 eval/statistics operators on
+tiny hand-built frames (oracle parity is covered for every query by
+test_correctness_oracle; these pin the hand-computable boundary values a
+hash-compare could only reveal indirectly)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.scalars import SPARK
+from rugpull_data_pipeline_spark.plans import registry
+from rugpull_data_pipeline_spark.plans.stats_eval import (
+    _adamic_adar,
+    _auc,
+    _chi2,
+    _ks_drift,
+    _naive_bayes,
+    _stump,
+    _zipf,
+    sim_pca_power1,
+)
+
+
+@pytest.fixture
+def hand_views(spark):
+    yield spark
+    registry._VIEWS_FOR.pop(id(spark), None)
+
+
+def _mk_events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def _mk_docs(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).createOrReplaceTempView("documents")
+
+
+def test_auc_perfect_separation_and_tie_correction(hand_views):
+    spark = hand_views
+    # Perfect: both positives above every negative.
+    _mk_events(
+        spark,
+        [
+            (1, 10, 1, "click", 1.0),
+            (2, 20, 1, "click", 2.0),
+            (3, 30, 1, "purchase", 3.0),
+            (4, 40, 1, "purchase", 4.0),
+        ],
+    )
+    row = spark.sql(_auc(SPARK)).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 2, 1.0)
+    # Tie at 1.0: average-rank correction gives 0.75, not 0.5 or 1.0.
+    _mk_events(
+        spark,
+        [
+            (1, 10, 1, "click", 1.0),
+            (2, 20, 1, "purchase", 1.0),
+            (3, 30, 1, "purchase", 2.0),
+        ],
+    )
+    row = spark.sql(_auc(SPARK)).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc) == (2, 1, 0.75)
+
+
+def test_ks_zero_on_identical_halves_and_one_on_disjoint(hand_views):
+    spark = hand_views
+    # 'click': identical value multisets on even day 0 and odd day 1 -> 0.
+    # 'error': disjoint supports -> 1.
+    rows = [
+        (1, 100, 1, "click", 5.0),
+        (2, 200, 1, "click", 7.0),
+        (3, 86400 + 100, 1, "click", 5.0),
+        (4, 86400 + 200, 1, "click", 7.0),
+        (5, 300, 1, "error", 1.0),
+        (6, 86400 + 300, 1, "error", 9.0),
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_ks_drift(SPARK)).collect()}
+    assert got["click"].ks_stat == 0.0
+    assert got["error"].ks_stat == 1.0
+    assert (got["error"].n_even_days, got["error"].n_odd_days) == (1, 1)
+
+
+def test_stump_finds_zero_error_split_and_breaks_ties_low(hand_views):
+    spark = hand_views
+    _mk_events(
+        spark,
+        [
+            (1, 10, 1, "click", 1.0),
+            (2, 20, 1, "click", 2.0),
+            (3, 30, 1, "purchase", 9.0),
+            (4, 40, 1, "purchase", 10.0),
+        ],
+    )
+    row = spark.sql(_stump(SPARK)).collect()[0]
+    assert row.misclassified == 0 and row.accuracy == 1.0
+    # ties on error count resolve to the SMALLEST threshold: with all
+    # labels equal every split has 0 errors -> lowest cents value wins.
+    _mk_events(spark, [(i, 10 * i, 1, "click", float(i)) for i in range(1, 4)])
+    row = spark.sql(_stump(SPARK)).collect()[0]
+    assert row.misclassified == 0 and row.threshold_cents == 100
+
+
+def test_chi2_zero_for_independent_uniform_grid(hand_views):
+    spark = hand_views
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for src in ("s1", "s2"):
+            for _ in range(3):  # perfectly balanced 2x2 -> independence
+                rows.append((i, "w", lang, src))
+                i += 1
+    _mk_docs(spark, rows)
+    row = spark.sql(_chi2(SPARK)).collect()[0]
+    assert row.chi2 == 0.0 and row.dof == 1 and row.n_docs == 12
+
+
+def test_adamic_adar_weights_and_degree_floor(hand_views):
+    spark = hand_views
+    # users 1,2 connect {a,b} (deg 2); user 3 touches only a (deg 1 ->
+    # contributes nothing); expected score = 2 * round6(1/ln 2).
+    rows = [
+        (1, 10, 1, "a", 1.0),
+        (2, 20, 1, "b", 1.0),
+        (3, 30, 2, "a", 1.0),
+        (4, 40, 2, "b", 1.0),
+        (5, 50, 3, "a", 1.0),
+    ]
+    _mk_events(spark, rows)
+    out = spark.sql(_adamic_adar(SPARK)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.common_users) == ("a", "b", 2)
+    assert r.adamic_adar == pytest.approx(2 * round(1 / math.log(2), 6), abs=1e-9)
+
+
+def test_naive_bayes_separable_vocab_gives_diagonal_confusion(hand_views):
+    spark = hand_views
+    _mk_docs(
+        spark,
+        [
+            (0, "aa aa", "en", "s1"),  # train (even doc_id)
+            (2, "bb bb", "fr", "s1"),  # train
+            (1, "aa", "en", "s1"),  # test (odd doc_id)
+            (3, "bb", "fr", "s1"),  # test
+        ],
+    )
+    got = {(r.actual_lang, r.pred_lang): r.n_docs
+           for r in spark.sql(_naive_bayes(SPARK)).collect()}
+    assert got == {("en", "en"): 1, ("fr", "fr"): 1}
+
+
+def test_zipf_slope_is_minus_one_for_exact_power_law(hand_views):
+    spark = hand_views
+    # token counts 6, 3, 2 = 6/rank for ranks 1..3 -> slope exactly -1.
+    text = " ".join(["t1"] * 6 + ["t2"] * 3 + ["t3"] * 2)
+    _mk_docs(spark, [(0, text, "en", "s1")])
+    row = spark.sql(_zipf(SPARK)).collect()[0]
+    assert row.n_terms == 3
+    assert row.zipf_slope == pytest.approx(-1.0, abs=1e-4)
+    assert row.intercept == pytest.approx(math.log(6), abs=1e-4)
+
+
+def test_pca_single_varying_dim_gets_unit_loading(hand_views):
+    spark = hand_views
+    rows = [(i, [float(i + 1)] + [0.0] * 63, 0) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    res = {r.dim: r.loading for r in sim_pca_power1(spark, "unused").collect()}
+    assert res[0] == pytest.approx(1.0, abs=1e-6)
+    assert all(abs(res[d]) < 1e-9 for d in range(1, 64))
