@@ -580,3 +580,150 @@ def sim_pca_power1(spark, sf_dir):
         FROM ct, nrm ORDER BY dim
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: LSH hyperplane top-10 vs brute-force top-10
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall(d: str) -> str:
+    from .llm_ops import _sim_lsh_hyperplane, _sim_topk
+
+    return f"""
+    WITH exact AS ({_sim_topk(d)}),
+    ann AS ({_sim_lsh_hyperplane(d)}),
+    per AS (
+        SELECT e.query_id, count(*) AS k_exact, count(a.vec_id) AS hits
+        FROM exact e
+        LEFT JOIN ann a
+            ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, k_exact, hits,
+        round(cast(hits as double) / cast(k_exact as double), 6)
+            AS recall_at_10
+    FROM per
+    ORDER BY query_id
+    """
+
+
+_pair(
+    "audit_ann_recall",
+    _ann_recall,
+    tags=("similarity", "audit"),
+    doc="ANN quality audit: recall@10 of sim_lsh_hyperplane_ann against the "
+    "sim_cosine_topk_bruteforce ground truth, per query — the measurement "
+    "that justifies (or vetoes) switching the retrieval path from exact "
+    "to bucketed at scale, alongside audit_minhash_estimate and "
+    "audit_lsh_band_sensitivity for the dedup sketches. Runs both "
+    "pipelines (each already scale-shaped) and one equi-join on "
+    "(query_id, vec_id); hit counting is pure integer.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sampling allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 100
+
+
+def _neyman(d: str) -> str:
+    s1 = "cast(sum(cast(value as decimal(38,6))) as double)"
+    s2 = "cast(sum(cast(value * value as decimal(38,6))) as double)"
+    return f"""
+    WITH sums AS (
+        SELECT event_type, cast(count(*) as double) AS n,
+            {s1} AS s1, {s2} AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    wgt AS (
+        SELECT event_type, n,
+            sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd,
+            n * sqrt(s2 / n - (s1 / n) * (s1 / n)) AS w
+        FROM sums
+    ),
+    tot AS (SELECT {S.dsum('w', d)} AS tw FROM wgt)
+    SELECT wgt.event_type, cast(wgt.n as bigint) AS n_rows,
+        round(wgt.sd, 6) AS std_pop,
+        cast(floor(cast({_NEYMAN_BUDGET} as double) * wgt.w / tot.tw)
+            as bigint) AS alloc_n
+    FROM wgt, tot
+    ORDER BY wgt.event_type
+    """
+
+
+_pair(
+    "sample_stratified_neyman",
+    _neyman,
+    tags=("sampling", "profiling"),
+    doc="Neyman-optimal stratified sampling allocation: each event_type "
+    "stratum gets floor(budget * N_h*S_h / sum) draws — minimum-variance "
+    "allocation for a fixed label/annotation budget, the principled "
+    "upgrade over text_stratified_sample's proportional quotas. Stddev "
+    "from exact decimal power sums; the stratum-weight total is a 1-row "
+    "broadcast; output is O(strata).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep: precision / recall / F1 on a fixed grid
+# ---------------------------------------------------------------------------
+
+_SWEEP_STEP_CENTS = 5000  # 50.00 value units between thresholds
+_SWEEP_N = 5
+
+
+def _threshold_sweep(d: str) -> str:
+    seq = S.explode_seq("k", "1", str(_SWEEP_N), d)
+    prec = "cast(tp as double) / cast(tp + fp as double)"
+    rec = "cast(tp as double) / cast(np as double)"
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS v,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT v, count(*) AS c, {S.isum('y', d)} AS pos
+        FROM sl GROUP BY v
+    ),
+    th AS (
+        SELECT k * {_SWEEP_STEP_CENTS} AS t
+        FROM (SELECT 1 AS one) o {seq}
+    ),
+    cm AS (
+        -- threshold grid x distinct-cents grid: both tiny after the agg.
+        SELECT th.t,
+            {S.isum('CASE WHEN g.v >= th.t THEN g.pos ELSE 0 END', d)} AS tp,
+            {S.isum('CASE WHEN g.v >= th.t THEN g.c - g.pos ELSE 0 END', d)}
+                AS fp,
+            {S.isum('g.pos', d)} AS np
+        FROM th CROSS JOIN g
+        GROUP BY th.t
+    )
+    SELECT t AS threshold_cents, tp, fp, np - tp AS fn,
+        round({prec}, 6) AS precision_,
+        round({rec}, 6) AS recall_,
+        CASE WHEN tp > 0 THEN
+            round(cast(2 as double) * ({prec}) * ({rec})
+                / (({prec}) + ({rec})), 6)
+            ELSE cast(0 as double) END AS f1
+    FROM cm
+    ORDER BY threshold_cents
+    """
+
+
+_pair(
+    "eval_threshold_sweep",
+    _threshold_sweep,
+    tags=("eval", "mlprep"),
+    doc="Precision/recall/F1 of the value→purchase rule at 5 fixed "
+    "thresholds — the operating-curve table read next to eval_auc_roc "
+    "when picking the production cutoff (the reference's alert threshold "
+    "is exactly such a choice). One hash-agg to the distinct-cents grid, "
+    "then a 5-row threshold grid against it; confusion counts stay "
+    "integer until the final ratios. tp = 0 pins F1 to 0 in both engines "
+    "(no 0/0).",
+)

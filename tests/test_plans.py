@@ -62,6 +62,9 @@ _NLJ_ALLOWED = {
     "agg_chi2_independence",
     "mlprep_naive_bayes",
     "sim_pca_power1",
+    "audit_ann_recall",  # composes the allowlisted ANN + brute-force probes
+    "sample_stratified_neyman",  # 1-row stratum-weight total broadcast
+    "eval_threshold_sweep",  # 5-row threshold grid x distinct-cents grid
 }
 
 

@@ -184,3 +184,53 @@ def test_pca_single_varying_dim_gets_unit_loading(hand_views):
     res = {r.dim: r.loading for r in sim_pca_power1(spark, "unused").collect()}
     assert res[0] == pytest.approx(1.0, abs=1e-6)
     assert all(abs(res[d]) < 1e-9 for d in range(1, 64))
+
+
+def test_threshold_sweep_confusion_counts_exact(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _threshold_sweep
+    # positives at 60.00 and 260.00; negatives at 40.00 and 110.00.
+    _mk_events(
+        spark,
+        [
+            (1, 10, 1, "click", 40.0),
+            (2, 20, 1, "purchase", 60.0),
+            (3, 30, 1, "click", 110.0),
+            (4, 40, 1, "purchase", 260.0),
+        ],
+    )
+    got = {r.threshold_cents: r for r in spark.sql(_threshold_sweep(SPARK)).collect()}
+    assert len(got) == 5
+    r50 = got[5000]
+    assert (r50.tp, r50.fp, r50.fn) == (2, 1, 0)
+    assert r50.recall_ == 1.0
+    r250 = got[25000]
+    assert (r250.tp, r250.fp, r250.fn) == (1, 0, 1)
+    assert r250.precision_ == 1.0 and r250.recall_ == 0.5
+    # F1 = 2pr/(p+r) = 2*1*0.5/1.5
+    assert r250.f1 == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_neyman_allocation_prefers_high_variance_strata(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _neyman
+    # 'click': constant values (sd 0 -> allocation 0);
+    # 'error': same count, wide spread -> gets the whole budget.
+    rows = [(i, 10 * i, 1, "click", 5.0) for i in range(4)]
+    rows += [(10 + i, 10 * i, 1, "error", float(100 * i)) for i in range(4)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_neyman(SPARK)).collect()}
+    assert got["click"].std_pop == 0.0 and got["click"].alloc_n == 0
+    assert got["error"].alloc_n == 100
+
+
+def test_ann_recall_bounded_and_exact_k(spark):
+    from tests.oracle_harness import run_oracle
+    from rugpull_data_pipeline_spark.plans import registry
+    df = registry.get("audit_ann_recall").builder(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(df) == 5  # one row per query vector
+    assert (df.k_exact == 10).all()
+    assert ((df.recall_at_10 >= 0) & (df.recall_at_10 <= 1)).all()
+    assert (df.hits <= df.k_exact).all()
