@@ -69,6 +69,11 @@ HEADLINE = [
     # cross-corpus incremental MinHash probe (snapshot bands vs base bands).
     "text_boilerplate_ccnet",
     "dedup_minhash_incremental",
+    # Round-5 eval/statistics tier: the all-integer Mann-Whitney AUC over
+    # the distinct-cents grid, and the ANN recall audit (runs BOTH the
+    # brute-force and LSH retrieval pipelines plus the hit join).
+    "eval_auc_roc",
+    "audit_ann_recall",
     # ~110 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).
