@@ -727,3 +727,244 @@ _pair(
     "integer until the final ratios. tp = 0 pins F1 to 0 in both engines "
     "(no 0/0).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency quantile binning (feature discretization)
+# ---------------------------------------------------------------------------
+
+_QBIN_K = 4
+
+
+def _quantile_bins(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS v FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT v, count(*) AS c FROM sl GROUP BY v),
+    cum AS (
+        SELECT v, c,
+            cast(sum(c) OVER (ORDER BY v) as bigint) - c AS cum_lt
+        FROM g
+    ),
+    tot AS (SELECT {S.isum('c', d)} AS n FROM g),
+    binned AS (
+        -- every row of a tied value lands in ONE bin: the bin of the
+        -- group's first position. Pure integer: floor(cum_lt * k / n).
+        SELECT cum.v, cum.c,
+            cast(least({_QBIN_K - 1},
+                {S.idiv(f'cum.cum_lt * {_QBIN_K}', 'tot.n', d)}) as int)
+                AS bin
+        FROM cum, tot
+    )
+    SELECT bin, {S.isum('c', d)} AS n_rows,
+        min(v) AS lo_cents, max(v) AS hi_cents
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+_pair(
+    "mlprep_quantile_binning",
+    _quantile_bins,
+    tags=("mlprep",),
+    doc=f"Equal-frequency discretization of value into {_QBIN_K} bins — the "
+    "quantile-binning feature-prep staple (and the bin-edge table "
+    "profile_drift_psi-style monitors should use instead of fixed-width "
+    "bins). Bin assignment is floor(rows-strictly-below * k / n) on the "
+    "distinct-cents grid — pure integer arithmetic, ties atomically in "
+    "one bin, no percentile interpolation to disagree across engines. "
+    "Output is the bin summary (count + value range per bin).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between lang and source
+# ---------------------------------------------------------------------------
+
+
+def _mutual_info(d: str) -> str:
+    # Only populated cells contribute (0 * ln 0 = 0), so no dimension
+    # grid is needed — marginals attach by equi-join.
+    pmi_term = (
+        "(cast(c as double) / cast(n as double))"
+        " * ln(cast(c as double) * cast(n as double)"
+        " / (cast(rl as double) * cast(cs as double)))"
+    )
+    hl_term = (
+        "(cast(rl as double) / cast(n as double))"
+        " * ln(cast(n as double) / cast(rl as double))"
+    )
+    hs_term = (
+        "(cast(cs as double) / cast(n as double))"
+        " * ln(cast(n as double) / cast(cs as double))"
+    )
+    return f"""
+    WITH cell AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, {S.isum('c', d)} AS rl FROM cell GROUP BY lang),
+    ct AS (SELECT source, {S.isum('c', d)} AS cs FROM cell GROUP BY source),
+    tt AS (SELECT {S.isum('c', d)} AS n FROM cell),
+    joined AS (
+        SELECT cell.c, rt.rl, ct.cs, tt.n
+        FROM cell
+        JOIN rt ON rt.lang = cell.lang
+        JOIN ct ON ct.source = cell.source
+        CROSS JOIN tt
+    ),
+    mi AS (SELECT {S.dsum(pmi_term, d)} AS mi_nats FROM joined),
+    hl AS (SELECT {S.dsum(hl_term, d)} AS h FROM rt CROSS JOIN tt),
+    hs AS (SELECT {S.dsum(hs_term, d)} AS h FROM ct CROSS JOIN tt)
+    SELECT round(mi.mi_nats, 6) AS mi_nats,
+        round(hl.h, 6) AS h_lang, round(hs.h, 6) AS h_source,
+        CASE WHEN hl.h > 0 AND hs.h > 0 THEN
+            round(mi.mi_nats / sqrt(hl.h * hs.h), 6)
+            ELSE cast(0 as double) END AS nmi
+    FROM mi, hl, hs
+    """
+
+
+_pair(
+    "agg_mutual_info",
+    _mutual_info,
+    tags=("profiling", "eval"),
+    doc="Mutual information between lang and source (nats) with marginal "
+    "entropies and sqrt-normalized NMI — the effect-SIZE companion to "
+    "agg_chi2_independence's significance test (chi² grows with n; NMI "
+    "doesn't). Only populated contingency cells contribute (0·ln0 = 0), "
+    "so marginals attach by equi-join — no dimension grid; per-cell "
+    "terms decimal-quantized so the sums are order-free.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B z-test (conversion rate, even vs odd days)
+# ---------------------------------------------------------------------------
+
+
+def _ab_ztest(d: str) -> str:
+    day = "cast(floor(" + S.epoch_s("ts", d) + " / 86400) as bigint)"
+    p1 = "(cast(k1 as double) / cast(n1 as double))"
+    p2 = "(cast(k2 as double) / cast(n2 as double))"
+    pp = "(cast(k1 + k2 as double) / cast(n1 + n2 as double))"
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN {day} % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    counts AS (
+        SELECT {S.isum('is_a', d)} AS n1, {S.isum('is_a * y', d)} AS k1,
+            {S.isum('1 - is_a', d)} AS n2,
+            {S.isum('(1 - is_a) * y', d)} AS k2
+        FROM base
+    )
+    SELECT n1, k1, n2, k2,
+        round({p1}, 6) AS rate_a, round({p2}, 6) AS rate_b,
+        round(({p1} - {p2})
+            / sqrt({pp} * (cast(1 as double) - {pp})
+                * (cast(1 as double) / cast(n1 as double)
+                   + cast(1 as double) / cast(n2 as double))), 6) AS z_score
+    FROM counts
+    """
+
+
+_pair(
+    "eval_ab_ztest",
+    _ab_ztest,
+    tags=("eval", "profiling"),
+    doc="Two-proportion z-test of purchase-conversion between even- and "
+    "odd-day cohorts — the A/B significance readout a pipeline owner "
+    "checks before trusting a mixture or gate change. ONE map-side-"
+    "combinable aggregation to four integers, then pure double algebra "
+    "on them; nothing else moves.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (2 synchronous rounds, majority vote)
+# ---------------------------------------------------------------------------
+
+_LPA_GRP_CAP = 40  # same hot-group guard as graph_triangle_count
+
+
+def _lpa_hour(d: str) -> str:
+    if d == SPARK:
+        return "date_format(ts, 'yyyy-MM-dd HH')"
+    return "strftime(ts, '%Y-%m-%d %H')"
+
+
+def _label_prop(d: str) -> str:
+    rounds = []
+    prev = "l0"
+    for r in (1, 2):
+        rounds.append(f"""
+    votes{r} AS (
+        SELECT nbr.u AS node, lab.label, count(*) AS cnt
+        FROM nbr JOIN {prev} lab ON lab.node = nbr.v
+        GROUP BY nbr.u, lab.label
+    ),
+    pick{r} AS (
+        SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label) AS rk
+        FROM votes{r}
+    ),
+    l{r} AS (SELECT node, label FROM pick{r} WHERE rk = 1)""")
+        prev = f"l{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+    WITH member AS (
+        SELECT DISTINCT user_id, event_type, {_lpa_hour(d)} AS bucket
+        FROM events
+    ),
+    sized AS (
+        SELECT user_id, event_type, bucket,
+            count(*) OVER (PARTITION BY event_type, bucket) AS gsz
+        FROM member
+    ),
+    capped AS (
+        SELECT user_id, event_type, bucket
+        FROM sized WHERE gsz <= {_LPA_GRP_CAP}
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM capped a JOIN capped b
+            ON a.event_type = b.event_type AND a.bucket = b.bucket
+            AND a.user_id < b.user_id
+    ),
+    nodes AS (
+        SELECT DISTINCT u AS node FROM
+            (SELECT u FROM edges UNION ALL SELECT v FROM edges) nn
+    ),
+    nbr AS (
+        -- symmetric adjacency + self-loop, so a node votes for its own
+        -- label too (the standard LPA stabilizer).
+        SELECT u, v FROM edges
+        UNION ALL SELECT v AS u, u AS v FROM edges
+        UNION ALL SELECT node AS u, node AS v FROM nodes
+    ),
+    l0 AS (SELECT node, node AS label FROM nodes),{rounds_sql}
+    SELECT label AS community, count(*) AS n_members
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+_pair(
+    "graph_label_prop2",
+    _label_prop,
+    tags=("graph", "iterative"),
+    doc="Community detection by 2 synchronous label-propagation rounds over "
+    "the user co-occurrence graph (same capped edge build as "
+    "graph_triangle_count): each node adopts the most frequent label "
+    "among neighbors+self, ties to the smallest label — fully "
+    "deterministic, unlike textbook randomized LPA. Each round is one "
+    "equi-join (labels onto adjacency) + one hash-agg + a per-node "
+    "window; top-20 communities by TakeOrderedAndProject. On rugpull "
+    "data: wallet clusters acting in concert.",
+)

@@ -65,6 +65,8 @@ _NLJ_ALLOWED = {
     "audit_ann_recall",  # composes the allowlisted ANN + brute-force probes
     "sample_stratified_neyman",  # 1-row stratum-weight total broadcast
     "eval_threshold_sweep",  # 5-row threshold grid x distinct-cents grid
+    "mlprep_quantile_binning",  # 1-row total-count broadcast onto the grid
+    "agg_mutual_info",  # 1-row n broadcast onto cells/marginals
 }
 
 

@@ -234,3 +234,64 @@ def test_ann_recall_bounded_and_exact_k(spark):
     assert (df.k_exact == 10).all()
     assert ((df.recall_at_10 >= 0) & (df.recall_at_10 <= 1)).all()
     assert (df.hits <= df.k_exact).all()
+
+
+def test_quantile_bins_are_equal_frequency_and_tie_atomic(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _quantile_bins
+    # 8 rows, k=4 -> 2 per bin; the tie block of four 5.0s must land
+    # whole in ONE bin (bin of its first position).
+    rows = [(i, 10 * i, 1, "click", float(v))
+            for i, v in enumerate([1, 2, 5, 5, 5, 5, 9, 10])]
+    _mk_events(spark, rows)
+    got = {r.bin: r for r in spark.sql(_quantile_bins(SPARK)).collect()}
+    assert got[0].n_rows == 2 and got[0].hi_cents == 200
+    assert got[1].n_rows == 4  # the whole tie block
+    assert got[1].lo_cents == got[1].hi_cents == 500
+    assert got[3].n_rows == 2 and got[3].lo_cents == 900
+    assert 2 not in got  # positions 2..5 all in bin 1 -> bin 2 empty
+
+
+def test_mutual_info_zero_when_independent_and_nmi_one_when_equal(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _mutual_info
+    rows, i = [], 0
+    for lang in ("en", "fr"):
+        for src in ("s1", "s2"):
+            rows.append((i, "w", lang, src)); i += 1
+    _mk_docs(spark, rows)
+    row = spark.sql(_mutual_info(SPARK)).collect()[0]
+    assert row.mi_nats == 0.0 and row.nmi == 0.0
+    # perfectly dependent: source determined by lang -> NMI = 1.
+    _mk_docs(spark, [(0, "w", "en", "s1"), (1, "w", "en", "s1"),
+                     (2, "w", "fr", "s2"), (3, "w", "fr", "s2")])
+    row = spark.sql(_mutual_info(SPARK)).collect()[0]
+    assert row.nmi == pytest.approx(1.0, abs=1e-6)
+    assert row.mi_nats == pytest.approx(math.log(2), abs=1e-5)
+
+
+def test_ab_ztest_zero_when_rates_equal(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ab_ztest
+    rows = [
+        (1, 100, 1, "purchase", 1.0),
+        (2, 200, 1, "click", 1.0),
+        (3, 86400 + 100, 1, "purchase", 1.0),
+        (4, 86400 + 200, 1, "click", 1.0),
+    ]
+    _mk_events(spark, rows)
+    row = spark.sql(_ab_ztest(SPARK)).collect()[0]
+    assert (row.n1, row.k1, row.n2, row.k2) == (2, 1, 2, 1)
+    assert row.z_score == 0.0 and row.rate_a == 0.5
+
+
+def test_label_prop_merges_connected_clique_to_min_label(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _label_prop
+    # users 1,2,3 co-occur in one (type, hour) group -> triangle; users
+    # 8,9 in another. After 2 rounds each clique converges to its min id.
+    rows = [(i, 100 + i, u, "a", 1.0) for i, u in enumerate([1, 2, 3])]
+    rows += [(10 + i, 7200 + i, u, "b", 1.0) for i, u in enumerate([8, 9])]
+    _mk_events(spark, rows)
+    got = {r.community: r.n_members for r in spark.sql(_label_prop(SPARK)).collect()}
+    assert got == {1: 3, 8: 2}
