@@ -344,9 +344,14 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _naive_bayes(d: str) -> str:
+def _naive_bayes(d: str, tr_src: str | None = None) -> str:
+    """``tr_src`` overrides the train-token CTE body (the Spark builder
+    passes a localCheckpointed temp view so the explode runs ONCE; the
+    oracle inlines it — DuckDB materializes CTEs referenced repeatedly)."""
     train_docs = "SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0"
     test_docs = "SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1"
+    if tr_src is None:
+        tr_src = _word_tokens(train_docs, d)
     ll = (
         "round(ln((cast(coalesce(tc.c, 0) as double) + cast(1 as double))"
         " / (cast(cl.tot as double) + cast(v.v as double))), 9)"
@@ -355,7 +360,7 @@ def _naive_bayes(d: str) -> str:
         "round(ln(cast(cl.nd as double) / cast(nt.n as double)), 9)"
     )
     return f"""
-    WITH tr AS ({_word_tokens(train_docs, d)}),
+    WITH tr AS ({tr_src}),
     te AS ({_word_tokens(test_docs, d)}),
     tc AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY lang, tok),
     cl AS (
@@ -388,20 +393,29 @@ def _naive_bayes(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "mlprep_naive_bayes",
-    _naive_bayes,
+    oracle=_naive_bayes(DUCK),
     tags=("mlprep", "text", "eval"),
     doc="Multinomial naive Bayes language ID trained on even doc_ids and "
     "evaluated on odd (output = the confusion matrix): Laplace-smoothed "
     "token log-likelihoods plus a document-frequency prior, argmax with a "
     "deterministic tie-break. The learned counterpart of "
     "text_lang_id_heuristic and the classic 'cheap classifier in the "
-    "data pipeline' (CCNet's LM-filter role). Token counts are one "
-    "hash-agg; scoring fans each test token out only by the 5-class "
-    "broadcast and re-aggregates on (doc, class); log terms quantized to "
-    "9 dp and decimal-summed so both engines fold identically.",
+    "data pipeline' (CCNet's LM-filter role). The train-token table is "
+    "localCheckpointed ONCE (four CTE references — counts, class totals, "
+    "vocab, doc count — would otherwise each re-run the explode); scoring "
+    "fans each test token out only by the 5-class broadcast and "
+    "re-aggregates on (doc, class); log terms quantized to 9 dp and "
+    "decimal-summed so both engines fold identically.",
 )
+def mlprep_naive_bayes(spark, sf_dir):
+    train_docs = "SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0"
+    tr = spark.sql(_word_tokens(train_docs, SPARK)).localCheckpoint()
+    tr.createOrReplaceTempView("nb_train_toks")
+    return spark.sql(
+        _naive_bayes(SPARK, tr_src="SELECT * FROM nb_train_toks")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -897,7 +911,34 @@ def _lpa_hour(d: str) -> str:
     return "strftime(ts, '%Y-%m-%d %H')"
 
 
-def _label_prop(d: str) -> str:
+def _lpa_edges(d: str) -> str:
+    """The capped co-occurrence edge build (same shape as
+    graph_triangle_count) — the table every LPA round re-reads, so the
+    Spark builder materializes it once."""
+    return f"""
+    WITH member AS (
+        SELECT DISTINCT user_id, event_type, {_lpa_hour(d)} AS bucket
+        FROM events
+    ),
+    sized AS (
+        SELECT user_id, event_type, bucket,
+            count(*) OVER (PARTITION BY event_type, bucket) AS gsz
+        FROM member
+    ),
+    capped AS (
+        SELECT user_id, event_type, bucket
+        FROM sized WHERE gsz <= {_LPA_GRP_CAP}
+    )
+    SELECT DISTINCT a.user_id AS u, b.user_id AS v
+    FROM capped a JOIN capped b
+        ON a.event_type = b.event_type AND a.bucket = b.bucket
+        AND a.user_id < b.user_id
+    """
+
+
+def _label_prop(d: str, edges_src: str | None = None) -> str:
+    if edges_src is None:
+        edges_src = _lpa_edges(d)
     rounds = []
     prev = "l0"
     for r in (1, 2):
@@ -916,25 +957,7 @@ def _label_prop(d: str) -> str:
         prev = f"l{r}"
     rounds_sql = ",".join(rounds)
     return f"""
-    WITH member AS (
-        SELECT DISTINCT user_id, event_type, {_lpa_hour(d)} AS bucket
-        FROM events
-    ),
-    sized AS (
-        SELECT user_id, event_type, bucket,
-            count(*) OVER (PARTITION BY event_type, bucket) AS gsz
-        FROM member
-    ),
-    capped AS (
-        SELECT user_id, event_type, bucket
-        FROM sized WHERE gsz <= {_LPA_GRP_CAP}
-    ),
-    edges AS (
-        SELECT DISTINCT a.user_id AS u, b.user_id AS v
-        FROM capped a JOIN capped b
-            ON a.event_type = b.event_type AND a.bucket = b.bucket
-            AND a.user_id < b.user_id
-    ),
+    WITH edges AS ({edges_src}),
     nodes AS (
         SELECT DISTINCT u AS node FROM
             (SELECT u FROM edges UNION ALL SELECT v FROM edges) nn
@@ -955,16 +978,25 @@ def _label_prop(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_label_prop2",
-    _label_prop,
+    oracle=_label_prop(DUCK),
     tags=("graph", "iterative"),
     doc="Community detection by 2 synchronous label-propagation rounds over "
     "the user co-occurrence graph (same capped edge build as "
     "graph_triangle_count): each node adopts the most frequent label "
     "among neighbors+self, ties to the smallest label — fully "
-    "deterministic, unlike textbook randomized LPA. Each round is one "
-    "equi-join (labels onto adjacency) + one hash-agg + a per-node "
-    "window; top-20 communities by TakeOrderedAndProject. On rugpull "
-    "data: wallet clusters acting in concert.",
+    "deterministic, unlike textbook randomized LPA. The edge table is "
+    "localCheckpointed ONCE (every round's vote join plus the node/"
+    "adjacency CTEs would otherwise each replay the window+self-join "
+    "build — the pagerank edge-table convention); each round is then one "
+    "equi-join + one hash-agg + a per-node window; top-20 communities by "
+    "TakeOrderedAndProject. On rugpull data: wallet clusters acting in "
+    "concert.",
 )
+def graph_label_prop2(spark, sf_dir):
+    edges = spark.sql(_lpa_edges(SPARK)).localCheckpoint()
+    edges.createOrReplaceTempView("lpa_edges")
+    return spark.sql(
+        _label_prop(SPARK, edges_src="SELECT u, v FROM lpa_edges")
+    )
