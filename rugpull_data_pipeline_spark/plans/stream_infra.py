@@ -1211,3 +1211,129 @@ def stream_psi_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.read.parquet(res_dir).orderBy("batch_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: mergeable count-min sketch state, top-k per batch
+# ---------------------------------------------------------------------------
+
+_CMS_N_BATCHES = 4
+
+
+def _cms_sketch_sql(d: str, src: str) -> str:
+    """(r, b, c) count-min counters over ``src`` — agg_cms_heavy_hitters'
+    sketch build (advanced.py) parameterized by source."""
+    from .advanced import _CMS_D, _CMS_W
+
+    key = (
+        "cast(user_id as string)" if d == SPARK else "cast(user_id as varchar)"
+    )
+    h = S.portable_hash64(key, d, seed="r")
+    if d == SPARK:
+        fanout = f"""
+        SELECT user_id, r FROM (
+            SELECT user_id, explode(array({', '.join(str(r) for r in range(_CMS_D))})) AS r
+            FROM {src}
+        ) g"""
+    else:
+        rows = ", ".join(f"({r})" for r in range(_CMS_D))
+        fanout = f"SELECT user_id, r FROM {src} CROSS JOIN (VALUES {rows}) AS t(r)"
+    return f"""
+    SELECT r, ({h}) % {_CMS_W} AS b, cast(count(*) as bigint) AS c
+    FROM ({fanout}) f GROUP BY r, ({h}) % {_CMS_W}
+    """
+
+
+def _cms_topk_sql(d: str, sketch: str, keys: str, batch_id: int) -> str:
+    """Top-10 estimated heavy hitters from a (merged) sketch + key set."""
+    from .advanced import _CMS_W
+
+    key = (
+        "cast(user_id as string)" if d == SPARK else "cast(user_id as varchar)"
+    )
+    h = S.portable_hash64(key, d, seed="r")
+    return f"""
+    SELECT cast({batch_id} as int) AS batch_id, user_id, est_count,
+        cast(rnk as int) AS rnk
+    FROM (
+        SELECT user_id, est_count, row_number() OVER (
+            ORDER BY est_count DESC, user_id) AS rnk
+        FROM (
+            SELECT kb.user_id, min(s.c) AS est_count
+            FROM (
+                SELECT user_id, r, ({h}) % {_CMS_W} AS b
+                FROM ({keys}) k2
+                CROSS JOIN (SELECT 1 AS one) o {S.explode_seq('r', '0', '3', d)}
+            ) kb
+            JOIN ({sketch}) s ON s.r = kb.r AND s.b = kb.b
+            GROUP BY kb.user_id
+        ) est
+        ORDER BY est_count DESC, user_id
+        LIMIT 10
+    ) t
+    """
+
+
+def _cms_stream_oracle() -> str:
+    parts = []
+    for k in range(_CMS_N_BATCHES):
+        where = f"event_id % {_CMS_N_BATCHES} <= {k}"
+        sketch = _cms_sketch_sql(DUCK, f"(SELECT user_id FROM events WHERE {where}) pref")
+        keys = f"SELECT DISTINCT user_id FROM events WHERE {where}"
+        parts.append(_cms_topk_sql(DUCK, f"({sketch})", keys, k))
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY batch_id, rnk"
+
+
+@register(
+    "stream_cms_topk_replay",
+    oracle=_cms_stream_oracle(),
+    tags=("streaming", "agg", "sketch"),
+    doc="Streaming heavy hitters with MERGEABLE sketch state: each of 4 "
+    "paced micro-batches computes its own count-min counters (4x32) and "
+    "the accumulated state is their elementwise SUM — O(D*W) counters "
+    "plus the key set, never the raw rows — then emits the top-10 "
+    "estimated-count keys after every batch. Counter additivity makes "
+    "the merged sketch EXACTLY equal to a from-scratch sketch over the "
+    "prefix, which is what the oracle computes independently per prefix; "
+    "ranking is integer est DESC with a user_id tie-break. The "
+    "mergeable-summary contract (Agarwal et al., CMS) that lets 1000 "
+    "executors sketch independently and combine.",
+)
+def stream_cms_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_src(spark, sf_dir, ["event_id", "user_id"])
+    src_dir = scratch_dir(prefix="rugpull_cms_src_")
+    _write_slices(src, src_dir, _CMS_N_BATCHES)
+    sk_dir = os.path.join(scratch_dir(prefix="rugpull_cms_state_"), "sketch")
+    key_dir = os.path.join(scratch_dir(prefix="rugpull_cms_state_"), "keys")
+    res_dir = os.path.join(scratch_dir(prefix="rugpull_cms_res_"), "res")
+    tag = f"{os.getpid()}_{abs(hash(res_dir)) % 10**8}"
+
+    def apply(batch: DataFrame, bid: int) -> None:
+        s = batch.sparkSession
+        bview = f"cms_batch_{tag}"
+        batch.createOrReplaceTempView(bview)
+        # batch-local sketch + key set appended to the accumulated state.
+        s.sql(_cms_sketch_sql(SPARK, bview)).write.mode("append").parquet(sk_dir)
+        s.sql(f"SELECT DISTINCT user_id FROM {bview}").write.mode(
+            "append"
+        ).parquet(key_dir)
+        sk_view, key_view = f"cms_sk_{tag}", f"cms_key_{tag}"
+        s.read.parquet(sk_dir).createOrReplaceTempView(sk_view)
+        s.read.parquet(key_dir).createOrReplaceTempView(key_view)
+        merged = f"SELECT r, b, cast(sum(c) as bigint) AS c FROM {sk_view} GROUP BY r, b"
+        keys = f"SELECT DISTINCT user_id FROM {key_view}"
+        s.sql(_cms_topk_sql(SPARK, f"({merged})", keys, bid)).write.mode(
+            "append"
+        ).parquet(res_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_available_now(
+        stream.writeStream.foreachBatch(apply).option(
+            "checkpointLocation", scratch_dir(prefix="rugpull_cms_ckpt_")
+        )
+    )
+    return spark.read.parquet(res_dir).orderBy("batch_id", "rnk")

@@ -631,3 +631,30 @@ def test_cusum_drops_event_time_regression(spark, tmp_path):
     # two drifted samples reach s = 80e6 < 100e6 threshold → no alert; the
     # dropped 50e6 samples would have tripped it instantly if folded
     assert got == []
+
+
+def test_stream_cms_est_is_upper_bound_of_true_counts(spark):
+    """CMS estimates are one-sided: est >= true count for every emitted
+    key, in every micro-batch prefix — and the final batch's top-1 must
+    be the key with the globally highest estimate."""
+    from rugpull_data_pipeline_spark.plans import registry
+
+    df = registry.get("stream_cms_topk_replay").builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert {r.batch_id for r in rows} == {0, 1, 2, 3}
+    import duckdb
+
+    con = duckdb.connect()
+    true = dict(
+        con.execute(
+            "SELECT user_id, count(*) FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet') "
+            "GROUP BY user_id"
+        ).fetchall()
+    )
+    for r in rows:
+        if r.batch_id == 3:  # full prefix: compare against exact counts
+            assert r.est_count >= true[r.user_id]
+        assert 1 <= r.rnk <= 10
