@@ -1,0 +1,296 @@
+"""Round-5 feature-engineering & data-quality operators: RFM behavioral
+segmentation, closed-form ridge regression, per-column completeness
+profiling, and Johnson-Lindenstrauss random projection.
+
+These are the remaining feature-store / data-quality shapes between
+curation and training: segment the entities (RFM is the classic
+behavioral cut — on rugpull data, wallet activity tiers), fit the cheap
+linear baseline without iteration (ridge via normal equations — the
+closed form the iterative ``mlprep_logreg_gd3`` is benchmarked against),
+audit completeness before anything trains on a column, and reduce
+embedding dimensionality ahead of the LSH/IVF retrieval stack.
+Reference anchor: the pipeline's per-wallet aggregation + threshold
+tiers (``RECEIVER/stage2_processing.cpp:149-434`` owner/mint rollups,
+``SERVER/flightWithRedisLatest.py`` hot-set tiers) are the degenerate
+RFM form; the rest is capability uplift mandated by BASELINE.json.
+
+Cross-engine determinism (the repo's standing fp discipline): RFM bins
+by the integer rows-below rule (no percentile interpolation),
+completeness is pure counting, ridge/projection run on exact decimal
+moment sums with one double division/sqrt at the end.
+
+Scale notes (1000 executors / 100 TB):
+- RFM: one per-user hash-agg, then three TINY distinct-metric grids
+  (bounded by the metric domains) binned integer-exact and broadcast
+  back onto user metrics — no global sort, no percentile shuffle.
+- Ridge: ONE map-side-combinable aggregation to 9 moment sums; the 2×2
+  solve is driver-free post-agg algebra. Beats 3 GD rounds at any scale
+  when the feature count is tiny.
+- Completeness: one aggregation computing all per-column null counts in
+  a single scan, then a constant-width unpivot.
+- JL projection: the 16×64 sign matrix is generated from the portable
+  hash (never materialized outside the broadcast); the projection is
+  one co-partitioned join + hash-agg keyed by (vec_id, out dim) — the
+  same shape as sim_lsh_hyperplane_ann's bit build.
+"""
+
+from __future__ import annotations
+
+from ..functions import scalars as S
+from ..functions.scalars import DUCK, SPARK
+from .registry import register, sql_pair
+
+
+def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
+    sql_pair(name, q(SPARK), q(DUCK), tags=tags, doc=doc)
+
+
+# ---------------------------------------------------------------------------
+# RFM behavioral segmentation (terciles by the integer rows-below rule)
+# ---------------------------------------------------------------------------
+
+_RFM_K = 3
+
+
+def _rfm_bins(metric_src: str, col: str, d: str) -> str:
+    """Tercile edges for one metric: (value, bin) on the distinct grid."""
+    return f"""
+        SELECT v, cast(least({_RFM_K - 1},
+            {S.idiv(f'cum_lt * {_RFM_K}', 'n', d)}) as int) AS bin
+        FROM (
+            SELECT {col} AS v, cast(sum(cnt) OVER (ORDER BY {col})
+                as bigint) - cnt AS cum_lt
+            FROM (SELECT {col}, count(*) AS cnt FROM {metric_src}
+                  GROUP BY {col}) g
+        ) cum
+        CROSS JOIN (SELECT count(*) AS n FROM {metric_src}) t
+    """
+
+
+def _rfm(d: str) -> str:
+    ep = S.epoch_s("ts", d)
+    return f"""
+    WITH um AS (
+        SELECT user_id,
+            cast(floor((mx.m - max({ep})) / cast(86400 as double)) as bigint)
+                AS recency_days,
+            cast(count(*) as bigint) AS frequency,
+            cast(sum(cast(floor(value * cast(100 as double)) as bigint))
+                as bigint) AS monetary_cents
+        FROM events CROSS JOIN (SELECT max({ep}) AS m FROM events) mx
+        GROUP BY user_id, mx.m
+    ),
+    rb AS ({_rfm_bins('um', 'recency_days', d)}),
+    fb AS ({_rfm_bins('um', 'frequency', d)}),
+    mb AS ({_rfm_bins('um', 'monetary_cents', d)}),
+    seg AS (
+        -- low recency_days = MOST recent: invert so 3 = best, like F/M.
+        SELECT um.user_id,
+            {_RFM_K} - rb.bin AS r_score,
+            fb.bin + 1 AS f_score,
+            mb.bin + 1 AS m_score
+        FROM um
+        JOIN rb ON rb.v = um.recency_days
+        JOIN fb ON fb.v = um.frequency
+        JOIN mb ON mb.v = um.monetary_cents
+    )
+    SELECT r_score, f_score, m_score,
+        cast(count(*) as bigint) AS n_users
+    FROM seg
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """
+
+
+_pair(
+    "events_rfm_segments",
+    _rfm,
+    tags=("events", "mlprep"),
+    doc="RFM segmentation: per-user recency/frequency/monetary terciles "
+    "(3 = best), reported as segment population counts — the classic "
+    "behavioral cut; on rugpull data, wallet activity tiers. One "
+    "per-user hash-agg, then each tercile table is built integer-exact "
+    "(rows-below * k / n on the DISTINCT metric grid — no percentile "
+    "interpolation to disagree across engines) and equi-joined back by "
+    "metric value. Tie values land atomically in one bin, so bins are "
+    "approximately equal-frequency, exactly reproducible.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression, closed form (normal equations on decimal moment sums)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = "10.0"
+
+
+def _ridge(d: str) -> str:
+    toks = S.split_ws("text", d)
+    feats = f"""
+        SELECT cast(n_chars as double) AS y,
+            cast({S.arr_len('toks', d)} as double) AS x1,
+            cast({S.arr_len(S.arr_distinct('toks', d), d)} as double) AS x2
+        FROM (SELECT n_chars, {toks} AS toks FROM documents) t
+    """
+    ds = lambda e: S.dsum(e, d)  # noqa: E731
+    lam = f"cast({_RIDGE_LAMBDA} as double)"
+    return f"""
+    WITH feats AS ({feats}),
+    mom AS (
+        SELECT cast(count(*) as double) AS n,
+            {ds('x1')} AS sx1, {ds('x2')} AS sx2, {ds('y')} AS sy,
+            {ds('x1 * x1')} AS s11, {ds('x2 * x2')} AS s22,
+            {ds('x1 * x2')} AS s12,
+            {ds('x1 * y')} AS s1y, {ds('x2 * y')} AS s2y,
+            {ds('y * y')} AS syy
+        FROM feats
+    ),
+    ctr AS (
+        -- centered second moments + ridge on the diagonal.
+        SELECT n,
+            s11 - sx1 * sx1 / n + {lam} AS a11,
+            s22 - sx2 * sx2 / n + {lam} AS a22,
+            s12 - sx1 * sx2 / n AS a12,
+            s1y - sx1 * sy / n AS b1,
+            s2y - sx2 * sy / n AS b2,
+            syy - sy * sy / n AS styy,
+            sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+        FROM mom
+    ),
+    sol AS (
+        SELECT n, mx1, mx2, my, b1, b2, styy,
+            (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS w1,
+            (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS w2
+        FROM ctr
+    )
+    SELECT round(w1, 6) AS w1, round(w2, 6) AS w2,
+        round(my - w1 * mx1 - w2 * mx2, 6) AS intercept,
+        round((w1 * b1 + w2 * b2) / styy, 6) AS r2_explained,
+        cast(n as bigint) AS n_rows
+    FROM sol
+    """
+
+
+_pair(
+    "mlprep_ridge_closed_form",
+    _ridge,
+    tags=("mlprep",),
+    doc="Ridge regression (predict n_chars from token count + distinct "
+    "tokens, lambda = 10) solved in CLOSED FORM via the normal equations "
+    "on exact decimal moment sums: one map-side-combinable aggregation "
+    "to 10 numbers, then a 2x2 solve as post-agg algebra — no "
+    "iterations, no driver round-trips, bit-identical across engines. "
+    "The linear baseline mlprep_logreg_gd3's gradient loop should beat "
+    "to justify its extra passes. r2_explained = w·b / Syy (the "
+    "regression sum of squares share).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Per-column completeness / null profiling
+# ---------------------------------------------------------------------------
+
+
+def _completeness(d: str) -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = ", ".join(
+        f"{S.isum(f'CASE WHEN {c} IS NULL THEN 1 ELSE 0 END', d)} AS nn_{c}"
+        for c in cols
+    )
+    if d == SPARK:
+        unpivot = (
+            "stack(6, "
+            + ", ".join(f"'{c}', nn_{c}" for c in cols)
+            + ") AS (col_name, n_null)"
+        )
+        body = f"SELECT {unpivot}, n FROM agg"
+    else:
+        body = "\nUNION ALL\n".join(
+            f"SELECT '{c}' AS col_name, nn_{c} AS n_null, n FROM agg"
+            for c in cols
+        )
+    return f"""
+    WITH agg AS (
+        SELECT {aggs}, cast(count(*) as bigint) AS n FROM events
+    )
+    SELECT col_name, n AS n_rows, n_null,
+        round(cast(n_null as double) / cast(n as double), 6) AS null_frac
+    FROM ({body}) u
+    ORDER BY col_name
+    """
+
+
+_pair(
+    "profile_completeness_nulls",
+    _completeness,
+    tags=("profiling",),
+    doc="Per-column null-count / null-fraction profile of the events table "
+    "— the first data-quality gate before any column feeds a feature or "
+    "filter. ALL columns count in ONE scan (a single aggregation of "
+    "conditional sums), then a constant-width unpivot (Spark stack "
+    "generator / UNION ALL twin in the oracle dialect); output is "
+    "O(columns).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection 64 -> 16 dims
+# ---------------------------------------------------------------------------
+
+_JL_OUT = 16
+
+
+def _jl_project(d: str) -> str:
+    from .llm_ops import _emb_dims
+
+    sign_h = S.portable_hash64(
+        "concat('jl-', cast(j as string), ':', cast(dim as string))", d
+    )
+    if d == SPARK:
+        jseq = f"SELECT explode(sequence(0, {_JL_OUT - 1})) AS j"
+        dimseq = (
+            "SELECT explode(sequence(1, "
+            "(SELECT max(size(embedding)) FROM embeddings))) AS dim"
+        )
+    else:
+        jseq = f"SELECT unnest(range(0, {_JL_OUT})) AS j"
+        dimseq = (
+            "SELECT unnest(range(1, "
+            "(SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim"
+        )
+    return f"""
+    WITH emb_dims AS ({_emb_dims(d)}),
+    signs AS (
+        SELECT j, dim,
+            CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        FROM ({dimseq}) dims CROSS JOIN ({jseq}) js
+    ),
+    proj AS (
+        SELECT e.vec_id, p.j,
+            cast(sum(cast(e.v * p.s as decimal(38,9))) as double)
+                / sqrt(cast({_JL_OUT} as double)) AS pv
+        FROM emb_dims e JOIN signs p ON e.dim = p.dim
+        GROUP BY e.vec_id, p.j
+    )
+    SELECT vec_id, j AS out_dim, round(pv, 6) AS pv
+    FROM proj
+    WHERE vec_id < 8
+    ORDER BY vec_id, out_dim
+    """
+
+
+_pair(
+    "sim_random_projection16",
+    _jl_project,
+    tags=("similarity",),
+    doc=f"Johnson-Lindenstrauss random projection 64 -> {_JL_OUT} dims with "
+    "deterministic ±1/sqrt(k) signs from the portable hash (Achlioptas "
+    "2003 database-friendly form) — the dimensionality reducer in front "
+    "of the LSH/IVF retrieval stack; distances are preserved within "
+    "(1±eps) whp. The sign matrix is 16x64 values broadcast from a "
+    "sequence cross join (never materialized); the projection is one "
+    "equi-join on the dim axis + a (vec, out-dim)-keyed hash-agg of "
+    "exact decimal products — sim_lsh_hyperplane_ann's bit build, "
+    "emitting magnitudes instead of signs. Output limited to 8 vectors "
+    "for the artifact; the plan is identical at any corpus size.",
+)

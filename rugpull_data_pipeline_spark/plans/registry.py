@@ -219,5 +219,6 @@ def _load_plan_modules() -> None:
     from . import mlprep_ops  # noqa: F401
     from . import traindata_ops  # noqa: F401
     from . import stats_eval  # noqa: F401
+    from . import feature_ops  # noqa: F401
 
     _LOADED = True

@@ -67,6 +67,8 @@ _NLJ_ALLOWED = {
     "eval_threshold_sweep",  # 5-row threshold grid x distinct-cents grid
     "mlprep_quantile_binning",  # 1-row total-count broadcast onto the grid
     "agg_mutual_info",  # 1-row n broadcast onto cells/marginals
+    "events_rfm_segments",  # 1-row horizon/total broadcasts onto metric grids
+    "sim_random_projection16",  # 16x64 sign-matrix sequence cross join
 }
 
 
