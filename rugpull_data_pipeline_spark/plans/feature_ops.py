@@ -294,3 +294,127 @@ _pair(
     "emitting magnitudes instead of signs. Output limited to 8 vectors "
     "for the artifact; the plan is identical at any corpus size.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (custom sequential operator via applyInPandas)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 0.5: multiplication by 0.5 is EXACT in IEEE doubles, so the
+# Python kernel and the recursive-CTE oracle execute the identical op tree
+# (halve, add) and stay bit-equal through the whole fold.
+
+_HOLT_BUCKETS_SQL = {
+    # hour-bucketed per-type means: the series length is bounded by
+    # calendar hours, not input rows, at any scale.
+    "spark": """
+    SELECT event_type,
+        cast(floor(unix_timestamp(ts) / 3600) as bigint) AS hr,
+        cast(sum(cast(value as decimal(38,6))) as double)
+            / cast(count(value) as double) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, cast(floor(unix_timestamp(ts) / 3600) as bigint)
+    """,
+    "duck": """
+    SELECT event_type,
+        cast(floor(epoch(ts) / 3600) as bigint) AS hr,
+        cast(sum(cast(value as decimal(38,6))) as double)
+            / cast(count(value) as double) AS y
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, cast(floor(epoch(ts) / 3600) as bigint)
+    """,
+}
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE buckets AS ({_HOLT_BUCKETS_SQL['duck']}),
+arr AS MATERIALIZED (
+    SELECT event_type,
+        list(y ORDER BY hr) AS ys,
+        list(hr ORDER BY hr) AS hrs,
+        count(*) AS n
+    FROM buckets GROUP BY event_type
+),
+walk AS (
+    SELECT event_type, 1 AS i, ys[1] AS l, cast(0 as double) AS b
+    FROM arr WHERE n >= 1
+    UNION ALL
+    SELECT w.event_type, w.i + 1,
+        0.5 * a.ys[w.i + 1] + 0.5 * (w.l + w.b),
+        0.5 * ((0.5 * a.ys[w.i + 1] + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b
+    FROM walk w JOIN arr a ON a.event_type = w.event_type
+    WHERE w.i < a.n
+)
+SELECT w.event_type, a.hrs[w.i] AS hr,
+    round(w.l, 6) AS level, round(w.b, 6) AS trend,
+    round(w.l + w.b, 6) AS forecast_next
+FROM walk w JOIN arr a ON a.event_type = w.event_type
+ORDER BY w.event_type, hr
+"""
+
+
+@register(
+    "window_holt_linear",
+    oracle=_HOLT_ORACLE,
+    tags=("window", "series", "udf"),
+    doc="Holt double exponential smoothing (level + trend, alpha = beta = "
+    "0.5) over hour-bucketed per-type value means — the trend-aware "
+    "forecaster window_ewma_halflife cannot express (EWMA has no trend "
+    "state), and a genuinely SEQUENTIAL fold Spark has no built-in for: "
+    "implemented as a grouped applyInPandas kernel (one Arrow frame per "
+    "type, series bounded by calendar hours). Halving is exact in IEEE, "
+    "so the Python kernel and the recursive-CTE oracle execute the "
+    "identical op tree and agree bit-for-bit; outputs rounded 6 dp.",
+)
+def window_holt_linear(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..session import ship_package
+
+    ship_package(spark)
+    buckets = spark.sql(_HOLT_BUCKETS_SQL["spark"])
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("hr", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_next", T.DoubleType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        lvl, trd = [], []
+        l = b = 0.0
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            if i == 0:
+                l, b = y, 0.0
+            else:
+                nl = 0.5 * y + 0.5 * (l + b)
+                b = 0.5 * (nl - l) + 0.5 * b
+                l = nl
+            lvl.append(l)
+            trd.append(b)
+        out = pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hr": pdf["hr"],
+                "level": lvl,
+                "trend": trd,
+            }
+        )
+        out["forecast_next"] = out["level"] + out["trend"]
+        return out
+
+    folded = buckets.groupBy("event_type").applyInPandas(fold, schema)
+    folded.createOrReplaceTempView("holt_folded")
+    return spark.sql(
+        """
+        SELECT event_type, hr, round(level, 6) AS level,
+            round(trend, 6) AS trend,
+            round(forecast_next, 6) AS forecast_next
+        FROM holt_folded ORDER BY event_type, hr
+        """
+    )

@@ -103,3 +103,19 @@ def test_jl_projection_is_linear(hand_views):
     assert len(p0) == 16 and len(p1) == 16
     for j in range(16):
         assert p1[j] == pytest.approx(2 * p0[j], abs=1e-5)
+
+
+def test_holt_fold_matches_hand_computation(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.feature_ops import window_holt_linear
+    # one type, three hour buckets with means 4, 8, 16:
+    # l1=4 b1=0; l2=.5*8+.5*4=6, b2=.5*2+0=1; l3=.5*16+.5*7=11.5, b3=.5*5.5+.5=3.25
+    rows = [
+        (1, 100, 1, "click", 4.0, "{}"),
+        (2, 3700, 1, "click", 8.0, "{}"),
+        (3, 7300, 1, "click", 16.0, "{}"),
+    ]
+    _mk_events(spark, rows)
+    got = [(r.level, r.trend, r.forecast_next)
+           for r in window_holt_linear(spark, "unused").collect()]
+    assert got == [(4.0, 0.0, 4.0), (6.0, 1.0, 7.0), (11.5, 3.25, 14.75)]
