@@ -164,15 +164,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_lang_confusion",
     "agg_gini_value",
 )
-# Round-6 rotation candidates: (a) the 6 carried over from this window —
-# window_rolling_median, window_acf_lags, window_seasonal_baseline,
-# agg_series_correlation, agg_linreg_daily, text_whitespace_normalize —
-# (b) any query registered after round 5's window closed, and (c) rotating
-# RE-PROOFS, oldest-verified-first (the round-2 relational/TPC-H block),
-# which is the standing policy: every query re-earns a driver-green row
-# within a trailing three-round horizon. Recompute the authoritative
-# never-checked set as set(all_queries()) − union(CORRECTNESS_r02..r05 keys)
-# rather than trusting this comment.
+# Round-6 rotation plan: round 5 (correctly) froze this window on the
+# round-4b backlog BEFORE adding its own ~45-query eval/statistics/
+# feature tier (stats_eval.py, feature_ops.py, the late traindata/stream
+# ops), so the never-checked carry-over now spans TWO rotations
+# (tests/test_correctness_oracle.py::test_driver_window_rotation caps it
+# at 90). Round 6 takes the 45 highest-value carried queries + 5
+# oldest-first RE-PROOFS (start with the round-2 relational/TPC-H block);
+# round 7 absorbs the remainder and resumes the standing re-proof cadence.
+# Recompute the authoritative never-checked set as
+# set(all_queries()) − union(CORRECTNESS_r02..r05 keys) rather than
+# trusting this comment.
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

@@ -1000,3 +1000,130 @@ def graph_label_prop2(spark, sf_dir):
     return spark.sql(
         _label_prop(SPARK, edges_src="SELECT u, v FROM lpa_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH recall audit (1-probe vs Hamming-1 probing vs exact)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_buckets(d: str) -> str:
+    """(vec_id, bucket) — identical construction to sim_lsh_hyperplane_ann
+    (llm_ops), so this audits exactly that operator's bucketing."""
+    from .llm_ops import _N_PLANES, _emb_dims
+
+    sign_h = S.portable_hash64(
+        "concat('hp-', cast(j as string), ':', cast(dim as string))", d
+    )
+    if d == SPARK:
+        jseq = f"SELECT explode(sequence(0, {_N_PLANES - 1})) AS j"
+        dimseq = (
+            "SELECT explode(sequence(1, "
+            "(SELECT max(size(embedding)) FROM embeddings))) AS dim"
+        )
+    else:
+        jseq = f"SELECT unnest(range(0, {_N_PLANES})) AS j"
+        dimseq = (
+            "SELECT unnest(range(1, "
+            "(SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim"
+        )
+    return f"""
+    SELECT vec_id,
+        cast(sum({S.shift_left('cast(bit as bigint)', 'j', d)}) as bigint)
+            AS bucket
+    FROM (
+        SELECT e.vec_id, p.j,
+            CASE WHEN sum(cast(e.v * p.s as decimal(38,9))) >= 0
+                 THEN 1 ELSE 0 END AS bit
+        FROM ({_emb_dims(d)}) e
+        JOIN (
+            SELECT j, dim,
+                CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+            FROM ({dimseq}) dims CROSS JOIN ({jseq}) js
+        ) p ON e.dim = p.dim
+        GROUP BY e.vec_id, p.j
+    ) bits GROUP BY vec_id
+    """
+
+
+def _multiprobe_recall(d: str) -> str:
+    from .llm_ops import _N_PLANES, _cosine, _sim_topk
+
+    cos = _cosine(d, "q.embedding", "c.embedding")
+    flip = S.bit_xor2("q.bucket", S.shift_left("cast(1 as bigint)", "i", d), d)
+    probes = f"""
+        SELECT q.query_id, q.embedding,
+            CASE WHEN i = -1 THEN q.bucket ELSE {flip} END AS probe
+        FROM queries q
+        CROSS JOIN (SELECT 1 AS one) o
+            {S.explode_seq('i', '-1', str(_N_PLANES - 1), d)}
+    """
+    return f"""
+    WITH exact AS ({_sim_topk(d)}),
+    buckets AS ({_lsh_buckets(d)}),
+    queries AS (
+        SELECT e.vec_id AS query_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+        WHERE e.vec_id < 5
+    ),
+    probes AS ({probes}),
+    cand AS (
+        SELECT DISTINCT p.query_id, p.embedding, cb.vec_id,
+            CASE WHEN cb.bucket = q1.bucket THEN 1 ELSE 0 END AS in_home
+        FROM probes p
+        JOIN buckets cb ON cb.bucket = p.probe
+        JOIN queries q1 ON q1.query_id = p.query_id
+        WHERE cb.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT cand.query_id, cand.vec_id, cand.in_home,
+            row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY round({cos}, 6) DESC, cand.vec_id) AS rnk
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+        JOIN queries q ON q.query_id = cand.query_id
+    ),
+    top_multi AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 10),
+    ranked_home AS (
+        SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id
+                ORDER BY rnk) AS hrnk
+        FROM ranked WHERE in_home = 1
+    ),
+    top_home AS (SELECT query_id, vec_id FROM ranked_home WHERE hrnk <= 10),
+    per AS (
+        SELECT e.query_id, count(*) AS k_exact,
+            {S.isum('CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END', d)}
+                AS hits_home,
+            {S.isum('CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END', d)}
+                AS hits_multi
+        FROM exact e
+        LEFT JOIN top_home h
+            ON h.query_id = e.query_id AND h.vec_id = e.vec_id
+        LEFT JOIN top_multi m
+            ON m.query_id = e.query_id AND m.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, k_exact, hits_home, hits_multi,
+        round(cast(hits_home as double) / cast(k_exact as double), 6)
+            AS recall_home,
+        round(cast(hits_multi as double) / cast(k_exact as double), 6)
+            AS recall_multi
+    FROM per
+    ORDER BY query_id
+    """
+
+
+_pair(
+    "audit_multiprobe_recall",
+    _multiprobe_recall,
+    tags=("similarity", "audit"),
+    doc="Multi-probe LSH audit (Lv et al. 2007): each query probes its home "
+    "bucket PLUS the 4 Hamming-1 neighbor buckets (bucket XOR one plane "
+    "bit), and recall@10 vs the brute-force ground truth is reported "
+    "side-by-side for home-only vs multi-probe retrieval — the "
+    "measurement behind the 100 TB trade of probing a few extra buckets "
+    "instead of storing more hash tables. Probe expansion is a 5-way "
+    "sequence fan-out on the query side only (candidates stay "
+    "equi-joined on the bucket key); recall counting is pure integer.",
+)

@@ -69,6 +69,7 @@ _NLJ_ALLOWED = {
     "agg_mutual_info",  # 1-row n broadcast onto cells/marginals
     "events_rfm_segments",  # 1-row horizon/total broadcasts onto metric grids
     "sim_random_projection16",  # 16x64 sign-matrix sequence cross join
+    "audit_multiprobe_recall",  # composes the brute-force + LSH probes
 }
 
 

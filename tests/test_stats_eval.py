@@ -295,3 +295,16 @@ def test_label_prop_merges_connected_clique_to_min_label(hand_views):
     _mk_events(spark, rows)
     got = {r.community: r.n_members for r in spark.sql(_label_prop(SPARK)).collect()}
     assert got == {1: 3, 8: 2}
+
+
+def test_multiprobe_recall_dominates_home_bucket(spark):
+    """Probing Hamming-1 neighbors can only ADD candidates, so multi-probe
+    recall is >= home-bucket recall for every query."""
+    from rugpull_data_pipeline_spark.plans import registry
+
+    df = registry.get("audit_multiprobe_recall").builder(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(df) == 5
+    assert (df.hits_multi >= df.hits_home).all()
+    assert ((df.recall_multi >= 0) & (df.recall_multi <= 1)).all()
