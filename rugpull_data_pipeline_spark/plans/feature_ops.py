@@ -418,3 +418,128 @@ def window_holt_linear(spark, sf_dir):
         FROM holt_folded ORDER BY event_type, hr
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (hash-Poisson resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 8
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! partial sums),
+# quantized to 12 dp literals so both engines compare against the exact
+# same double constants.
+_POIS_CDF = ["0.367879441171", "0.735758882343", "0.919698602929",
+             "0.980988245625", "0.996340153299"]
+
+
+def _bootstrap(d: str) -> str:
+    u = (
+        f"cast({S.portable_hash64('concat(cast(event_id as string), chr(45), cast(b as string))', d)}"
+        " as double) / cast(1152921504606846976 as double)"
+    )
+    k = "CASE " + " ".join(
+        f"WHEN u < cast({t} as double) THEN {i}"
+        for i, t in enumerate(_POIS_CDF)
+    ) + " ELSE 5 END"
+    seq = S.explode_seq("b", "0", str(_BOOT_B - 1), d)
+    return f"""
+    WITH fan AS (
+        SELECT b, value,
+            {u} AS u
+        FROM events CROSS JOIN (SELECT 1 AS one) o {seq}
+        WHERE value IS NOT NULL
+    ),
+    weighted AS (SELECT b, value, {k} AS k FROM fan),
+    res AS (
+        -- one pseudo-resample mean per replicate: exact decimal sums of
+        -- k-weighted values over deterministic Poisson(1) counts.
+        SELECT b,
+            {S.dsum('value * cast(k as double)', d)}
+                / cast({S.isum('k', d)} as double) AS m
+        FROM weighted GROUP BY b
+    ),
+    pt AS (
+        SELECT {S.dsum('value', d)} / cast(count(*) as double) AS mean_value
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT round(pt.mean_value, 6) AS mean_value,
+        round(min(res.m), 6) AS boot_lo,
+        round(max(res.m), 6) AS boot_hi,
+        round(sqrt({S.dsum('res.m * res.m', d)} / cast({_BOOT_B} as double)
+            - ({S.dsum('res.m', d)} / cast({_BOOT_B} as double))
+            * ({S.dsum('res.m', d)} / cast({_BOOT_B} as double))), 6)
+            AS boot_sd,
+        cast({_BOOT_B} as int) AS n_replicates
+    FROM res CROSS JOIN pt
+    GROUP BY pt.mean_value
+    """
+
+
+_pair(
+    "sample_bootstrap_hash",
+    _bootstrap,
+    tags=("sampling", "eval"),
+    doc=f"Bootstrap CI for the mean event value from {_BOOT_B} DETERMINISTIC "
+    "pseudo-resamples: each (row, replicate) draws a Poisson(1) "
+    "multiplicity from the portable hash through the exact inverse-CDF "
+    "thresholds — the online-bootstrap trick (Oza-Russell) that replaces "
+    "with-replacement sampling with independent per-row counts, needs no "
+    "rand() and no global shuffle, and reproduces bit-for-bit across "
+    "engines, runs, and partitionings. One fan-out x8 (map-side "
+    "generator), one hash-agg per replicate, algebra on 8 means.",
+)
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (k = 2, two rounds) over the user co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+
+
+def _kcore(d: str, edges_src: str | None = None) -> str:
+    from .stats_eval import _lpa_edges
+
+    if edges_src is None:
+        edges_src = _lpa_edges(d)
+    return f"""
+    WITH edges AS ({edges_src}),
+    sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ),
+    deg0 AS (SELECT u, count(*) AS dg FROM sym GROUP BY u),
+    alive1 AS (SELECT u FROM deg0 WHERE dg >= {_KCORE_K}),
+    sym1 AS (
+        SELECT s.u, s.v FROM sym s
+        JOIN alive1 a ON a.u = s.u
+        JOIN alive1 b ON b.u = s.v
+    ),
+    deg1 AS (SELECT u, count(*) AS dg FROM sym1 GROUP BY u),
+    core AS (SELECT u, dg FROM deg1 WHERE dg >= {_KCORE_K})
+    SELECT u AS user_id, cast(dg as bigint) AS core_degree
+    FROM core
+    ORDER BY core_degree DESC, user_id
+    LIMIT 20
+    """
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore(DUCK),
+    tags=("graph", "iterative"),
+    doc=f"k-core peeling (k = {_KCORE_K}, one full peel round — degree, "
+    "prune, re-degree) over the capped user co-occurrence graph: nodes "
+    "surviving with in-core degree >= k after their weakly-attached "
+    "neighbors are removed — the cohesion screen that separates organic "
+    "activity clusters from star-shaped wash patterns (a hub with "
+    "one-shot satellites loses its core degree when the satellites "
+    "peel). Edge table localCheckpointed once, then two degree "
+    "hash-aggs and two semi-join prunes, all equi-joins; top-20 by "
+    "TakeOrderedAndProject.",
+)
+def graph_kcore_peel(spark, sf_dir):
+    from .stats_eval import _lpa_edges
+
+    edges = spark.sql(_lpa_edges(SPARK)).localCheckpoint()
+    edges.createOrReplaceTempView("kcore_edges")
+    return spark.sql(_kcore(SPARK, edges_src="SELECT u, v FROM kcore_edges"))

@@ -119,3 +119,28 @@ def test_holt_fold_matches_hand_computation(hand_views):
     got = [(r.level, r.trend, r.forecast_next)
            for r in window_holt_linear(spark, "unused").collect()]
     assert got == [(4.0, 0.0, 4.0), (6.0, 1.0, 7.0), (11.5, 3.25, 14.75)]
+
+
+def test_bootstrap_constant_values_collapse_interval(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.feature_ops import _bootstrap
+    # constant value -> every resample mean equals it exactly: the CI
+    # collapses to a point and the bootstrap sd is 0.
+    _mk_events(spark, [(i, 10 * i, 1, "click", 7.0, "{}") for i in range(20)])
+    row = spark.sql(_bootstrap(SPARK)).collect()[0]
+    assert row.mean_value == 7.0
+    assert row.boot_lo == 7.0 and row.boot_hi == 7.0 and row.boot_sd == 0.0
+    assert row.n_replicates == 8
+
+
+def test_kcore_peels_pendant_but_keeps_triangle(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.feature_ops import graph_kcore_peel
+    # users 1,2,3 form a triangle (one shared hour); user 4 attaches to 1
+    # only (separate hour) -> pendant peels, triangle survives at degree 2.
+    rows = [(i, 100 + i, u, "a", 1.0, "{}") for i, u in enumerate([1, 2, 3])]
+    rows += [(10 + i, 7200 + i, u, "b", 1.0, "{}") for i, u in enumerate([1, 4])]
+    _mk_events(spark, rows)
+    got = {r.user_id: r.core_degree
+           for r in graph_kcore_peel(spark, "unused").collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

@@ -70,6 +70,7 @@ _NLJ_ALLOWED = {
     "events_rfm_segments",  # 1-row horizon/total broadcasts onto metric grids
     "sim_random_projection16",  # 16x64 sign-matrix sequence cross join
     "audit_multiprobe_recall",  # composes the brute-force + LSH probes
+    "sample_bootstrap_hash",  # 1-row point-estimate broadcast
 }
 
 
