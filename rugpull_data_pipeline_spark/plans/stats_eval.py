@@ -495,12 +495,14 @@ def _pca_xv(d: str) -> str:
     )
 
 
-def _pca_oracle() -> str:
+def _pca_cte_chain() -> str:
     # Rounds unrolled as chained CTEs (the kmeans/logreg oracle
     # convention). v0 = 1/8 in every coordinate (unit norm for 64 dims);
     # each matvec y = X v, c = X^T y runs as decimal-exact sums with the
     # 64 components re-quantized to 6 dp between rounds — mirroring the
     # Spark builder's collect → round → literal-rebroadcast exactly.
+    # Ends with a ``loading`` CTE (dm, l) so compositions (the whitened
+    # re-rank) can extend the chain.
     parts = [f"WITH xv AS ({_pca_xv(DUCK)})"]
     prev_v = None  # CTE name holding (dm, m)
     for r in range(1, _PCA_ROUNDS + 1):
@@ -523,15 +525,25 @@ def _pca_oracle() -> str:
         )
         prev_v = f"c{r}"
     last = prev_v
-    return (
+    chain = (
         ",\n".join(parts)
         + f""",
     nrm AS (
         SELECT sqrt({S.dsum('m * m', DUCK)}) AS nr FROM {last}
+    ),
+    loading AS (
+        SELECT {last}.dm, round({last}.m / nrm.nr, 6) AS l
+        FROM {last}, nrm
+    )"""
     )
-    SELECT {last}.dm AS dim, round({last}.m / nrm.nr, 6) AS loading
-    FROM {last}, nrm
-    ORDER BY dim
+    return chain
+
+
+def _pca_oracle() -> str:
+    return (
+        _pca_cte_chain()
+        + """
+    SELECT dm AS dim, l AS loading FROM loading ORDER BY dim
     """
     )
 
@@ -544,6 +556,34 @@ def _round_half_up6(x: float) -> float:
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+def _pca_power_components(spark) -> list[float]:
+    """Run the 2-round power iteration; return the 6-dp-quantized 64-float
+    UNnormalized second-round component vector (matches the oracle's c2)."""
+    xv = spark.sql(_pca_xv(SPARK)).localCheckpoint()
+    xv.createOrReplaceTempView("pca_xv")
+    v = [0.125] * _PCA_DIMS
+    for _ in range(_PCA_ROUNDS):
+        vals = ", ".join(
+            f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS)
+        )
+        comp = spark.sql(
+            f"""
+            WITH vt AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
+            y AS (
+                SELECT xv.vec_id, {S.dsum('xv.x * vt.m', SPARK)} AS y
+                FROM pca_xv xv JOIN vt ON xv.dm = vt.dm GROUP BY xv.vec_id
+            )
+            SELECT xv.dm, round({S.dsum('y.y * xv.x', SPARK)}, 6) AS m
+            FROM pca_xv xv JOIN y ON xv.vec_id = y.vec_id GROUP BY xv.dm
+            """
+        ).collect()
+        nxt = [0.0] * _PCA_DIMS
+        for row in comp:
+            nxt[row["dm"]] = _round_half_up6(row["m"])
+        v = nxt
+    return v
 
 
 @register(
@@ -563,28 +603,7 @@ def _round_half_up6(x: float) -> float:
     "over decimal-exact sums.",
 )
 def sim_pca_power1(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    xv = spark.sql(_pca_xv(SPARK)).localCheckpoint()
-    xv.createOrReplaceTempView("pca_xv")
-    v = [0.125] * _PCA_DIMS
-    for _ in range(_PCA_ROUNDS):
-        vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
-        comp = spark.sql(
-            f"""
-            WITH vt AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
-            y AS (
-                SELECT xv.vec_id, {S.dsum('xv.x * vt.m', SPARK)} AS y
-                FROM pca_xv xv JOIN vt ON xv.dm = vt.dm GROUP BY xv.vec_id
-            )
-            SELECT xv.dm, round({S.dsum('y.y * xv.x', SPARK)}, 6) AS m
-            FROM pca_xv xv JOIN y ON xv.vec_id = y.vec_id GROUP BY xv.dm
-            """
-        ).collect()
-        nxt = [0.0] * _PCA_DIMS
-        for row in comp:
-            nxt[row["dm"]] = _round_half_up6(row["m"])
-        v = nxt
+    v = _pca_power_components(spark)
     vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
     return spark.sql(
         f"""
@@ -1127,3 +1146,91 @@ _pair(
     "sequence fan-out on the query side only (candidates stay "
     "equi-joined on the bucket key); recall counting is pure integer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# All-but-the-top whitened cosine re-rank (PCA composition)
+# ---------------------------------------------------------------------------
+
+
+def _whiten_body(d: str) -> str:
+    """From CTEs ``xv`` (vec_id, dm, x) and ``loading`` (dm, l): deflate
+    every vector by its top-PC projection and rank cosine top-5 for the
+    5 query vectors. Appended after the PCA chain (oracle) or literal
+    loading CTEs (Spark builder)."""
+    return f"""
+    proj AS (
+        SELECT xv.vec_id, round({S.dsum('xv.x * ld.l', d)}, 9) AS p
+        FROM xv JOIN loading ld ON xv.dm = ld.dm GROUP BY xv.vec_id
+    ),
+    defl AS (
+        SELECT xv.vec_id, xv.dm, xv.x - proj.p * ld.l AS xd
+        FROM xv
+        JOIN proj ON proj.vec_id = xv.vec_id
+        JOIN loading ld ON ld.dm = xv.dm
+    ),
+    nv AS (
+        SELECT vec_id, sqrt({S.dsum('xd * xd', d)}) AS nrm2
+        FROM defl GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+            {S.dsum('q.xd * c.xd', d)} AS dp
+        FROM (SELECT * FROM defl WHERE vec_id < 5) q
+        JOIN defl c ON c.dm = q.dm AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+        SELECT dots.qid, dots.cid,
+            round(dots.dp / (a.nrm2 * b.nrm2), 6) AS cosine
+        FROM dots
+        JOIN nv a ON a.vec_id = dots.qid
+        JOIN nv b ON b.vec_id = dots.cid
+        WHERE a.nrm2 * b.nrm2 > 0
+    )
+    SELECT qid AS query_id, cid AS vec_id, cosine,
+        cast(rnk as int) AS rnk
+    FROM (
+        SELECT qid, cid, cosine, row_number() OVER (
+            PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+        FROM scored
+    ) r
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+def _whiten_oracle() -> str:
+    return _pca_cte_chain() + ",\n" + _whiten_body(DUCK)
+
+
+@register(
+    "sim_whiten_rerank",
+    oracle=_whiten_oracle(),
+    tags=("similarity", "iterative"),
+    doc="All-but-the-top whitened retrieval (Mu & Viswanath 2018): every "
+    "embedding is deflated by its projection onto the corpus's top "
+    "principal direction (sim_pca_power1's 2-round power iteration, "
+    "composed inline) BEFORE cosine ranking — removing the anisotropic "
+    "common direction that inflates all similarities and hides true "
+    "neighbors. Top-5 per query over the deflated vectors; projections "
+    "9-dp-quantized and all sums decimal-exact, so the whole "
+    "PCA-then-rerank composition hash-matches the unrolled oracle. The "
+    "deflation is a map-side subtraction once the 64-float direction "
+    "broadcasts — at 100 TB it rides the same scan as the ranking.",
+)
+def sim_whiten_rerank(spark, sf_dir):
+    comp = _pca_power_components(spark)
+    vals = ", ".join(
+        f"({i}, cast({comp[i]!r} as double))" for i in range(_PCA_DIMS)
+    )
+    return spark.sql(
+        f"""
+        WITH xv AS (SELECT * FROM pca_xv),
+        ct AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
+        nrm AS (SELECT sqrt({S.dsum('m * m', SPARK)}) AS nr FROM ct),
+        loading AS (SELECT ct.dm, round(ct.m / nrm.nr, 6) AS l
+                    FROM ct, nrm),
+        {_whiten_body(SPARK)}
+        """
+    )

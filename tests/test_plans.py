@@ -71,6 +71,7 @@ _NLJ_ALLOWED = {
     "sim_random_projection16",  # 16x64 sign-matrix sequence cross join
     "audit_multiprobe_recall",  # composes the brute-force + LSH probes
     "sample_bootstrap_hash",  # 1-row point-estimate broadcast
+    "sim_whiten_rerank",  # 1-row norm broadcast + 64-row loading table
 }
 
 

@@ -308,3 +308,28 @@ def test_multiprobe_recall_dominates_home_bucket(spark):
     assert len(df) == 5
     assert (df.hits_multi >= df.hits_home).all()
     assert ((df.recall_multi >= 0) & (df.recall_multi <= 1)).all()
+
+
+def test_whiten_rerank_removes_common_direction(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import sim_whiten_rerank
+    # All vectors share a big component on dim 0 (the anisotropic common
+    # direction) plus a small id-specific signal on dim 1+vec_id%2.
+    # Raw cosine would rank everything ~1; after deflating the top PC the
+    # parity-mates (same signal dim) must outrank the others.
+    rows = []
+    for i in range(6):
+        v = [10.0] + [0.0] * 63
+        v[1 + i % 2] += 1.0
+        rows.append((i, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    out = sim_whiten_rerank(spark, "unused").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, lst in by_q.items():
+        mates = {v for v in range(6) if v % 2 == q % 2 and v != q}
+        top = {r.vec_id for r in lst if r.rnk <= len(mates)}
+        assert top == mates, f"query {q}: {top} != {mates}"
