@@ -1234,3 +1234,184 @@ def sim_whiten_rerank(spark, sf_dir):
         {_whiten_body(SPARK)}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (tie-corrected, integer moments)
+# ---------------------------------------------------------------------------
+
+
+def _spearman_ranks(src: str, col: str, d: str) -> str:
+    """(v, r2) doubled average rank per distinct value of ``col`` — the
+    AUC trick: 2*avg_rank = 2*count_below + count_equal + 1 stays integer."""
+    return f"""
+        SELECT v, 2 * coalesce(cast(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint),
+                0) + c + 1 AS r2
+        FROM (SELECT {col} AS v, count(*) AS c FROM {src} GROUP BY {col}) g
+    """
+
+
+def _spearman(d: str) -> str:
+    return f"""
+    WITH um AS (
+        SELECT user_id, cast(count(*) as bigint) AS f,
+            cast(sum(cast(floor(value * cast(100 as double)) as bigint))
+                as bigint) AS m
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    fr AS ({_spearman_ranks('um', 'f', d)}),
+    mr AS ({_spearman_ranks('um', 'm', d)}),
+    ranked AS (
+        SELECT fr.r2 AS x, mr.r2 AS y
+        FROM um JOIN fr ON fr.v = um.f JOIN mr ON mr.v = um.m
+    ),
+    mom AS (
+        SELECT cast(count(*) as bigint) AS n,
+            {S.isum('x', d)} AS sx, {S.isum('y', d)} AS sy,
+            {S.isum('x * y', d)} AS sxy,
+            {S.isum('x * x', d)} AS sxx, {S.isum('y * y', d)} AS syy
+        FROM ranked
+    )
+    SELECT n AS n_users,
+        round(cast(n * sxy - sx * sy as double)
+            / sqrt(cast(n * sxx - sx * sx as double)
+                 * cast(n * syy - sy * sy as double)), 6) AS spearman_rho
+    FROM mom
+    """
+
+
+_pair(
+    "eval_spearman_rho",
+    _spearman,
+    tags=("eval", "profiling"),
+    doc="Spearman rank correlation between per-user activity (event count) "
+    "and spend (summed cents) — does frequency predict monetary value "
+    "monotonically? Tie-corrected via DOUBLED average ranks (2*below + "
+    "equal + 1, the eval_auc_roc trick), which keeps every moment sum "
+    "in exact integer arithmetic; one double sqrt/division at the end. "
+    "Rank tables live on the distinct-value grids; the fact-side cost "
+    "is one per-user hash-agg.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per type (10th/90th percentile clamp, integer grid rule)
+# ---------------------------------------------------------------------------
+
+
+def _winsorized(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT event_type, {_CENTS} AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, v, count(*) AS c
+        FROM sl GROUP BY event_type, v
+    ),
+    cum AS (
+        SELECT event_type, v, c,
+            cast(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                as bigint) AS le
+        FROM g
+    ),
+    tot AS (
+        SELECT event_type, {S.isum('c', d)} AS n FROM g GROUP BY event_type
+    ),
+    cuts AS (
+        -- p10 = smallest v with 10*count_le >= n; p90 likewise with 9n:
+        -- pure integer comparisons, no interpolation.
+        SELECT cum.event_type,
+            min(CASE WHEN 10 * cum.le >= tot.n THEN cum.v END) AS p10,
+            min(CASE WHEN 10 * cum.le >= 9 * tot.n THEN cum.v END) AS p90
+        FROM cum JOIN tot ON tot.event_type = cum.event_type
+        GROUP BY cum.event_type
+    )
+    SELECT sl.event_type, max(cuts.p10) AS p10_cents,
+        max(cuts.p90) AS p90_cents,
+        round({S.dsum(
+            'cast(least(greatest(sl.v, cuts.p10), cuts.p90) as double)'
+            ' / cast(100 as double)', d)}
+            / cast(count(*) as double), 6) AS winsorized_mean,
+        round({S.dsum('cast(sl.v as double) / cast(100 as double)', d)}
+            / cast(count(*) as double), 6) AS raw_mean
+    FROM sl JOIN cuts ON cuts.event_type = sl.event_type
+    GROUP BY sl.event_type
+    ORDER BY sl.event_type
+    """
+
+
+_pair(
+    "agg_winsorized_mean",
+    _winsorized,
+    tags=("agg", "profiling"),
+    doc="Winsorized mean per event_type (values clamped to the [p10, p90] "
+    "band) next to the raw mean — the outlier-robust location estimate a "
+    "wash-trade-contaminated value stream needs. Percentile cuts come "
+    "from pure integer threshold comparisons on the per-type cents grid "
+    "(smallest v with 10*count_le >= k*n — no interpolation to diverge "
+    "across engines); clamped sums are decimal-exact.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time statistics per event type
+# ---------------------------------------------------------------------------
+
+
+def _interarrival(d: str) -> str:
+    ep = S.epoch_s("ts", d)
+    return f"""
+    WITH ordered AS (
+        SELECT event_type, {ep} AS t,
+            lag({ep}) OVER (PARTITION BY event_type
+                ORDER BY {ep}, event_id) AS prev_t
+        FROM events
+    ),
+    deltas AS (
+        SELECT event_type, cast(t - prev_t as bigint) AS dt
+        FROM ordered WHERE prev_t IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, dt, count(*) AS c
+        FROM deltas GROUP BY event_type, dt
+    ),
+    cum AS (
+        SELECT event_type, dt, c,
+            cast(sum(c) OVER (PARTITION BY event_type ORDER BY dt)
+                as bigint) AS le
+        FROM g
+    ),
+    tot AS (
+        SELECT event_type, {S.isum('c', d)} AS n FROM g GROUP BY event_type
+    ),
+    med AS (
+        SELECT cum.event_type,
+            min(CASE WHEN 2 * cum.le >= tot.n THEN cum.dt END) AS median_s
+        FROM cum JOIN tot ON tot.event_type = cum.event_type
+        GROUP BY cum.event_type
+    )
+    SELECT d2.event_type, cast(count(*) as bigint) AS n_gaps,
+        min(d2.dt) AS min_gap_s, max(d2.dt) AS max_gap_s,
+        max(med.median_s) AS median_gap_s,
+        round({S.dsum('cast(d2.dt as double)', d)}
+            / cast(count(*) as double), 6) AS mean_gap_s
+    FROM deltas d2 JOIN med ON med.event_type = d2.event_type
+    GROUP BY d2.event_type
+    ORDER BY d2.event_type
+    """
+
+
+_pair(
+    "events_interarrival_stats",
+    _interarrival,
+    tags=("events", "profiling", "series"),
+    doc="Inter-arrival time distribution per event_type (n/min/median/mean/"
+    "max gap seconds) — the cadence fingerprint that separates organic "
+    "activity from scripted bursts (bot buys arrive metronomically; the "
+    "reference's poller cadence itself shows up as such a signature). "
+    "One lag window per type partition (deterministic ts, event_id "
+    "ordering), then integer gap stats on the per-type delta grid; the "
+    "median is an integer threshold pick, no interpolation.",
+)

@@ -333,3 +333,51 @@ def test_whiten_rerank_removes_common_direction(hand_views):
         mates = {v for v in range(6) if v % 2 == q % 2 and v != q}
         top = {r.vec_id for r in lst if r.rnk <= len(mates)}
         assert top == mates, f"query {q}: {top} != {mates}"
+
+
+def test_spearman_perfect_monotone_and_inverse(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _spearman
+    # frequency and spend rise together across users -> rho = 1.
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        for _ in range(u):  # user u has u events of value 10*u
+            rows.append((eid, 100 * eid, u, "click", 10.0 * u)); eid += 1
+    _mk_events(spark, rows)
+    row = spark.sql(_spearman(SPARK)).collect()[0]
+    assert row.n_users == 4 and row.spearman_rho == 1.0
+    # invert the spend ordering (per-event value falls faster than the
+    # event count rises, so total spend strictly decreases) -> rho = -1.
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        for _ in range(u):
+            rows.append((eid, 100 * eid, u, "click", 10.0 / (u * u))); eid += 1
+    _mk_events(spark, rows)
+    row = spark.sql(_spearman(SPARK)).collect()[0]
+    assert row.spearman_rho == -1.0
+
+
+def test_winsorized_mean_clamps_outlier(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _winsorized
+    # nine 10.00s and one 1000.00: p90 cut clamps the spike to 10.00.
+    rows = [(i, 10 * i, 1, "click", 10.0) for i in range(9)]
+    rows.append((9, 90, 1, "click", 1000.0))
+    _mk_events(spark, rows)
+    row = spark.sql(_winsorized(SPARK)).collect()[0]
+    assert row.p10_cents == 1000 and row.p90_cents == 1000
+    assert row.winsorized_mean == 10.0
+    assert row.raw_mean == pytest.approx(109.0)
+
+
+def test_interarrival_gaps_exact(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _interarrival
+    rows = [(i, t, 1, "click", 1.0) for i, t in enumerate([0, 10, 30, 70])]
+    _mk_events(spark, rows)
+    row = spark.sql(_interarrival(SPARK)).collect()[0]
+    assert (row.n_gaps, row.min_gap_s, row.max_gap_s) == (3, 10, 40)
+    assert row.median_gap_s == 20
+    assert row.mean_gap_s == pytest.approx(70 / 3, abs=1e-5)
