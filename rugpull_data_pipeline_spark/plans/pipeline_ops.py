@@ -1114,3 +1114,73 @@ _pair(
     "bucket aggregation, one equi self-join on the bucket key, one "
     "co-moment aggregation over the tiny pair space.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map file-skipping simulator (manifest pruning audit)
+# ---------------------------------------------------------------------------
+
+_I64_LO = -(2**62)
+_I64_HI = 2**62
+
+
+def _manifest_prune(d: str) -> str:
+    day = S.fmt_date("ts", d)
+    slot = S.idiv("hour(ts)", "3", d)
+    cents = "cast(floor(value * cast(100 as double)) as bigint)"
+    return f"""
+    WITH files AS (
+        SELECT {day} AS day, {slot} AS slot,
+            cast(count(*) * {_ROW_BYTES} as bigint) AS bytes,
+            min({cents}) AS vmin, max({cents}) AS vmax,
+            min(user_id) AS umin, max(user_id) AS umax
+        FROM events WHERE value IS NOT NULL
+        GROUP BY {day}, {slot}
+    ),
+    probes AS (
+        -- (probe, value-range, user-range); NULL bound = unbounded.
+        SELECT 'top_value_band' AS probe,
+            cast(900 as bigint) AS lo_v, cast(NULL as bigint) AS hi_v,
+            cast(NULL as bigint) AS lo_u, cast(NULL as bigint) AS hi_u
+        UNION ALL SELECT 'value_range_1_2', 100, 200, NULL, NULL
+        UNION ALL SELECT 'user_point_42', NULL, NULL, 42, 42
+        UNION ALL SELECT 'user_low_high_value', 500, NULL, 0, 99
+    ),
+    evaluated AS (
+        SELECT p.probe, f.bytes,
+            CASE WHEN coalesce(p.hi_v, {_I64_HI}) < f.vmin
+                  OR coalesce(p.lo_v, {_I64_LO}) > f.vmax
+                  OR coalesce(p.hi_u, {_I64_HI}) < f.umin
+                  OR coalesce(p.lo_u, {_I64_LO}) > f.umax
+                 THEN 1 ELSE 0 END AS skippable
+        FROM files f CROSS JOIN probes p
+    )
+    SELECT probe,
+        cast(count(*) as bigint) AS n_files,
+        {S.isum('skippable', d)} AS n_skipped,
+        round(cast({S.isum('skippable', d)} as double)
+            / cast(count(*) as double), 6) AS skip_ratio,
+        {S.isum('bytes * (1 - skippable)', d)} AS bytes_scanned,
+        {S.isum('bytes * skippable', d)} AS bytes_skipped
+    FROM evaluated
+    GROUP BY probe
+    ORDER BY probe
+    """
+
+
+_pair(
+    "layout_manifest_prune",
+    _manifest_prune,
+    tags=("layout", "profiling"),
+    doc="Zone-map file-skipping audit — the manifest-pruning step a "
+    "lakehouse scan planner performs, run as a query over file METADATA: "
+    "per file (one per 3-hour write slot) keep (min,max) zone maps for "
+    "the value and user_id columns, then evaluate four representative "
+    "probe predicates (band, range, point, conjunction) purely against "
+    "the zone maps and report the skip ratio and bytes saved. The file "
+    "stats table is orders of magnitude smaller than the data, the probe "
+    "table is 4 literal rows, so the audit costs one metadata cross "
+    "join — and the skip ratios tell you whether the CURRENT sort/"
+    "partition layout actually prunes the workload's predicates (the "
+    "decision input for layout_zorder_stats / layout_compaction_plan).",
+)

@@ -440,3 +440,59 @@ def stream_session_windows(spark, sf_dir):
         )
         q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy screen over quasi-identifier combinations)
+# ---------------------------------------------------------------------------
+
+
+def _k_anonymity(d: str) -> str:
+    # Band floors the double directly (floor division is engine-identical
+    # on negatives, unlike integer div's truncate-vs-floor split).
+    band = "cast(floor(c_acctbal / cast(1000 as double)) as bigint)"
+    return f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS seg,
+            {band} AS bal_band
+        FROM customer
+    ),
+    grp AS (
+        SELECT nation, seg, bal_band, cast(count(*) as bigint) AS sz
+        FROM qi GROUP BY nation, seg, bal_band
+    ),
+    ks AS (
+        SELECT 2 AS k UNION ALL SELECT 5 UNION ALL SELECT 10
+    ),
+    tot AS (
+        SELECT {S.isum('sz', d)} AS n_rows,
+            cast(count(*) as bigint) AS n_groups
+        FROM grp
+    )
+    SELECT ks.k,
+        max(tot.n_groups) AS n_groups,
+        {S.isum('CASE WHEN grp.sz < ks.k THEN 1 ELSE 0 END', d)}
+            AS n_violating_groups,
+        {S.isum('CASE WHEN grp.sz < ks.k THEN grp.sz ELSE 0 END', d)}
+            AS rows_at_risk,
+        round(cast({S.isum('CASE WHEN grp.sz < ks.k THEN grp.sz ELSE 0 END', d)}
+            as double) / cast(max(tot.n_rows) as double), 6) AS risk_rate
+    FROM grp CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """
+
+
+_pair(
+    "quality_k_anonymity",
+    _k_anonymity,
+    tags=("quality", "profiling", "audit"),
+    doc="k-anonymity audit over the customer quasi-identifier combination "
+    "(nation, market segment, account-balance band): for k in {2,5,10}, "
+    "how many QI equivalence classes have fewer than k members and how "
+    "many rows those classes expose — the re-identification screen a "
+    "training corpus with user-derived rows needs before release "
+    "(Sweeney 2002). One hash-agg to the QI class grid; the k sweep is "
+    "a 3-row cross join against that metadata-scale grid, so the audit "
+    "costs one aggregation pass regardless of table size.",
+)

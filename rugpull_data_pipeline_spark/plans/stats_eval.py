@@ -1415,3 +1415,241 @@ _pair(
     "ordering), then integer gap stats on the per-type delta grid; the "
     "median is an integer threshold pick, no interpolation.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins (integer-exact decile curve)
+# ---------------------------------------------------------------------------
+
+
+def _calibration(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS s,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    g AS (
+        SELECT s, cast(count(*) as bigint) AS c, {S.isum('y', d)} AS pos
+        FROM sl GROUP BY s
+    ),
+    mg AS (
+        -- the score maximum is a scalar over the distinct-cents GRID, so
+        -- the unpartitioned window max costs O(grid), never O(rows)
+        SELECT s, c, pos, max(s) OVER () AS m FROM g
+    ),
+    b AS (
+        SELECT {S.idiv('10 * s', 'm + 1', d)} AS bin,
+            c, pos, s, m FROM mg
+    )
+    SELECT cast(bin as int) AS bin,
+        {S.isum('c', d)} AS n_events,
+        {S.isum('pos', d)} AS n_pos,
+        round(cast({S.isum('s * c', d)} as double)
+            / (cast({S.isum('c', d)} as double) * cast(max(m) as double)),
+            6) AS mean_pred,
+        round(cast({S.isum('pos', d)} as double)
+            / cast({S.isum('c', d)} as double), 6) AS pos_rate
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+_pair(
+    "eval_calibration_bins",
+    _calibration,
+    tags=("eval", "mlprep"),
+    doc="Calibration / reliability curve for 'normalized event value "
+    "predicts purchase': scores are bucketed into 10 fixed-width bins "
+    "(integer arithmetic on the cents grid — bin = 10*s div (max+1)), and "
+    "each bin reports its mean normalized score next to its observed "
+    "positive rate; a calibrated signal puts the two on the diagonal. "
+    "Everything aggregates on the distinct-cents grid first, so the "
+    "global max and the bin assignment cost O(grid) not O(rows); the "
+    "only doubles are two final exact-integer divisions per bin.",
+)
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking evaluation (does length predict vocabulary richness?)
+# ---------------------------------------------------------------------------
+
+
+def _ndcg(d: str) -> str:
+    toks = _word_tokens("SELECT doc_id, lang, text FROM documents", d)
+    # Each DCG term is quantized to 9 dp before the decimal sum, the repo's
+    # standing transcendental discipline (ln accurate to ~1 ulp; a 1e-15
+    # relative wobble cannot move a 9-dp rounding except on an exact
+    # boundary, which transcendental values never hit).
+    term = (
+        "round(cast(({g}) as double)"
+        " * ln(cast(2 as double)) / ln(cast({p} + 1 as double)), 9)"
+    )
+    return f"""
+    WITH nv AS (
+        SELECT doc_id, lang, count(DISTINCT tok) AS nvoc
+        FROM ({toks}) t GROUP BY doc_id, lang
+    ),
+    scored AS (
+        SELECT nv.doc_id, nv.lang, d.n_chars,
+            least(3, {S.idiv('nv.nvoc', '8', d)}) AS rel
+        FROM nv JOIN documents d ON d.doc_id = nv.doc_id
+    ),
+    sys AS (
+        SELECT lang, rel, row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id) AS pos
+        FROM scored
+    ),
+    ideal AS (
+        SELECT lang, rel, row_number() OVER (PARTITION BY lang
+            ORDER BY rel DESC, doc_id) AS pos
+        FROM scored
+    ),
+    dcg AS (
+        SELECT lang, {S.dsum(term.format(g='power(cast(2 as double), rel) - 1', p='pos'), d)} AS v
+        FROM sys WHERE pos <= 10 GROUP BY lang
+    ),
+    idcg AS (
+        SELECT lang, {S.dsum(term.format(g='power(cast(2 as double), rel) - 1', p='pos'), d)} AS v
+        FROM ideal WHERE pos <= 10 GROUP BY lang
+    )
+    SELECT dcg.lang, round(dcg.v, 6) AS dcg_at_10,
+        round(idcg.v, 6) AS idcg_at_10,
+        round(CASE WHEN idcg.v > 0 THEN dcg.v / idcg.v ELSE 0.0 END, 6)
+            AS ndcg_at_10
+    FROM dcg JOIN idcg ON idcg.lang = dcg.lang
+    ORDER BY dcg.lang
+    """
+
+
+_pair(
+    "eval_ndcg_ranking",
+    _ndcg,
+    tags=("eval", "similarity"),
+    doc="NDCG@10 per language for the ranking 'longer documents are "
+    "richer': system order is n_chars DESC, graded relevance is the "
+    "distinct-token count bucketed to 0..3, ideal order re-sorts by "
+    "relevance itself. Both rankings are row_number windows per language "
+    "partition with a pos <= 10 filter, which Spark executes as "
+    "WindowGroupLimit — each partition keeps 10 rows, no full "
+    "materialized sort output; gains are integer, each log-discounted "
+    "term is 9-dp-quantized before the exact decimal sum.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies profile
+# ---------------------------------------------------------------------------
+
+
+def _freq_of_freq(d: str) -> str:
+    toks = _word_tokens("SELECT doc_id, lang, text FROM documents", d)
+    return f"""
+    WITH tc AS (
+        SELECT tok, cast(count(*) as bigint) AS r
+        FROM ({toks}) t GROUP BY tok
+    ),
+    nr AS (
+        SELECT r, cast(count(*) as bigint) AS n_types FROM tc GROUP BY r
+    ),
+    tot AS (
+        SELECT {S.isum('r * n_types', d)} AS n_occ FROM nr
+    ),
+    gt AS (
+        -- lead() over the frequency-of-frequencies GRID (a few hundred
+        -- rows however large the corpus): Good-Turing r* needs N_{{r+1}}.
+        SELECT r, n_types,
+            lead(r) OVER (ORDER BY r) AS r_next,
+            lead(n_types) OVER (ORDER BY r) AS n_next,
+            row_number() OVER (ORDER BY r) AS band
+        FROM nr
+    )
+    SELECT gt.r, gt.n_types,
+        {S.isum('gt.r * gt.n_types', d)} AS occurrences,
+        round(cast({S.isum('gt.r * gt.n_types', d)} as double)
+            / cast(max(tot.n_occ) as double), 6) AS mass_share,
+        round(CASE WHEN max(gt.r_next) = gt.r + 1
+            THEN cast((gt.r + 1) * max(gt.n_next) as double)
+                 / cast(gt.n_types as double)
+            END, 6) AS gt_adjusted_r
+    FROM gt, tot
+    WHERE gt.band <= 50
+    GROUP BY gt.r, gt.n_types
+    ORDER BY gt.r
+    """
+
+
+_pair(
+    "profile_freq_of_freq",
+    _freq_of_freq,
+    tags=("profiling", "text"),
+    doc="Good-Turing frequency-of-frequencies profile of the corpus "
+    "vocabulary: N_r = how many token types occur exactly r times, each "
+    "row's share of total occurrences, and the Good-Turing adjusted "
+    "count r* = (r+1) N_(r+1)/N_r where the next band exists (null "
+    "otherwise) — the smoothing table every n-gram LM and the "
+    "unseen-mass estimate (N_1/N) read directly; output keeps the 50 "
+    "lowest frequency bands present (GT smoothing only applies there). "
+    "One token hash-agg, one count hash-agg, then a lead() window over "
+    "the resulting frequency grid, which is log-sized in the corpus.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes on the day grid)
+# ---------------------------------------------------------------------------
+
+
+def _theil_sen(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {S.idiv(e, '86400', d)} AS di,
+            {S.isum(_CENTS, d)} AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, {S.idiv(e, '86400', d)}
+    ),
+    pairs AS (
+        -- O(days^2) per type, but on the DAILY grid (~120 rows per type
+        -- regardless of fact size), self-equi-joined on type.
+        SELECT a.event_type,
+            cast(b.y - a.y as double) / cast(b.di - a.di as double) AS slope,
+            a.di AS di, b.di AS dj
+        FROM daily a JOIN daily b
+            ON b.event_type = a.event_type AND b.di > a.di
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+            row_number() OVER (PARTITION BY event_type
+                ORDER BY slope, di, dj) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    ),
+    days AS (
+        SELECT event_type, cast(count(*) as bigint) AS n_days FROM daily
+        GROUP BY event_type
+    )
+    SELECT r.event_type, max(days.n_days) AS n_days,
+        cast(max(r.n_pairs) as bigint) AS n_pairs,
+        round(max(r.slope) / cast(100 as double), 6) AS ts_slope_per_day
+    FROM ranked r JOIN days ON days.event_type = r.event_type
+    WHERE r.rn = {S.idiv('r.n_pairs + 1', '2', d)}
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """
+
+
+_pair(
+    "window_theil_sen",
+    _theil_sen,
+    tags=("window", "series", "profiling"),
+    doc="Theil-Sen robust trend estimate of each event type's daily value "
+    "series: the LOWER MEDIAN of all pairwise slopes (y_j-y_i)/(d_j-d_i) "
+    "— up to 29% contaminated points cannot move it, unlike the OLS "
+    "slope of agg_linreg_daily. The quadratic pair build runs on the "
+    "per-type DAILY grid (~bounded by calendar, not by fact rows), the "
+    "slopes are exact-integer-derived doubles (identical IEEE in both "
+    "engines, so their sort order is identical), and the median is an "
+    "integer rank pick — no interpolation to diverge.",
+)

@@ -299,3 +299,42 @@ def test_pmi_min_count_and_ratio(hand_views):
     assert r.n_ab == 6
     # PMI ratio must exceed 1 (x and y co-occur far above independence)
     assert r.pmi_ratio > 1.0
+
+
+def _mk_events_valued(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def test_manifest_prune_zone_maps(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _manifest_prune
+
+    # Two files: slot 0 (hours 0-2) holds cheap rows for user 1..2,
+    # slot 1 (hours 3-5) holds one 9.50 row for user 42.
+    rows = [
+        (0, 100, 1, "click", 1.00),
+        (1, 200, 2, "click", 1.50),
+        (2, 3 * 3600, 42, "click", 9.50),
+    ]
+    _mk_events_valued(spark, rows)
+    got = {r.probe: r for r in spark.sql(_manifest_prune(SPARK)).collect()}
+    # top_value_band (cents >= 900): file 0 zone [100,150] misses -> skipped.
+    assert (got["top_value_band"].n_files, got["top_value_band"].n_skipped) == (2, 1)
+    assert got["top_value_band"].skip_ratio == 0.5
+    # user_point_42: only file 1 contains user 42's range.
+    assert got["user_point_42"].n_skipped == 1
+    # value_range_1_2 (cents 100..200): file 1 zone [950,950] skipped.
+    assert got["value_range_1_2"].n_skipped == 1
+    # bytes bookkeeping: scanned + skipped covers both files.
+    r = got["top_value_band"]
+    assert r.bytes_scanned + r.bytes_skipped == 3 * 64

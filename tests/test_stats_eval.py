@@ -381,3 +381,81 @@ def test_interarrival_gaps_exact(hand_views):
     assert (row.n_gaps, row.min_gap_s, row.max_gap_s) == (3, 10, 40)
     assert row.median_gap_s == 20
     assert row.mean_gap_s == pytest.approx(70 / 3, abs=1e-5)
+
+
+def _mk_docs_nchars(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+
+
+def test_calibration_bins_diagonal(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _calibration
+    # cents 0..9, max m=9 -> bin = 10*s div 10 = s; purchases at s >= 5.
+    rows = [
+        (i, 10 * i, 1, "purchase" if i >= 5 else "click", i / 100.0)
+        for i in range(10)
+    ]
+    _mk_events(spark, rows)
+    got = {r.bin: r for r in spark.sql(_calibration(SPARK)).collect()}
+    assert sorted(got) == list(range(10))
+    assert got[0].pos_rate == 0.0 and got[9].pos_rate == 1.0
+    assert got[9].mean_pred == 1.0  # 9/9
+    assert got[3].mean_pred == pytest.approx(3 / 9, abs=1e-6)
+    assert all(got[b].n_events == 1 for b in got)
+
+
+def test_ndcg_perfect_vs_inverted(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ndcg
+    rich = " ".join(f"w{i}" for i in range(16))  # 16 distinct -> rel 2
+    poor = "x x x x"  # 1 distinct -> rel 0
+    # Length agrees with richness -> system order == ideal order -> NDCG 1.
+    _mk_docs_nchars(
+        spark,
+        [(1, rich, "en", "s", 100), (2, poor, "en", "s", 10)],
+    )
+    row = spark.sql(_ndcg(SPARK)).collect()[0]
+    assert row.ndcg_at_10 == 1.0 and row.dcg_at_10 == row.idcg_at_10
+    # Invert the lengths: the rel-2 doc now ranks second -> NDCG < 1.
+    _mk_docs_nchars(
+        spark,
+        [(1, rich, "en", "s", 10), (2, poor, "en", "s", 100)],
+    )
+    row = spark.sql(_ndcg(SPARK)).collect()[0]
+    assert row.ndcg_at_10 < 1.0
+    # hand value: dcg = 0/log2(2) + 3/log2(3), idcg = 3/log2(2) = 3.
+    expect = (3 / math.log2(3)) / 3.0
+    assert row.ndcg_at_10 == pytest.approx(expect, abs=1e-5)
+
+
+def test_freq_of_freq_good_turing(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _freq_of_freq
+    _mk_docs_nchars(spark, [(1, "a a a b b c", "en", "s", 11)])
+    got = {r.r: r for r in spark.sql(_freq_of_freq(SPARK)).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert all(got[r].n_types == 1 for r in got)
+    assert got[1].gt_adjusted_r == 2.0  # (1+1)*N2/N1
+    assert got[2].gt_adjusted_r == 3.0
+    assert got[3].gt_adjusted_r is None  # no N_4 band
+    assert got[3].mass_share == 0.5  # 3 of 6 occurrences
+
+
+def test_theil_sen_ignores_outlier_day(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _theil_sen
+    # days 0..2 rise exactly 1.00/day; day 3 is a 100x outlier.
+    rows = [
+        (0, 0, 1, "click", 1.0),
+        (1, 86400, 1, "click", 2.0),
+        (2, 2 * 86400, 1, "click", 3.0),
+        (3, 3 * 86400, 1, "click", 100.0),
+    ]
+    _mk_events(spark, rows)
+    row = spark.sql(_theil_sen(SPARK)).collect()[0]
+    assert (row.n_days, row.n_pairs) == (4, 6)
+    # sorted slopes (cents/day): 100,100,100,3250,4850,9700 -> lower
+    # median (rank 3) = 100 -> 1.00 per day in value units.
+    assert row.ts_slope_per_day == 1.0
