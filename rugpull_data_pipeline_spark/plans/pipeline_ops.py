@@ -1184,3 +1184,80 @@ _pair(
     "partition layout actually prunes the workload's predicates (the "
     "decision input for layout_zorder_stats / layout_compaction_plan).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point traversal, k=4)
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_coreset(d: str) -> str:
+    iv = S.int_vec("embedding", d)
+    if d == SPARK:
+        l2 = (
+            "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, e) -> acc + e)"
+        )
+    else:
+        l2 = (
+            "cast(list_sum(list_transform(list_zip({a}, {b}), "
+            "e -> (e[1] - e[2]) * (e[1] - e[2]))) as bigint)"
+        )
+
+    def dist(a: str, b: str) -> str:
+        return l2.format(a=a, b=b)
+
+    # Each round: pick the point FARTHEST from the selected set (classic
+    # Gonzalez farthest-point traversal, 2-approx for the k-center cost),
+    # then fold its distance into the running min. Every cross join below
+    # is against a ONE-ROW relation (the newest center) — a broadcast —
+    # and every argmax is an ordered LIMIT 1 (TakeOrderedAndProject).
+    steps = []
+    steps.append(f"iv AS (SELECT vec_id, {iv} AS v FROM embeddings)")
+    steps.append(
+        "c1 AS (SELECT vec_id AS cid, v AS cv FROM iv "
+        "ORDER BY vec_id LIMIT 1)"
+    )
+    steps.append(
+        f"d1 AS (SELECT iv.vec_id, iv.v, {dist('iv.v', 'c1.cv')} AS dist "
+        "FROM iv CROSS JOIN c1)"
+    )
+    for i in range(2, 5):
+        p = i - 1
+        steps.append(
+            f"c{i} AS (SELECT vec_id AS cid, v AS cv FROM d{p} "
+            f"ORDER BY dist DESC, vec_id LIMIT 1)"
+        )
+        steps.append(
+            f"d{i} AS (SELECT d{p}.vec_id, d{p}.v, "
+            f"least(d{p}.dist, {dist(f'd{p}.v', f'c{i}.cv')}) AS dist "
+            f"FROM d{p} CROSS JOIN c{i})"
+        )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {i} AS center_rank, c{i}.cid AS vec_id, "
+        f"(SELECT max(dist) FROM d{i}) AS coverage_radius_sq FROM c{i}"
+        for i in range(1, 5)
+    )
+    return "WITH " + ",\n    ".join(steps) + f"""
+    SELECT center_rank, vec_id, coverage_radius_sq
+    FROM ({selects}) sel
+    ORDER BY center_rank
+    """
+
+
+_pair(
+    "sample_kcenter_coreset",
+    _kcenter_coreset,
+    tags=("sampling", "similarity", "mlprep", "iterative"),
+    doc="Greedy k-center coreset selection over the embedding table "
+    "(Gonzalez farthest-point traversal, k=4, 2-approximation): seed on "
+    "the smallest vec_id, then repeatedly take the point farthest from "
+    "the selected set — the diversity-maximizing data-selection pass "
+    "active-learning and coreset pipelines run before labeling/training. "
+    "Output is each chosen center plus the squared coverage radius after "
+    "adding it (the k-center objective, monotonically shrinking). "
+    "Vectors are micro-unit integer-quantized so every distance is an "
+    "exact bigint (argmax ties impossible to flip across engines); each "
+    "round is one 1-row broadcast cross join + one ordered LIMIT 1, "
+    "never an all-pairs join, so the plan is k linear passes at any N.",
+)

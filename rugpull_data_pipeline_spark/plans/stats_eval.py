@@ -1553,27 +1553,27 @@ def _freq_of_freq(d: str) -> str:
     nr AS (
         SELECT r, cast(count(*) as bigint) AS n_types FROM tc GROUP BY r
     ),
-    tot AS (
-        SELECT {S.isum('r * n_types', d)} AS n_occ FROM nr
-    ),
     gt AS (
-        -- lead() over the frequency-of-frequencies GRID (a few hundred
-        -- rows however large the corpus): Good-Turing r* needs N_{{r+1}}.
+        -- lead() + scalar total as windows over the frequency-of-
+        -- frequencies GRID (a few hundred rows however large the corpus):
+        -- Good-Turing r* needs N_{{r+1}}; the window form keeps the total
+        -- off a cross join (the repo's scalar-over-metadata convention).
         SELECT r, n_types,
             lead(r) OVER (ORDER BY r) AS r_next,
             lead(n_types) OVER (ORDER BY r) AS n_next,
-            row_number() OVER (ORDER BY r) AS band
+            row_number() OVER (ORDER BY r) AS band,
+            cast(sum(r * n_types) OVER () as bigint) AS n_occ
         FROM nr
     )
     SELECT gt.r, gt.n_types,
         {S.isum('gt.r * gt.n_types', d)} AS occurrences,
         round(cast({S.isum('gt.r * gt.n_types', d)} as double)
-            / cast(max(tot.n_occ) as double), 6) AS mass_share,
+            / cast(max(gt.n_occ) as double), 6) AS mass_share,
         round(CASE WHEN max(gt.r_next) = gt.r + 1
             THEN cast((gt.r + 1) * max(gt.n_next) as double)
                  / cast(gt.n_types as double)
             END, 6) AS gt_adjusted_r
-    FROM gt, tot
+    FROM gt
     WHERE gt.band <= 50
     GROUP BY gt.r, gt.n_types
     ORDER BY gt.r

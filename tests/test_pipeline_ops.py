@@ -338,3 +338,51 @@ def test_manifest_prune_zone_maps(hand_views):
     # bytes bookkeeping: scanned + skipped covers both files.
     r = got["top_value_band"]
     assert r.bytes_scanned + r.bytes_skipped == 3 * 64
+
+
+def test_kcenter_farthest_point_traversal(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _kcenter_coreset
+
+    spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [8.0, 0.0]),
+            (2, [0.0, 6.0]),
+            (3, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("embeddings")
+    rows = spark.sql(_kcenter_coreset(SPARK)).collect()
+    # greedy: seed 0, then the farthest-point order 1 (64), 2 (36), 3 (2);
+    # distances are micro-scaled so 8.0 -> 8e6, squared 64e12.
+    assert [(r.center_rank, r.vec_id) for r in rows] == [
+        (1, 0), (2, 1), (3, 2), (4, 3),
+    ]
+    M = 10**12
+    assert [r.coverage_radius_sq for r in rows] == [64 * M, 36 * M, 2 * M, 0]
+
+
+def test_bloom_prefilter_no_false_negatives(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans.advanced import _bloom_prefilter
+
+    # user 7 spends 600.00 on purchases (member); users 1..5 never qualify.
+    rows = [(0, 100, 7, "purchase", 600.0)]
+    rows += [(i, 200 + i, i, "click", 1.0) for i in range(1, 6)]
+    rows += [(10, 300, 7, "view", 2.0)]
+    _mk_events_valued(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_bloom_prefilter(SPARK)).collect()}
+    # every true member row passes the bloom (no false negatives):
+    for r in got.values():
+        assert r.n_bloom_pass >= r.n_true_member
+        assert r.n_false_pos == r.n_bloom_pass - r.n_true_member
+    # user 7's rows are members in both the purchase and view slices.
+    assert got["purchase"].n_true_member == 1
+    assert got["view"].n_true_member == 1
+    assert got["click"].n_true_member == 0
+    # 5 non-member clicks; with 3 seeds over 1024 bits and 3 set bits the
+    # chance any click passes is ~0 — and deterministic, so pin it.
+    assert got["click"].n_bloom_pass == 0 and got["click"].fp_rate == 0.0
