@@ -1653,3 +1653,142 @@ _pair(
     "engines, so their sort order is identical), and the median is an "
     "integer rank pick — no interpolation to diverge.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test (rank-based, all-integer U statistic)
+# ---------------------------------------------------------------------------
+
+
+def _pettitt(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {S.idiv(e, '86400', d)} AS di,
+            {S.isum(_CENTS, d)} AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, {S.idiv(e, '86400', d)}
+    ),
+    vg AS (
+        SELECT event_type, y, cast(count(*) as bigint) AS c
+        FROM daily GROUP BY event_type, y
+    ),
+    vr AS (
+        -- doubled average rank per distinct daily value (2*below+equal+1,
+        -- the integer tie-correction the AUC/Spearman family uses),
+        -- windowed over the per-type VALUE grid.
+        SELECT event_type, y,
+            2 * coalesce(cast(sum(c) OVER (PARTITION BY event_type
+                ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                as bigint), 0) + c + 1 AS r2
+        FROM vg
+    ),
+    seq AS (
+        SELECT daily.event_type, daily.di, vr.r2,
+            row_number() OVER (PARTITION BY daily.event_type
+                ORDER BY daily.di) AS t,
+            count(*) OVER (PARTITION BY daily.event_type) AS n,
+            cast(sum(vr.r2) OVER (PARTITION BY daily.event_type
+                ORDER BY daily.di) as bigint) AS cum_r2
+        FROM daily JOIN vr
+            ON vr.event_type = daily.event_type AND vr.y = daily.y
+    ),
+    u AS (
+        -- Pettitt U_t = sum_(i<=t) 2*R_i - t*(n+1), integer throughout;
+        -- the split candidate excludes the final day.
+        SELECT event_type, di, n, cum_r2 - t * (n + 1) AS ut,
+            abs(cum_r2 - t * (n + 1)) AS au
+        FROM seq WHERE t < n
+    ),
+    best AS (
+        SELECT event_type, di, n, ut, au,
+            row_number() OVER (PARTITION BY event_type
+                ORDER BY au DESC, di) AS rn
+        FROM u
+    )
+    SELECT event_type, cast(n as bigint) AS n_days,
+        di AS change_day_idx, cast(au as bigint) AS k_stat,
+        round(least(cast(1 as double),
+            2 * exp(cast(-6 as double) * cast(au * au as double)
+                / cast(n * n * n + n * n as double))), 6) AS p_approx
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_pettitt_changepoint",
+    _pettitt,
+    tags=("window", "series", "eval"),
+    doc="Pettitt nonparametric changepoint test on each event type's daily "
+    "value series — the batch complement of the streaming CUSUM alert: "
+    "U_t folds the DOUBLED tie-corrected ranks (the AUC/Spearman integer "
+    "trick) so every U_t is exact, the change day is the argmax |U_t| "
+    "with a deterministic day tie-break, and the classic approximate "
+    "significance 2*exp(-6K^2/(n^3+n^2)) is the single transcendental, "
+    "6-dp-rounded. Ranks, cumsums and the argmax are all windows over "
+    "the per-type DAILY grid (calendar-bounded, never fact-scale).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa for the lang-id heuristic (chance-corrected agreement)
+# ---------------------------------------------------------------------------
+
+
+def _cohens_kappa(d: str) -> str:
+    nvoc = S.arr_len(S.arr_distinct(_toks(d), d), d)
+    return f"""
+    WITH preds AS (
+        -- two independent curation gates over the same doc: rater A keeps
+        -- by raw length, rater B keeps by vocabulary size.
+        SELECT doc_id,
+            CASE WHEN n_chars >= 150 THEN 'keep' ELSE 'drop' END AS a,
+            CASE WHEN {nvoc} >= 12 THEN 'keep' ELSE 'drop' END AS b
+        FROM documents
+    ),
+    cells AS (
+        SELECT a, b, cast(count(*) as bigint) AS n
+        FROM preds GROUP BY a, b
+    ),
+    marg AS (
+        SELECT coalesce(ra.k, rb.k) AS k,
+            coalesce(ra.row_n, 0) AS row_n, coalesce(rb.col_n, 0) AS col_n
+        FROM (SELECT a AS k, {S.isum('n', d)} AS row_n FROM cells GROUP BY a) ra
+        FULL OUTER JOIN
+             (SELECT b AS k, {S.isum('n', d)} AS col_n FROM cells GROUP BY b) rb
+            ON rb.k = ra.k
+    ),
+    tot AS (
+        SELECT {S.isum('n', d)} AS nn,
+            {S.isum('CASE WHEN a = b THEN n ELSE 0 END', d)} AS agree
+        FROM cells
+    ),
+    ee AS (
+        SELECT {S.isum('row_n * col_n', d)} AS chance FROM marg
+    )
+    SELECT tot.nn AS n_docs,
+        round(cast(tot.agree as double) / cast(tot.nn as double), 6)
+            AS observed_agree,
+        round(cast(ee.chance as double) / cast(tot.nn * tot.nn as double), 6)
+            AS expected_agree,
+        round(cast(tot.nn * tot.agree - ee.chance as double)
+            / cast(tot.nn * tot.nn - ee.chance as double), 6) AS kappa
+    FROM tot, ee
+    """
+
+
+_pair(
+    "eval_cohens_kappa",
+    _cohens_kappa,
+    tags=("eval", "text"),
+    doc="Cohen's kappa between two independent curation gates (keep-by-"
+    "length vs keep-by-vocabulary) — the chance-corrected agreement "
+    "scalar that tells a pipeline whether its quality filters are "
+    "redundant (kappa near 1), complementary (near 0), or contradictory "
+    "(negative): kappa = (n*agree - sum_k row_k*col_k) / (n^2 - sum_k "
+    "row_k*col_k), computed entirely from integer confusion-cell counts "
+    "and marginals (two hash-aggs over the cell grid, one full-outer "
+    "marginal join on the tiny class set), with exactly one "
+    "integer-exact division at the end.",
+)

@@ -1337,3 +1337,70 @@ def stream_cms_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.read.parquet(res_dir).orderBy("batch_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation — the overlap-window API surface
+# ---------------------------------------------------------------------------
+
+_HOP_ORACLE = f"""
+WITH e AS (
+    SELECT {S.epoch_s('ts', DUCK)} AS es FROM events
+),
+x AS (
+    -- window(length 1h, slide 30m): every event belongs to EXACTLY the two
+    -- windows starting at floor(es/1800)*1800 and 1800 s earlier.
+    SELECT (({S.idiv('es', '1800', DUCK)}) - k) * 1800 AS window_start
+    FROM e, unnest(range(0, 2)) t(k)
+)
+SELECT window_start, cast(count(*) as bigint) AS n_events
+FROM x
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "stream_hopping_window_replay",
+    oracle=_HOP_ORACLE,
+    tags=("streaming", "window", "watermark"),
+    doc="Hopping (sliding) event-time window aggregation in APPEND mode — "
+    "the overlap-window surface stream_watermark_append's tumbling window "
+    "does not exercise: window('1 hour', slide '30 minutes') fans each "
+    "event into exactly two open windows, watermark eviction closes a "
+    "window only when the watermark passes its END, and a +2-day sentinel "
+    "row flushes every real window exactly once (the sentinel's own two "
+    "windows stay open and never emit, proving append-mode emission "
+    "discipline on overlapping state). Oracle: each event's two window "
+    "starts materialized arithmetically, then a plain GROUP BY. State is "
+    "O(open windows), i.e. 2/slide x horizon per key space, independent "
+    "of stream length.",
+)
+def stream_hopping_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = ev.select("user_id", "ts")
+    sentinel = ev.groupBy().agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+    )
+    src_dir = scratch_dir(prefix="rugpull_hop_src_")
+    src.unionByName(sentinel).repartition(2).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events"
+        )
+    )
+    name = "hop_sink_" + os.path.basename(src_dir)[-8:]
+    with _state_partitions(spark):
+        _run_available_now(
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir(prefix="rugpull_hop_ckpt_"))
+        )
+    return spark.table(name).orderBy("window_start")

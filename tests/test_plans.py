@@ -50,6 +50,7 @@ _NLJ_ALLOWED = {
     "sample_class_rebalance",
     "layout_partition_skew_advisor",
     "events_survival_km",  # 1-row censoring-horizon (max ts) broadcast
+    "eval_cohens_kappa",  # two 1-row aggregates (total/chance) joined
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

@@ -459,3 +459,49 @@ def test_theil_sen_ignores_outlier_day(hand_views):
     # sorted slopes (cents/day): 100,100,100,3250,4850,9700 -> lower
     # median (rank 3) = 100 -> 1.00 per day in value units.
     assert row.ts_slope_per_day == 1.0
+
+
+def test_pettitt_finds_level_shift(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _pettitt
+    # 4 low days then 4 high days: the split must land on day index 3
+    # (the last low day), with the maximal possible U for n=8.
+    rows = []
+    for i in range(8):
+        v = 1.0 if i < 4 else 100.0
+        rows.append((i, i * 86400, 1, "click", v))
+    _mk_events(spark, rows)
+    row = spark.sql(_pettitt(SPARK)).collect()[0]
+    assert (row.n_days, row.change_day_idx) == (8, 3)
+    # ranks of the low block are 1..4 (doubled 2,4,6,8 with no ties ->
+    # r2 = 2*rank); U_4 = sum(2*ranks) - 4*(8+1) = 20 - 36 = -16.
+    assert row.k_stat == 16
+    assert 0.0 < row.p_approx < 0.2
+
+
+def test_cohens_kappa_bounds_and_perfect_agreement(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _cohens_kappa
+    rich = " ".join(f"w{i}" for i in range(20))  # 20 distinct words
+    poor = "x y"
+    # Gates agree on both docs (long+rich kept, short+poor dropped) -> 1.0.
+    _mk_docs_nchars(
+        spark, [(1, rich, "en", "s", 200), (2, poor, "en", "s", 5)]
+    )
+    row = spark.sql(_cohens_kappa(SPARK)).collect()[0]
+    assert row.n_docs == 2
+    assert row.observed_agree == 1.0 and row.kappa == 1.0
+    # Gates split 2x2 across four docs -> zero agreement beyond chance is
+    # impossible here: they DISAGREE on every doc -> kappa = -1.
+    _mk_docs_nchars(
+        spark,
+        [
+            (1, rich, "en", "s", 5),   # B keep, A drop
+            (2, poor, "en", "s", 200),  # A keep, B drop
+            (3, rich, "en", "s", 10),
+            (4, poor, "en", "s", 300),
+        ],
+    )
+    row = spark.sql(_cohens_kappa(SPARK)).collect()[0]
+    assert row.observed_agree == 0.0
+    assert row.kappa == -1.0

@@ -163,3 +163,28 @@ def test_stream_stream_left_outer_join_null_pads(spark, events_dir):
     null_ids = [r.p_event_id for r in got_null]
     assert len(null_ids) == len(set(null_ids))
     assert not (set(null_ids) & matched_purchases)
+
+
+def test_hopping_window_replay_overlap_semantics(spark, tmp_path):
+    """Every event lands in exactly TWO 1h/30m hopping windows; append mode
+    emits each closed window once and total fan-out is exactly 2x events."""
+    from rugpull_data_pipeline_spark.plans.stream_infra import (
+        stream_hopping_window_replay,
+    )
+    import pyspark.sql.functions as F
+
+    # hand events at 00:10, 00:40, 01:10 (+1 sentinel handled internally):
+    rows = [(0, 600, 1, "click", 1.0), (1, 2400, 1, "click", 1.0),
+            (2, 4200, 1, "click", 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double"
+    ).select("event_id", F.col("t").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(sf + "/events.parquet")
+    out = {r.window_start: r.n_events
+           for r in stream_hopping_window_replay(spark, sf).collect()}
+    # 00:10 -> windows [-1800,1800) start -1800 and [0,3600) start 0
+    # 00:40 -> [0,3600) and [1800,5400); 01:10 -> [1800,5400) and [3600,7200)
+    assert out == {-1800: 1, 0: 2, 1800: 2, 3600: 1}
+    assert sum(out.values()) == 2 * len(rows)
