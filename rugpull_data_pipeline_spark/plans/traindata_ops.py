@@ -1055,3 +1055,134 @@ _pair(
     "exp(decimal-exact cumsum of 9-dp-quantized ln terms), with a finite "
     "sentinel for the d = n boundary so survival hits exactly 0.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the per-slice datasheet a corpus release ships with
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card(d: str) -> str:
+    toks = _toks(d)
+    return f"""
+    WITH per_doc AS (
+        SELECT lang, source, n_chars,
+            {S.arr_len(toks, d)} AS n_toks,
+            {S.arr_len(S.arr_distinct(toks, d), d)} AS n_voc,
+            md5(text) AS th
+        FROM documents
+    )
+    SELECT lang, source,
+        cast(count(*) as bigint) AS n_docs,
+        {S.isum('n_chars', d)} AS n_chars_total,
+        {S.isum('n_toks', d)} AS n_tokens_total,
+        cast(count(DISTINCT th) as bigint) AS n_unique_texts,
+        round(cast(count(*) - count(DISTINCT th) as double)
+            / cast(count(*) as double), 6) AS exact_dup_rate,
+        round(cast({S.isum('n_toks', d)} as double)
+            / cast(count(*) as double), 6) AS avg_doc_tokens,
+        round(cast({S.isum('n_voc', d)} as double)
+            / cast({S.isum('n_toks', d)} as double), 6) AS type_token_ratio
+    FROM per_doc
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """
+
+
+_pair(
+    "traindata_dataset_card",
+    _dataset_card,
+    tags=("text", "profiling", "etl"),
+    doc="Dataset card (datasheet) per (lang, source) release slice: doc/"
+    "char/token volumes, exact-duplicate rate via distinct content "
+    "hashes, average document length, and the corpus-level type-token "
+    "ratio — the summary table every dataset release ships and every "
+    "mixture-weight decision reads. One partition-parallel projection "
+    "computing per-doc stats (tokens, vocab, md5), then a single "
+    "hash-agg over the (lang, source) grid; texts never shuffle — only "
+    "16-byte hashes and counts move.",
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed n-gram log-ratio scoring)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 128
+_DSIR_TOPK = 20
+
+
+def _dsir_selection(d: str) -> str:
+    if d == SPARK:
+        occ = (
+            "SELECT doc_id, lang, explode({t}) AS tok "
+            "FROM documents"
+        ).format(t=_toks(d))
+    else:
+        occ = (
+            "SELECT doc_id, lang, unnest({t}) AS tok FROM documents"
+        ).format(t=_toks(d))
+    b = f"{S.portable_hash64('tok', d)} % {_DSIR_BUCKETS}"
+    return f"""
+    WITH occ AS ({occ}),
+    hashed AS (
+        SELECT doc_id, lang, {b} AS bkt FROM occ
+    ),
+    tgt AS (
+        SELECT bkt, cast(count(*) as bigint) AS c FROM hashed
+        WHERE lang = 'en' GROUP BY bkt
+    ),
+    src AS (
+        SELECT bkt, cast(count(*) as bigint) AS c FROM hashed
+        WHERE lang <> 'en' GROUP BY bkt
+    ),
+    tots AS (
+        SELECT cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint)
+                AS nt,
+            cast(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) as bigint)
+                AS ns
+        FROM hashed
+    ),
+    w AS (
+        -- add-1 smoothed log importance ratio per hash bucket, quantized
+        -- to 9 dp so the per-doc fold is an exact decimal sum. The bucket
+        -- table is at most {_DSIR_BUCKETS} rows — a broadcast.
+        SELECT b.bkt,
+            round(ln(cast(coalesce(tgt.c, 0) + 1 as double)
+                     / cast(tots.nt + {_DSIR_BUCKETS} as double))
+                - ln(cast(coalesce(src.c, 0) + 1 as double)
+                     / cast(tots.ns + {_DSIR_BUCKETS} as double)), 9) AS lw
+        FROM (SELECT DISTINCT bkt FROM hashed) b
+        LEFT JOIN tgt ON tgt.bkt = b.bkt
+        LEFT JOIN src ON src.bkt = b.bkt
+        CROSS JOIN tots
+    ),
+    scored AS (
+        SELECT h.doc_id, max(h.lang) AS lang,
+            {S.dsum('w.lw', d)} AS importance
+        FROM hashed h JOIN w ON w.bkt = h.bkt
+        WHERE h.lang <> 'en'
+        GROUP BY h.doc_id
+    )
+    SELECT doc_id, lang, round(importance, 6) AS importance
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """
+
+
+_pair(
+    "sample_dsir_selection",
+    _dsir_selection,
+    tags=("sampling", "text", "mlprep"),
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed token features "
+    f"({_DSIR_BUCKETS} buckets via the portable 60-bit hash), add-1 "
+    "smoothed target-vs-raw log-probability ratios per bucket, each "
+    "candidate (non-target) document scored by the exact decimal sum of "
+    "its tokens' 9-dp-quantized bucket weights, top-k selected with a "
+    "deterministic tie-break. The bucket weight table is broadcast-"
+    "sized, the scoring join is a hash join on the bucket id, and the "
+    "top-k is an ordered LIMIT (TakeOrderedAndProject) — the raw corpus "
+    "is touched once however large it is.",
+)

@@ -51,6 +51,8 @@ _NLJ_ALLOWED = {
     "layout_partition_skew_advisor",
     "events_survival_km",  # 1-row censoring-horizon (max ts) broadcast
     "eval_cohens_kappa",  # two 1-row aggregates (total/chance) joined
+    "sample_dsir_selection",  # 1-row corpus-totals broadcast into the
+    # 128-row bucket-weight table build
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

@@ -358,3 +358,58 @@ def test_km_survival_with_censoring_hand_values(hand_views):
     assert got[1].km_survival == pytest.approx(0.75, abs=1e-6)
     assert got[2].n_at_risk == 3 and got[2].n_events == 1
     assert got[2].km_survival == pytest.approx(0.5, abs=1e-6)
+
+
+def _mk_docs_full(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+
+
+def test_dataset_card_dup_rate_and_ttr(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.traindata_ops import _dataset_card
+
+    _mk_docs_full(
+        spark,
+        [
+            (1, "a b c d", "en", "s0", 7),
+            (2, "a b c d", "en", "s0", 7),   # exact dup of doc 1
+            (3, "a a b b", "en", "s0", 7),   # 4 tokens, 2 distinct
+            (4, "x y", "de", "s1", 3),
+        ],
+    )
+    got = {(r.lang, r.source): r
+           for r in spark.sql(_dataset_card(SPARK)).collect()}
+    en = got[("en", "s0")]
+    assert (en.n_docs, en.n_unique_texts) == (3, 2)
+    assert en.exact_dup_rate == pytest.approx(1 / 3, abs=1e-6)
+    assert en.n_tokens_total == 12
+    # vocab sums per doc: 4 + 4 + 2 = 10 -> TTR 10/12.
+    assert en.type_token_ratio == pytest.approx(10 / 12, abs=1e-6)
+    de = got[("de", "s1")]
+    assert (de.n_docs, de.exact_dup_rate) == (1, 0.0)
+
+
+def test_dsir_prefers_target_like_docs(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.traindata_ops import _dsir_selection
+
+    # target (en) speaks {alpha, beta}; raw pool speaks {gamma, delta}.
+    # The candidate written in target-ish words must outrank the raw-ish one.
+    docs = [
+        (1, "alpha beta alpha beta", "en", "s", 20),
+        (2, "alpha beta beta alpha", "en", "s", 20),
+        (3, "gamma delta gamma delta", "de", "s", 20),
+        (4, "gamma delta delta gamma", "de", "s", 20),
+        (5, "alpha beta alpha beta", "fr", "s", 20),  # target-like candidate
+        (6, "gamma delta gamma delta", "fr", "s", 20),  # raw-like candidate
+    ]
+    _mk_docs_full(spark, docs)
+    rows = spark.sql(_dsir_selection(SPARK)).collect()
+    ranks = {r.doc_id: i for i, r in enumerate(rows)}
+    # all four non-en docs scored; doc 5 strictly above doc 6.
+    assert set(ranks) == {3, 4, 5, 6}
+    assert ranks[5] < ranks[6]
+    imp = {r.doc_id: r.importance for r in rows}
+    assert imp[5] > 0 > imp[6]
