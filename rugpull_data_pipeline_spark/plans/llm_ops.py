@@ -1143,3 +1143,85 @@ _pair(
     "dimension (the mixture config), applied as deterministic hash-bucket "
     "keeps — map-only over the corpus, reproducible at any scale.",
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = "('table', 'stream', 'fast')"
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+_BM25_TOPK = 10
+
+
+def _bm25(d: str) -> str:
+    toks = _toks(d)
+    if d == SPARK:
+        occ = f"SELECT doc_id, explode({toks}) AS tok FROM documents"
+    else:
+        occ = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    # Each per-(doc, term) score is computed by an identical, fully
+    # parenthesized double expression in both dialects (exact-integer
+    # inputs, IEEE-deterministic * / operations, one ln), quantized to
+    # 9 dp, then decimal-summed across the <=3 matched query terms.
+    term_score = (
+        f"round("
+        f"ln(cast(1 as double) + (cast(st.nd - df.df as double) + 0.5)"
+        f" / (cast(df.df as double) + 0.5))"
+        f" * (cast(tf.tf as double) * ({_BM25_K1} + 1))"
+        f" / (cast(tf.tf as double) + {_BM25_K1} * (1 - {_BM25_B}"
+        f" + {_BM25_B} * cast(dl.dl as double) * cast(st.nd as double)"
+        f" / cast(st.ntok as double))), 9)"
+    )
+    return f"""
+    WITH occ AS ({occ}),
+    dl AS (
+        SELECT doc_id, cast(count(*) as bigint) AS dl FROM occ GROUP BY doc_id
+    ),
+    st AS (
+        SELECT cast(count(*) as bigint) AS nd,
+            {S.isum('dl', d)} AS ntok
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, cast(count(*) as bigint) AS tf
+        FROM occ WHERE tok IN {_BM25_TERMS}
+        GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, cast(count(*) as bigint) AS df FROM tf GROUP BY tok
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+            {S.dsum(term_score, d)} AS score,
+            cast(count(*) as int) AS n_terms_hit
+        FROM tf
+        JOIN df ON df.tok = tf.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_score, n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+_pair(
+    "text_keyword_bm25",
+    _bm25,
+    tags=("text", "similarity"),
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query term "
+    "set — the lexical-retrieval baseline every RAG/search stack pairs "
+    "with the embedding ANN operators: tf per (doc, term) and df per "
+    "term are hash-aggs on the TERM-FILTERED posting slice (the IN "
+    "predicate prunes before any shuffle), document length joins back "
+    "co-partitioned on doc_id, the corpus totals are one 1-row "
+    "broadcast, and the top-k is an ordered LIMIT. Each per-term score "
+    "is one 9-dp-quantized deterministic double expression over exact "
+    "integer stats; doc scores are exact decimal sums of those terms. "
+    "The avgdl division is folded into a multiply-through by N "
+    "(dl * nd / ntok) so both engines evaluate the identical tree.",
+)

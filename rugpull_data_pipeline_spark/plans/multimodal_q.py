@@ -414,3 +414,100 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming_bits") <= _PHASH_HAM_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- VAD-style voiced-segment extraction (islands over frame energy) --------
+
+# The oracle recomputes the 32-byte frame energies exactly like
+# _ENERGY_ORACLE, then applies the same integer threshold (strictly above
+# the per-doc mean, cross-multiplied so no division happens) and the
+# classic gaps-and-islands grouping win_idx - row_number().
+_VAD_ORACLE = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS nb
+    FROM documents
+),
+en AS (
+    SELECT doc_id,
+        cast(i as int) AS win_idx,
+        cast(coalesce(list_sum(list_transform(
+            range(0, least(32, nb - i * 32)),
+            j -> cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
+                    as bigint)
+                 * cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
+                    as bigint))), 0) as bigint)
+            AS energy
+    FROM b,
+        unnest(range(0, cast(ceil(greatest(nb, 1) / 32.0) as bigint))) AS t(i)
+),
+tot AS (
+    SELECT doc_id, cast(sum(energy) as bigint) AS te,
+        cast(count(*) as bigint) AS nw
+    FROM en GROUP BY doc_id
+),
+voiced AS (
+    SELECT en.doc_id, en.win_idx, en.energy,
+        en.win_idx - row_number() OVER (
+            PARTITION BY en.doc_id ORDER BY en.win_idx) AS grp
+    FROM en JOIN tot ON tot.doc_id = en.doc_id
+    WHERE en.energy * tot.nw > tot.te
+)
+SELECT doc_id,
+    cast(min(win_idx) as int) AS seg_start,
+    cast(max(win_idx) as int) AS seg_end,
+    cast(count(*) as int) AS n_wins,
+    cast(sum(energy) as bigint) AS seg_energy
+FROM voiced
+GROUP BY doc_id, grp
+ORDER BY doc_id, seg_start
+"""
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle=_VAD_ORACLE,
+    tags=("multimodal", "udf", "series"),
+    doc="VAD-style voiced-segment extraction composed ON TOP of the frame-"
+    "energy kernel: frames strictly louder than their document's mean "
+    "energy (integer cross-multiplied compare, no division) are merged "
+    "into maximal consecutive runs via the gaps-and-islands "
+    "win_idx - row_number() trick — the segmenter an audio curation "
+    "pipeline runs after energy extraction to keep speech and drop "
+    "silence. Everything after the Arrow-batched kernel is built-in "
+    "DataFrame ops partitioned by doc_id; per-doc totals join back "
+    "co-partitioned, and segment rows are bounded by frames/2.",
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..multimodal.columns import attach_blob_column, window_energy
+
+    docs = spark.table("documents")
+    en = window_energy(attach_blob_column(docs), window_bytes=32)
+    tot = en.groupBy("doc_id").agg(
+        F.sum("energy").cast("bigint").alias("te"),
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+    )
+    voiced = (
+        en.join(tot, "doc_id")
+        .where(F.col("energy") * F.col("nw") > F.col("te"))
+        .withColumn(
+            "grp",
+            F.col("win_idx")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("win_idx")
+            ),
+        )
+    )
+    return (
+        voiced.groupBy("doc_id", "grp")
+        .agg(
+            F.min("win_idx").cast("int").alias("seg_start"),
+            F.max("win_idx").cast("int").alias("seg_end"),
+            F.count(F.lit(1)).cast("int").alias("n_wins"),
+            F.sum("energy").cast("bigint").alias("seg_energy"),
+        )
+        .drop("grp")
+        .orderBy("doc_id", "seg_start")
+    )

@@ -124,3 +124,27 @@ def test_substring_dedup_flags_cross_doc_windows(spark, sf_dir):
     # least two documents, so dup counts cannot be concentrated in one row
     if (df["n_dup_windows"] > 0).any():
         assert (df["n_dup_windows"] > 0).sum() >= 2
+
+
+def test_bm25_scores_handmade(spark):
+    import math
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.plans.llm_ops import _bm25
+
+    spark.createDataFrame(
+        [(1, "table table x y"), (2, "table z")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = spark.sql(_bm25(SPARK)).collect()
+    finally:
+        registry._VIEWS_FOR.pop(id(spark), None)
+    # N=2, ntok=6, df(table)=2 -> idf = ln(1.2); dl1=4, dl2=2, avgdl=3.
+    idf = math.log(1.2)
+    s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 4 / 3))
+    s2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3))
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].bm25_score == pytest.approx(s1, abs=1e-5)
+    assert rows[1].bm25_score == pytest.approx(s2, abs=1e-5)
+    assert rows[0].n_terms_hit == 1

@@ -268,3 +268,26 @@ def test_phash_words_byte_exact_on_non_ascii(spark):
     ).fetchdf()
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vad_segments_islands_and_threshold(spark):
+    from rugpull_data_pipeline_spark.plans.multimodal_q import (
+        multimodal_vad_segments,
+    )
+    from rugpull_data_pipeline_spark.plans import registry
+
+    # doc 1: loud/quiet/loud 32-byte windows -> two single-window segments;
+    # doc 2: loud/loud/quiet -> one merged [0,1] segment.
+    spark.createDataFrame(
+        [(1, "z" * 32 + " " * 32 + "z" * 32), (2, "z" * 64 + " " * 32)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    try:
+        rows = multimodal_vad_segments(spark, "unused").collect()
+    finally:
+        registry._VIEWS_FOR.pop(id(spark), None)
+    segs = [(r.doc_id, r.seg_start, r.seg_end, r.n_wins) for r in rows]
+    assert segs == [(1, 0, 0, 1), (1, 2, 2, 1), (2, 0, 1, 2)]
+    z_energy = 32 * 122 * 122
+    assert rows[0].seg_energy == z_energy
+    assert rows[2].seg_energy == 2 * z_energy
