@@ -74,6 +74,15 @@ HEADLINE = [
     # brute-force and LSH retrieval pipelines plus the hit join).
     "eval_auc_roc",
     "audit_ann_recall",
+    # Round-5 operators: the greedy k-center coreset (4 broadcast-iterated
+    # linear passes over integer vectors), DSIR importance selection
+    # (hashed-feature log-ratio scoring + ordered top-k), the per-slice
+    # dataset card (hash-agg where only md5s shuffle), and BM25 lexical
+    # retrieval (term-filtered posting aggs + corpus-stat broadcast).
+    "sample_kcenter_coreset",
+    "sample_dsir_selection",
+    "traindata_dataset_card",
+    "text_keyword_bm25",
     # ~110 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).

@@ -898,9 +898,9 @@ def _bloom_prefilter(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "join_bloom_prefilter",
-    _bloom_prefilter,
+    oracle=_bloom_prefilter(DUCK),
     tags=("join", "sketch", "audit"),
     doc="Runtime Bloom-filter join prefilter, built by hand and AUDITED: "
     "the hot-user build side (high-spend purchasers) hashes each key "
@@ -913,5 +913,81 @@ _pair(
     "join (Spark's own InBloomFilter rewrite, reproduced auditably). "
     "Never emits a bloom-pass=0 row for a true member (no false "
     "negatives, by construction): the audit query exists to prove it. "
-    "All three probe joins broadcast the <=1024-row bit set.",
+    "The hot set and its bit table are each materialized ONCE via "
+    "localCheckpoint (a pure-CTE form re-inlined the hot aggregation "
+    "into every consumer — 11 fact scans); the probe side then scans "
+    "events once, with all three bit-position joins and the membership "
+    "join explicitly broadcast.",
 )
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = "cast(floor(value * cast(100 as double)) as bigint)"
+    ev = spark.table("events")
+    hot = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr(f"sum({cents})").alias("spend"))
+        .where(F.col("spend") > 50000)
+        .select("user_id")
+        .localCheckpoint()  # O(hot users): the build side, computed once
+    )
+    pos_cols = [
+        (
+            F.expr(S.portable_hash64("cast(user_id as string)", SPARK, seed=repr(s)))
+            % _BLOOM_BITS
+        ).alias(f"p{i}")
+        for i, s in enumerate(_BLOOM_SEEDS)
+    ]
+    bits = (
+        hot.select(*pos_cols)
+        .select(
+            F.explode(
+                F.array(*[F.col(f"p{i}") for i in range(len(_BLOOM_SEEDS))])
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint()  # <= _BLOOM_BITS rows: the filter itself
+    )
+    probe = ev.select("user_id", "event_type", *pos_cols)
+    for i in range(len(_BLOOM_SEEDS)):
+        probe = probe.join(
+            F.broadcast(bits.withColumnRenamed("pos", f"hit{i}")),
+            probe[f"p{i}"] == F.col(f"hit{i}"),
+            "left",
+        )
+    probe = probe.join(
+        F.broadcast(hot.withColumnRenamed("user_id", "hot_uid")),
+        probe["user_id"] == F.col("hot_uid"),
+        "left",
+    )
+    is_member = F.when(F.col("hot_uid").isNotNull(), 1).otherwise(0)
+    bloom_pass = F.when(
+        sum(
+            F.when(F.col(f"hit{i}").isNotNull(), 1).otherwise(0)
+            for i in range(len(_BLOOM_SEEDS))
+        )
+        == len(_BLOOM_SEEDS),
+        1,
+    ).otherwise(0)
+    tagged = probe.select(
+        "event_type",
+        is_member.alias("is_member"),
+        bloom_pass.alias("bloom_pass"),
+    )
+    n_false = F.sum(F.col("bloom_pass") * (1 - F.col("is_member"))).cast("bigint")
+    n_nonmem = F.sum(1 - F.col("is_member")).cast("bigint")
+    return (
+        tagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("is_member").cast("bigint").alias("n_true_member"),
+            F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+            n_false.alias("n_false_pos"),
+            F.round(
+                F.when(n_nonmem == 0, F.lit(0.0)).otherwise(
+                    n_false.cast("double") / n_nonmem.cast("double")
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .orderBy("event_type")
+    )

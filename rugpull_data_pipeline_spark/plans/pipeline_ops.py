@@ -33,9 +33,12 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -1245,9 +1248,9 @@ def _kcenter_coreset(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sample_kcenter_coreset",
-    _kcenter_coreset,
+    oracle=_kcenter_coreset(DUCK),
     tags=("sampling", "similarity", "mlprep", "iterative"),
     doc="Greedy k-center coreset selection over the embedding table "
     "(Gonzalez farthest-point traversal, k=4, 2-approximation): seed on "
@@ -1257,7 +1260,46 @@ _pair(
     "Output is each chosen center plus the squared coverage radius after "
     "adding it (the k-center objective, monotonically shrinking). "
     "Vectors are micro-unit integer-quantized so every distance is an "
-    "exact bigint (argmax ties impossible to flip across engines); each "
-    "round is one 1-row broadcast cross join + one ordered LIMIT 1, "
-    "never an all-pairs join, so the plan is k linear passes at any N.",
+    "exact bigint (argmax ties impossible to flip across engines). The "
+    "builder follows the kmeans/pagerank broadcast-iteration contract: "
+    "the quantized table is localCheckpointed ONCE, each round embeds "
+    "the newest 64-int center as a LITERAL array (map-side fold, no "
+    "join at all), the argmax is an ordered LIMIT 1 and the radius a "
+    "1-row agg — only k vectors plus k scalars ever reach the driver, "
+    "k strictly linear passes at any N. (A pure-CTE form re-evaluated "
+    "the traversal chain combinatorially — 45 scans at k=4.)",
 )
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = spark.table("embeddings").selectExpr(
+        "vec_id", f"{S.int_vec('embedding', SPARK)} AS v"
+    )
+    iv = iv.localCheckpoint()
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(x)) for x in vals])
+
+    def d2(col, center):
+        return F.aggregate(
+            F.zip_with(col, lit_vec(center), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        )
+
+    seed = iv.orderBy("vec_id").limit(1).collect()[0]
+    out = []
+    cur = iv.select("vec_id", "v", d2(F.col("v"), seed.v).alias("dist"))
+    cur = cur.localCheckpoint()
+    out.append((1, int(seed.vec_id), int(cur.agg(F.max("dist")).collect()[0][0])))
+    for rank in range(2, 5):
+        far = cur.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("dist"), d2(F.col("v"), far.v)).alias("dist"),
+        ).localCheckpoint()
+        out.append(
+            (rank, int(far.vec_id), int(cur.agg(F.max("dist")).collect()[0][0]))
+        )
+    return spark.createDataFrame(
+        out, "center_rank int, vec_id long, coverage_radius_sq long"
+    ).orderBy("center_rank")

@@ -342,8 +342,9 @@ def test_manifest_prune_zone_maps(hand_views):
 
 def test_kcenter_farthest_point_traversal(hand_views):
     spark = hand_views
-    from rugpull_data_pipeline_spark.functions.scalars import SPARK
-    from rugpull_data_pipeline_spark.plans.pipeline_ops import _kcenter_coreset
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import (
+        sample_kcenter_coreset,
+    )
 
     spark.createDataFrame(
         [
@@ -354,7 +355,7 @@ def test_kcenter_farthest_point_traversal(hand_views):
         ],
         "vec_id long, embedding array<float>",
     ).createOrReplaceTempView("embeddings")
-    rows = spark.sql(_kcenter_coreset(SPARK)).collect()
+    rows = sample_kcenter_coreset(spark, "unused").collect()
     # greedy: seed 0, then the farthest-point order 1 (64), 2 (36), 3 (2);
     # distances are micro-scaled so 8.0 -> 8e6, squared 64e12.
     assert [(r.center_rank, r.vec_id) for r in rows] == [
@@ -366,15 +367,16 @@ def test_kcenter_farthest_point_traversal(hand_views):
 
 def test_bloom_prefilter_no_false_negatives(hand_views):
     spark = hand_views
-    from rugpull_data_pipeline_spark.functions.scalars import SPARK
-    from rugpull_data_pipeline_spark.plans.advanced import _bloom_prefilter
+    from rugpull_data_pipeline_spark.plans.advanced import join_bloom_prefilter
 
     # user 7 spends 600.00 on purchases (member); users 1..5 never qualify.
     rows = [(0, 100, 7, "purchase", 600.0)]
     rows += [(i, 200 + i, i, "click", 1.0) for i in range(1, 6)]
     rows += [(10, 300, 7, "view", 2.0)]
     _mk_events_valued(spark, rows)
-    got = {r.event_type: r for r in spark.sql(_bloom_prefilter(SPARK)).collect()}
+    got = {
+        r.event_type: r for r in join_bloom_prefilter(spark, "unused").collect()
+    }
     # every true member row passes the bloom (no false negatives):
     for r in got.values():
         assert r.n_bloom_pass >= r.n_true_member

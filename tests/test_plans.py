@@ -62,9 +62,6 @@ _NLJ_ALLOWED = {
     # 1-row total), and the file-stats grid × 4 literal probe predicates.
     "quality_k_anonymity",
     "layout_manifest_prune",
-    # greedy farthest-point traversal: each round broadcasts the 1-row
-    # newest center against the distance table (the MMR shape).
-    "sample_kcenter_coreset",
     # 1-row aggregate broadcasts (class totals / norm scalars) and the
     # tiny class/dimension grids of the round-5 eval/stats family: the
     # broadcast side is bounded by the label or value domain, never rows.
