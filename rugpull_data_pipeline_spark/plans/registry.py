@@ -164,15 +164,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "eval_lang_confusion",
     "agg_gini_value",
 )
-# Round-6 rotation plan: round 5 (correctly) froze this window on the
-# round-4b backlog BEFORE adding its own ~45-query eval/statistics/
-# feature tier (stats_eval.py, feature_ops.py, the late traindata/stream
-# ops), so the never-checked carry-over now spans TWO rotations
-# (tests/test_correctness_oracle.py::test_driver_window_rotation caps it
-# at 90). Round 6 takes the 45 highest-value carried queries + 5
-# oldest-first RE-PROOFS (start with the round-2 relational/TPC-H block);
-# round 7 absorbs the remainder and resumes the standing re-proof cadence.
-# Recompute the authoritative never-checked set as
+# Round-6 rotation plan: round 5 froze this window on the round-4b
+# backlog BEFORE adding its own queries, so with 267 registered and this
+# 50-slot window green, the never-checked carry-over is 69 queries
+# (= 119 never-checked before r5 − the 50 in this window; computed, not
+# estimated — tests/test_correctness_oracle.py::test_driver_window_rotation
+# caps the carry at 90). Round 6 takes the 45 highest-value carried
+# queries + 5 oldest-first RE-PROOFS (start with the round-2
+# relational/TPC-H block); round 7 absorbs the remaining ~24 and resumes
+# the standing re-proof cadence. Recompute the authoritative set as
 # set(all_queries()) − union(CORRECTNESS_r02..r05 keys) rather than
 # trusting this comment.
 

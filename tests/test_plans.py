@@ -54,6 +54,7 @@ _NLJ_ALLOWED = {
     "sample_dsir_selection",  # 1-row corpus-totals broadcast into the
     # 128-row bucket-weight table build
     "text_keyword_bm25",  # 1-row (N, total-tokens) corpus stats broadcast
+    "graph_community_modularity",  # 1-row edge-count (m) broadcast
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

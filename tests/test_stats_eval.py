@@ -505,3 +505,20 @@ def test_cohens_kappa_bounds_and_perfect_agreement(hand_views):
     row = spark.sql(_cohens_kappa(SPARK)).collect()[0]
     assert row.observed_agree == 0.0
     assert row.kappa == -1.0
+
+
+def test_modularity_two_cliques(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _modularity
+
+    # Two disjoint triangles via an explicit edge list: LPA labels each
+    # clique by its smallest node; modularity of the perfect split is
+    # Q = 2 * (3/6 - (6/12)^2) = 0.5.
+    edges = "SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)) AS t(u, v)"
+    rows = spark.sql(_modularity(SPARK, edges_src=edges)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_members == 3
+        assert r.intra_edges == 3 and r.degree_sum == 6
+        assert r.q_contrib == 0.25
+        assert r.q_total == 0.5
