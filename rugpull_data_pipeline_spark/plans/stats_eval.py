@@ -1281,9 +1281,12 @@ def _spearman(d: str) -> str:
         FROM ranked
     )
     SELECT n AS n_users,
-        round(cast(n * sxy - sx * sy as double)
-            / sqrt(cast(n * sxx - sx * sx as double)
-                 * cast(n * syy - sy * sy as double)), 6) AS spearman_rho
+        round(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN NULL
+            ELSE cast(n * sxy - sx * sy as double)
+                / sqrt(cast(n * sxx - sx * sx as double)
+                     * cast(n * syy - sy * sy as double)) END, 6)
+            AS spearman_rho
     FROM mom
     """
 

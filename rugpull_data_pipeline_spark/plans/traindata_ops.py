@@ -278,11 +278,31 @@ def _triangles(d: str) -> str:
             ON a.event_type = b.event_type AND a.bucket = b.bucket
             AND a.user_id < b.user_id
     ),
+    deg AS (
+        SELECT node, cast(count(*) as bigint) AS dg
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges) s
+        GROUP BY node
+    ),
+    oriented AS (
+        -- degree-ordered orientation (each edge points from the lower-
+        -- (degree, id) endpoint): every triangle keeps exactly ONE acyclic
+        -- orientation, and the wedge join's fan-out per node drops from
+        -- deg^2 to outdeg^2, where outdeg is bounded by ~sqrt(2m) on skewed
+        -- graphs — the standard exact hardening against hub detonation.
+        SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS u,
+               CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS v
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
     tri AS (
         SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
-        FROM edges e1
-        JOIN edges e2 ON e2.u = e1.v
-        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        FROM oriented e1
+        JOIN oriented e2 ON e2.u = e1.v
+        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
     )
     SELECT user_id, count(*) AS n_triangles
     FROM (
@@ -301,13 +321,15 @@ _pair(
     _triangles,
     tags=("graph",),
     doc="Triangle counting over the user co-occurrence graph (users active "
-    "in the same event_type within the same hour are adjacent). The "
-    "ordered-edge convention (u < v, triangles enumerated a<b<c) makes the "
-    "3-way self-equi-join count each triangle exactly once; group "
-    "membership is capped at 40 BEFORE the pair build — the same hot-key "
-    "guard as the LSH band cap — so a celebrity hour cannot detonate the "
-    "quadratic edge step. Per-node participation via a UNION ALL of the "
-    "three corners and one hash-agg; top-20 by TakeOrderedAndProject.",
+    "in the same event_type within the same hour are adjacent). Edges are "
+    "DEGREE-ORDER ORIENTED before the wedge join (each edge points from "
+    "its lower-(degree, id) endpoint), so every triangle is enumerated "
+    "exactly once AND a hub's wedge fan-out is bounded by its OUT-degree "
+    "(~sqrt(2m) on skewed graphs) instead of its full degree squared — "
+    "the standard exact hardening on top of the 40-member group cap that "
+    "already guards the pair build. Per-node participation via a UNION "
+    "ALL of the three corners and one hash-agg; top-20 by "
+    "TakeOrderedAndProject.",
 )
 
 

@@ -522,3 +522,122 @@ def test_modularity_two_cliques(hand_views):
         assert r.intra_edges == 3 and r.degree_sum == 6
         assert r.q_contrib == 0.25
         assert r.q_total == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Property-based brute-force cross-checks (hypothesis) for the rank family
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _avg_ranks(vals):
+    """1-based tie-corrected average ranks, DOUBLED (exact integers)."""
+    out = []
+    for v in vals:
+        lt = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        out.append(2 * lt + eq + 1)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(0, 500), min_size=4, max_size=9))
+def test_pettitt_matches_bruteforce(hand_views, daily_cents):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _pettitt
+
+    rows = [
+        (i, i * 86400, 1, "click", c / 100.0) for i, c in enumerate(daily_cents)
+    ]
+    _mk_events(spark, rows)
+    got = spark.sql(_pettitt(SPARK)).collect()[0]
+    # brute force on the SAME floored-cents series the SQL sees
+    import math
+    cents = [math.floor((c / 100.0) * 100.0) for c in daily_cents]
+    n = len(cents)
+    r2 = _avg_ranks(cents)
+    best = None
+    for t in range(1, n):  # split after day t-1 (0-based index t-1)
+        ut = sum(r2[: t]) - t * (n + 1)
+        cand = (abs(ut), -(t - 1))  # max |U|, tie -> smallest day
+        if best is None or cand > best[0]:
+            best = (cand, t - 1, abs(ut))
+    assert got.n_days == n
+    assert got.k_stat == best[2]
+    assert got.change_day_idx == best[1]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=8))
+def test_theil_sen_matches_bruteforce(hand_views, daily_cents):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _theil_sen
+    import math
+
+    rows = [
+        (i, i * 86400, 1, "click", c / 100.0) for i, c in enumerate(daily_cents)
+    ]
+    _mk_events(spark, rows)
+    got = spark.sql(_theil_sen(SPARK)).collect()[0]
+    cents = [math.floor((c / 100.0) * 100.0) for c in daily_cents]
+    slopes = []
+    for i in range(len(cents)):
+        for j in range(i + 1, len(cents)):
+            slopes.append(((cents[j] - cents[i]) / (j - i), i, j))
+    slopes.sort()
+    lower_median = slopes[(len(slopes) + 1) // 2 - 1][0]
+    assert got.n_pairs == len(slopes)
+    assert got.ts_slope_per_day == round(lower_median / 100.0, 6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 300)),  # (n_events, cents each)
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_spearman_matches_bruteforce(hand_views, users):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _spearman
+    import math
+
+    rows, eid = [], 0
+    for uid, (cnt, cents) in enumerate(users, start=1):
+        for _ in range(cnt):
+            rows.append((eid, 100 * eid, uid, "click", cents / 100.0))
+            eid += 1
+    _mk_events(spark, rows)
+    got = spark.sql(_spearman(SPARK)).collect()[0]
+    fs = [cnt for cnt, cents in users]
+    ms = [
+        sum(math.floor((cents / 100.0) * 100.0) for _ in range(cnt))
+        for cnt, cents in users
+    ]
+    x, y = _avg_ranks(fs), _avg_ranks(ms)
+    n = len(users)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    assert got.n_users == n
+    if den == 0:
+        assert got.spearman_rho is None
+    else:
+        expect = round((n * sxy - sx * sy) / math.sqrt(den), 6)
+        assert got.spearman_rho == expect
