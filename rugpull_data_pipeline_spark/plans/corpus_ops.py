@@ -783,3 +783,88 @@ def kmeans_lloyd_fit(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM scoring (the unigram scorer's upgrade)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_kn(d: str) -> str:
+    # Bigrams by position; Spark's sequence(1, n-1) DESCENDS when n < 2, so
+    # short docs are filtered before the explode in both dialects.
+    if d == SPARK:
+        bg_src = (
+            "SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2 "
+            "FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) b "
+            "LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i "
+            "WHERE size(w) >= 2"
+        )
+    else:
+        bg_src = (
+            "SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 "
+            "FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) b, "
+            "unnest(range(1, cast(len(w) as bigint))) t(i) "
+            "WHERE len(w) >= 2"
+        )
+    # Interpolated KN with absolute discount D = 0.75 (exact in binary):
+    #   P(w2|w1) = (c12 - D)/c1 + D * N1p_w1 / c1 * (N1f_w2 / T)
+    # Every count is an exact bigint; the whole P is one deterministic
+    # double expression; ln(P) pre-rounded to 7 dp per DISTINCT bigram
+    # (the unigram scorer's convention), then the per-doc fold is the
+    # exact micro-nat half-up division.
+    lp = (
+        "round(ln((cast(c12 as double) - 0.75) / cast(c1 as double)"
+        " + 0.75 * cast(n1p as double) / cast(c1 as double)"
+        " * (cast(n1f as double) / cast(tt as double))), 7)"
+    )
+    return f"""
+    WITH split_bg AS ({bg_src}),
+    cb AS (
+        SELECT w1, w2, cast(count(*) as bigint) AS c12
+        FROM split_bg GROUP BY w1, w2
+    ),
+    left_stats AS (
+        SELECT w1, {S.isum('c12', d)} AS c1,
+            cast(count(*) as bigint) AS n1p
+        FROM cb GROUP BY w1
+    ),
+    right_stats AS (
+        SELECT w2, cast(count(*) as bigint) AS n1f FROM cb GROUP BY w2
+    ),
+    tot AS (SELECT cast(count(*) as bigint) AS tt FROM cb),
+    terms AS (
+        SELECT cb.w1, cb.w2, {lp} AS lp
+        FROM cb
+        JOIN left_stats ls ON ls.w1 = cb.w1
+        JOIN right_stats rs ON rs.w2 = cb.w2
+        CROSS JOIN tot
+    )
+    SELECT s.doc_id,
+        cast(count(*) as bigint) AS n_bigrams,
+        cast({S.idiv(
+            "2 * cast(-sum(cast((t.lp) as decimal(38,6))) * 1000000 as bigint)"
+            " + count(*)",
+            "2 * count(*)", d)} as double) / 1000000 AS avg_nll_kn
+    FROM split_bg s
+    JOIN terms t ON t.w1 = s.w1 AND t.w2 = s.w2
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+_pair(
+    "text_bigram_kneser_ney",
+    _bigram_kn,
+    tags=("text", "quality"),
+    doc="Interpolated Kneser-Ney bigram LM scoring (D=0.75), the standard "
+    "upgrade of text_ngram_lm_score's add-one unigram: the discounted "
+    "bigram estimate backs off to the CONTINUATION probability "
+    "N1+(.w2)/|bigram types| — the 'San Francisco' correction that "
+    "add-one cannot express. All counts are single hash-aggs on the "
+    "bigram grid; each distinct bigram's ln(P) is one deterministic "
+    "double expression pre-rounded to 7 dp, the per-doc fold is the "
+    "exact micro-nat half-up division (tie-proof across engines), and "
+    "the scoring join is hash-partitioned on the bigram — the LM is "
+    "distributed state, never driver state.",
+)

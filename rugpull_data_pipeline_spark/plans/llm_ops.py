@@ -1225,3 +1225,67 @@ _pair(
     "The avgdl division is folded into a multiply-through by N "
     "(dl * nd / ntok) so both engines evaluate the identical tree.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Suffix/prefix chunk-boundary dedup (scrape-window stitching detector)
+# ---------------------------------------------------------------------------
+
+_EDGE_K = 8  # tokens per edge window
+_EDGE_CAP = 64  # max docs sharing one edge hash (hot-boilerplate guard)
+
+
+def _suffix_prefix_overlap(d: str) -> str:
+    toks = _toks(d)
+    n = S.arr_len("w", d)
+    pre = S.arr_join(S.arr_slice("w", "1", str(_EDGE_K), d), "' '", d)
+    suf = S.arr_join(
+        S.arr_slice("w", f"{n} - {_EDGE_K} + 1", str(_EDGE_K), d), "' '", d
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks} AS w FROM documents
+    ),
+    edges AS (
+        SELECT doc_id,
+            md5({pre}) AS prefix_h,
+            md5({suf}) AS suffix_h
+        FROM base WHERE {n} >= {_EDGE_K}
+    ),
+    pre_capped AS (
+        SELECT doc_id, prefix_h FROM (
+            SELECT doc_id, prefix_h,
+                count(*) OVER (PARTITION BY prefix_h) AS bsz
+            FROM edges
+        ) f WHERE bsz <= {_EDGE_CAP}
+    ),
+    suf_capped AS (
+        SELECT doc_id, suffix_h FROM (
+            SELECT doc_id, suffix_h,
+                count(*) OVER (PARTITION BY suffix_h) AS bsz
+            FROM edges
+        ) f WHERE bsz <= {_EDGE_CAP}
+    )
+    SELECT s.doc_id AS doc_a, p.doc_id AS doc_b
+    FROM suf_capped s
+    JOIN pre_capped p
+        ON p.prefix_h = s.suffix_h AND p.doc_id <> s.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+_pair(
+    "dedup_suffix_prefix_overlap",
+    _suffix_prefix_overlap,
+    tags=("dedup", "text"),
+    doc=f"Chunk-boundary duplicate detector: document pairs where A's last "
+    f"{_EDGE_K} tokens equal B's first {_EDGE_K} — the stitching signature "
+    "sliding-window scraping and naive chunk re-assembly leave behind, "
+    "which whole-document hashing misses entirely. Each doc contributes "
+    "one 16-byte prefix hash and one suffix hash; the detector is a "
+    "single equi-join of the two hash columns, with both sides capped at "
+    f"{_EDGE_CAP} docs per hash (the LSH band-cap convention) so a "
+    "boilerplate edge (shared header/footer) cannot detonate the pair "
+    "build. Only hashes shuffle; at any corpus size this is one "
+    "hash-partitioned join.",
+)

@@ -1902,3 +1902,66 @@ def graph_community_modularity(spark, sf_dir):
             labels_src="SELECT node, label FROM modularity_labels",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score (probability accuracy companion to the calibration curve)
+# ---------------------------------------------------------------------------
+
+
+def _brier(d: str) -> str:
+    # p = s / max_s on the distinct-cents grid; per-grid-row contribution
+    # pos*(p-1)^2 + (c-pos)*p^2 is one deterministic double expression over
+    # exact integers, 9-dp-quantized into the decimal sum.
+    term = (
+        "round(cast(pos as double)"
+        " * (cast(s as double) / cast(m as double) - 1)"
+        " * (cast(s as double) / cast(m as double) - 1)"
+        " + cast(c - pos as double)"
+        " * (cast(s as double) / cast(m as double))"
+        " * (cast(s as double) / cast(m as double)), 9)"
+    )
+    return f"""
+    WITH sl AS (
+        SELECT {_CENTS} AS s,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    g AS (
+        SELECT s, cast(count(*) as bigint) AS c, {S.isum('y', d)} AS pos
+        FROM sl GROUP BY s
+    ),
+    mg AS (
+        SELECT s, c, pos, max(s) OVER () AS m FROM g
+    ),
+    agg AS (
+        SELECT {S.isum('c', d)} AS n, {S.isum('pos', d)} AS np,
+            {S.dsum(term, d)} AS sq
+        FROM mg
+    )
+    SELECT n AS n_events, np AS n_pos,
+        round(sq / cast(n as double), 6) AS brier,
+        round(cast(np as double) / cast(n as double)
+            * (1 - cast(np as double) / cast(n as double)), 6)
+            AS brier_baseline,
+        round(1 - (sq / cast(n as double))
+            / (cast(np as double) / cast(n as double)
+               * (1 - cast(np as double) / cast(n as double))), 6)
+            AS brier_skill
+    FROM agg
+    """
+
+
+_pair(
+    "eval_brier_score",
+    _brier,
+    tags=("eval", "mlprep"),
+    doc="Brier score of 'normalized event value as purchase probability' "
+    "plus the climatology baseline p_base*(1-p_base) and the skill score "
+    "1 - BS/BS_base — the proper-scoring companion to "
+    "eval_calibration_bins (calibration shows WHERE the signal is off, "
+    "Brier says HOW MUCH it costs overall). Grid-aggregated: per "
+    "distinct-cents row one 9-dp-quantized squared-error term weighted "
+    "by its positive/negative counts, decimal-summed, two final "
+    "divisions.",
+)

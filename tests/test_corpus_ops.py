@@ -148,3 +148,48 @@ def test_bm25_scores_handmade(spark):
     assert rows[0].bm25_score == pytest.approx(s1, abs=1e-5)
     assert rows[1].bm25_score == pytest.approx(s2, abs=1e-5)
     assert rows[0].n_terms_hit == 1
+
+
+def test_suffix_prefix_overlap_directional(spark):
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.plans.llm_ops import _suffix_prefix_overlap
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    a = "x1 x2 " + shared          # ends with the shared window
+    b = shared + " y1 y2"          # starts with it
+    c = "z1 z2 z3 z4 z5 z6 z7 z8"  # unrelated
+    spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    try:
+        got = [
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(_suffix_prefix_overlap(SPARK)).collect()
+        ]
+    finally:
+        registry._VIEWS_FOR.pop(id(spark), None)
+    assert got == [(1, 2)]  # directional: A's suffix -> B's prefix only
+
+
+def test_bigram_kneser_ney_handmade(spark):
+    import math
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.plans.corpus_ops import _bigram_kn
+
+    # bigrams: (a,b) x2, (a,c) x1 -> c1(a)=3, N1+(a.)=2, N1+(.b)=N1+(.c)=1,
+    # T=2. P(b|a)=1.25/3+0.75*(2/3)*0.5=2/3; P(c|a)=0.25/3+0.25=1/3.
+    spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    try:
+        got = {r.doc_id: r for r in spark.sql(_bigram_kn(SPARK)).collect()}
+    finally:
+        registry._VIEWS_FOR.pop(id(spark), None)
+    assert sorted(got) == [1, 2, 3]  # the 1-token doc has no bigrams
+    assert got[1].n_bigrams == 1
+    assert got[1].avg_nll_kn == pytest.approx(-math.log(2 / 3), abs=2e-6)
+    assert got[3].avg_nll_kn == pytest.approx(-math.log(1 / 3), abs=2e-6)
+    assert got[1].avg_nll_kn == got[2].avg_nll_kn

@@ -641,3 +641,20 @@ def test_spearman_matches_bruteforce(hand_views, users):
     else:
         expect = round((n * sxy - sx * sy) / math.sqrt(den), 6)
         assert got.spearman_rho == expect
+
+
+def test_brier_perfect_predictor(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _brier
+    rows = [
+        (0, 0, 1, "click", 0.0),
+        (1, 10, 1, "click", 0.0),
+        (2, 20, 1, "purchase", 1.0),
+        (3, 30, 1, "purchase", 1.0),
+    ]
+    _mk_events(spark, rows)
+    row = spark.sql(_brier(SPARK)).collect()[0]
+    assert (row.n_events, row.n_pos) == (4, 2)
+    assert row.brier == 0.0
+    assert row.brier_baseline == 0.25
+    assert row.brier_skill == 1.0
