@@ -27,6 +27,7 @@ the UDTF is Arrow-batched like any Python UDF — and the oracle twin
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.scalars import DUCK, SPARK
 from .registry import register, sql_pair
@@ -349,4 +350,86 @@ def spark4_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .select(F.lower(F.col("k")).alias("lang_ci"), "n_docs")
         .orderBy("lang_ci")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): adaptive threshold search
+# ---------------------------------------------------------------------------
+
+# The oracle replays the same doubling walk as a recursive CTE on the cents
+# grid: thr starts at 1 and doubles until at most 1% of valued events sit at
+# or above it.
+_SCRIPTING_ORACLE = """
+WITH RECURSIVE grid AS (
+    SELECT cast(floor(value * cast(100 as double)) as bigint) AS s,
+        cast(count(*) as bigint) AS c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY s
+),
+tot AS (SELECT cast(sum(c) as bigint) AS n_total FROM grid),
+walk(thr, n_above, n_iters) AS (
+    SELECT cast(1 as bigint),
+        (SELECT cast(sum(c) as bigint) FROM grid WHERE s >= 1),
+        cast(0 as int)
+    UNION ALL
+    SELECT w.thr * 2,
+        (SELECT coalesce(cast(sum(c) as bigint), 0) FROM grid
+         WHERE s >= w.thr * 2),
+        w.n_iters + 1
+    FROM walk w, tot
+    WHERE w.n_above * 100 > tot.n_total
+)
+SELECT w.thr AS threshold_cents, w.n_above, tot.n_total,
+    cast(w.n_iters as int) AS n_iters
+FROM walk w, tot
+WHERE w.n_above * 100 <= tot.n_total
+ORDER BY w.thr LIMIT 1
+"""
+
+
+@register(
+    "spark4_sql_scripting",
+    oracle=_SCRIPTING_ORACLE,
+    tags=("spark4", "iterative"),
+    doc="SQL scripting (Spark 4 BEGIN/DECLARE/WHILE, the SQL/PSM surface): "
+    "an adaptive threshold search that DOUBLES a cents cutoff until at "
+    "most 1% of valued events remain at or above it — the spike-cutoff "
+    "calibration a monitoring pipeline runs, written as a procedural SQL "
+    "script instead of driver-side Python. The builder first aggregates "
+    "events down to the distinct-cents GRID and localCheckpoints it, so "
+    "every loop iteration scans O(grid) rows, not the fact table — ~15 "
+    "doublings cost nothing at any scale. Oracle: the identical walk as "
+    "a DuckDB recursive CTE. Output: final threshold, rows above, total, "
+    "iteration count.",
+)
+def spark4_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .selectExpr("cast(floor(value * cast(100 as double)) as bigint) AS s")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    grid.createOrReplaceTempView("scripting_cents_grid")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          DECLARE n_total BIGINT;
+          DECLARE n_above BIGINT;
+          DECLARE n_iters INT DEFAULT 0;
+          SET n_total = (SELECT sum(c) FROM scripting_cents_grid);
+          SET n_above = (SELECT coalesce(sum(c), 0)
+                         FROM scripting_cents_grid WHERE s >= thr);
+          WHILE n_above * 100 > n_total DO
+            SET thr = thr * 2;
+            SET n_above = (SELECT coalesce(sum(c), 0)
+                           FROM scripting_cents_grid WHERE s >= thr);
+            SET n_iters = n_iters + 1;
+          END WHILE;
+          SELECT thr AS threshold_cents, n_above, n_total, n_iters;
+        END
+        """
     )

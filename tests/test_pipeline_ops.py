@@ -388,3 +388,20 @@ def test_bloom_prefilter_no_false_negatives(hand_views):
     # 5 non-member clicks; with 3 seeds over 1024 bits and 3 set bits the
     # chance any click passes is ~0 — and deterministic, so pin it.
     assert got["click"].n_bloom_pass == 0 and got["click"].fp_rate == 0.0
+
+
+def test_sql_scripting_threshold_walk(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.spark4_features import (
+        spark4_sql_scripting,
+    )
+
+    # 100 one-cent events + one 10.00 spike: thr=1 keeps all 101 (>1%),
+    # one doubling to thr=2 leaves only the spike (1 of 101 <= 1%).
+    rows = [(i, i, 1, "click", 0.01) for i in range(100)]
+    rows.append((100, 200, 1, "purchase", 10.0))
+    _mk_events_valued(spark, rows)
+    row = spark4_sql_scripting(spark, "unused").collect()[0]
+    assert (row.threshold_cents, row.n_above, row.n_total, row.n_iters) == (
+        2, 1, 101, 1,
+    )
