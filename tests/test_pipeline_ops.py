@@ -405,3 +405,68 @@ def test_sql_scripting_threshold_walk(hand_views):
     assert (row.threshold_cents, row.n_above, row.n_total, row.n_iters) == (
         2, 1, 101, 1,
     )
+
+
+def _kcenter_property(spark_session):
+    """Hypothesis-driven: the Spark traversal must equal the pure-Python
+    Gonzalez greedy on random small vector sets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+            min_size=4,
+            max_size=10,
+            unique=True,
+        )
+    )
+    def inner(pts):
+        spark = spark_session
+        from rugpull_data_pipeline_spark.plans import registry
+        from rugpull_data_pipeline_spark.plans.pipeline_ops import (
+            sample_kcenter_coreset,
+        )
+
+        spark.createDataFrame(
+            [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        ).createOrReplaceTempView("embeddings")
+        try:
+            rows = sample_kcenter_coreset(spark, "unused").collect()
+        finally:
+            registry._VIEWS_FOR.pop(id(spark), None)
+        # python replica on the micro-quantized integers
+        import math
+        iv = [
+            (i, [math.floor(float(x) * 1e6), math.floor(float(y) * 1e6)])
+            for i, (x, y) in enumerate(pts)
+        ]
+
+        def d2(a, b):
+            return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+        centers = [min(iv, key=lambda t: t[0])]
+        dist = {i: d2(v, centers[0][1]) for i, v in iv}
+        expect = [(1, centers[0][0], max(dist.values()))]
+        for rank in range(2, 5):
+            far = max(iv, key=lambda t: (dist[t[0]], -t[0]))
+            for i, v in iv:
+                dist[i] = min(dist[i], d2(v, far[1]))
+            expect.append((rank, far[0], max(dist.values())))
+        got = [(r.center_rank, r.vec_id, r.coverage_radius_sq) for r in rows]
+        assert got == expect
+        # the coverage radius is monotone non-increasing
+        radii = [r.coverage_radius_sq for r in rows]
+        assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+    return inner
+
+
+def test_kcenter_matches_bruteforce_greedy(spark):
+    _kcenter_property(spark)()

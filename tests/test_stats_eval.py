@@ -658,3 +658,60 @@ def test_brier_perfect_predictor(hand_views):
     assert row.brier == 0.0
     assert row.brier_baseline == 0.25
     assert row.brier_skill == 1.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_modularity_matches_definition(hand_views, edge_set):
+    """Q from the SQL must equal the textbook definition computed in Python
+    on the SAME label assignment (2 deterministic LPA rounds, replicated)."""
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _modularity
+
+    edges = sorted(edge_set)
+    vals = ", ".join(f"({u}, {v})" for u, v in edges)
+    src = f"SELECT * FROM (VALUES {vals}) AS t(u, v)"
+    rows = spark.sql(_modularity(SPARK, edges_src=src)).collect()
+
+    # python replica: 2 synchronous LPA rounds, majority label, min tie
+    nodes = sorted({n for e in edges for n in e})
+    nbrs = {n: [] for n in nodes}
+    for u, v in edges:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lab = {n: n for n in nodes}
+    for _ in range(2):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for m in nbrs[n] + [n]:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    m = len(edges)
+    comms = sorted(set(lab.values()))
+    q_total = 0.0
+    per = {}
+    for c in comms:
+        mc = sum(1 for u, v in edges if lab[u] == c and lab[v] == c)
+        dc = sum(len(nbrs[n]) for n in nodes if lab[n] == c)
+        per[c] = (mc, dc)
+        q_total += mc / m - (dc / (2 * m)) ** 2
+    got_q = {r.community: r for r in rows}
+    for c in comms:
+        mc, dc = per[c]
+        assert got_q[c].intra_edges == mc and got_q[c].degree_sum == dc
+    assert rows[0].q_total == pytest.approx(round(q_total, 6), abs=2e-6)
