@@ -1965,3 +1965,81 @@ _pair(
     "by its positive/negative counts, decimal-summed, two final "
     "divisions.",
 )
+
+
+# ---------------------------------------------------------------------------
+# VPIN order-flow toxicity (volume-bucketed tick-rule imbalance)
+# ---------------------------------------------------------------------------
+
+_VPIN_BUCKET = 50_000  # cents of volume per bucket
+
+
+def _vpin(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    lv = (
+        "last_value(dir0) IGNORE NULLS"
+        if d == SPARK
+        else "last_value(dir0 IGNORE NULLS)"
+    )
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    prev = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    term = (
+        "round(cast(abs(buy_v - sell_v) as double)"
+        " / cast(buy_v + sell_v as double), 9)"
+    )
+    return f"""
+    WITH ordered AS (
+        SELECT event_type, event_id, {e} AS es, {_CENTS} AS v,
+            {_CENTS} - lag({_CENTS}) OVER (
+                PARTITION BY event_type ORDER BY {e}, event_id) AS dv
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    signed AS (
+        SELECT event_type, event_id, es, v,
+            CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 END AS dir0
+        FROM ordered
+    ),
+    directed AS (
+        -- tick rule: zero changes and the first trade inherit the last
+        -- nonzero direction (initial direction pinned to +1).
+        SELECT event_type, v,
+            coalesce({lv} OVER (
+                PARTITION BY event_type ORDER BY es, event_id {frame}), 1)
+                AS dir,
+            coalesce(cast(sum(v) OVER (
+                PARTITION BY event_type ORDER BY es, event_id {prev})
+                as bigint), 0) AS cum_before
+        FROM signed
+    ),
+    buckets AS (
+        SELECT event_type, {S.idiv('cum_before', str(_VPIN_BUCKET), d)} AS bkt,
+            {S.isum('CASE WHEN dir = 1 THEN v ELSE 0 END', d)} AS buy_v,
+            {S.isum('CASE WHEN dir = -1 THEN v ELSE 0 END', d)} AS sell_v
+        FROM directed
+        GROUP BY event_type, {S.idiv('cum_before', str(_VPIN_BUCKET), d)}
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n_buckets,
+        {S.isum('buy_v + sell_v', d)} AS total_volume_cents,
+        round({S.dsum(term, d)} / cast(count(*) as double), 6) AS vpin
+    FROM buckets
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_vpin_toxicity",
+    _vpin,
+    tags=("window", "series", "domain"),
+    doc="VPIN order-flow toxicity (Easley, Lopez de Prado & O'Hara): trades "
+    "are signed by the tick rule (zero changes inherit the last nonzero "
+    "direction via an IGNORE NULLS running last_value), grouped into "
+    f"fixed {_VPIN_BUCKET}-cent volume buckets by the running volume "
+    "before each trade, and VPIN is the mean |buy - sell| / total "
+    "imbalance across buckets — the flow-toxicity alarm that spikes "
+    "under the one-sided dumping a rugpull produces. Everything is "
+    "integer cents until the per-bucket imbalance ratio (9-dp-quantized "
+    "into the decimal mean); windows partition by event_type and order "
+    "by the deterministic (ts, event_id).",
+)

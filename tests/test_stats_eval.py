@@ -715,3 +715,25 @@ def test_modularity_matches_definition(hand_views, edge_set):
         mc, dc = per[c]
         assert got_q[c].intra_edges == mc and got_q[c].degree_sum == dc
     assert rows[0].q_total == pytest.approx(round(q_total, 6), abs=2e-6)
+
+
+def test_vpin_one_sided_dump_is_toxic(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _vpin
+    # monotonically falling prices -> every trade sells -> VPIN = 1.
+    rows = [(i, 10 * i, 1, "dump", 10.0 - i * 0.5) for i in range(8)]
+    # balanced alternation -> buys and sells cancel within the bucket.
+    rows += [
+        (100 + i, 10 * i, 1, "calm", 5.0 + (0.5 if i % 2 else -0.5))
+        for i in range(8)
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_vpin(SPARK)).collect()}
+    # first trade is pinned +1 (1000c buy), the other 7 sell 5600c:
+    # |5600 - 1000| / 6600 exactly.
+    assert got["dump"].vpin == round(4600 / 6600, 6)
+    # calm: alternating signs mostly cancel (buys 450+4*550, sells 3*450
+    # -> |1300|/4000 = 0.325) -> far less toxic than the dump.
+    assert got["calm"].vpin == 0.325
+    assert got["calm"].vpin < got["dump"].vpin
+    assert got["calm"].n_buckets >= 1
