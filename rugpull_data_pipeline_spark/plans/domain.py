@@ -228,7 +228,7 @@ def _ensure_xl_blocks() -> str:
     "solana_balance_extract_xl",
     oracle=_balance_oracle(_xl_dir()),
     tags=("flagship", "json", "domain", "throughput"),
-    doc="The §3.1 extraction chain at reference byte scale: ~40 MB of "
+    doc="The §3.1 extraction chain at reference byte scale: ~115 MB of "
     "block JSON (hundreds of txs per block) through schema-pruned "
     "from_json → semi-join → owner replacement → pre/post merge. The bench "
     "entry for parse+filter+agg throughput vs the reference's ≈25 MB/s "
