@@ -2043,3 +2043,150 @@ _pair(
     "into the decimal mean); windows partition by event_type and order "
     "by the deterministic (ts, event_id).",
 )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (are the daily residuals white noise?)
+# ---------------------------------------------------------------------------
+
+
+def _ljung_box(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    w = "PARTITION BY daily.event_type ORDER BY daily.di"
+    # centered co-moment terms quantized to 9 dp before the decimal sum;
+    # the mean itself is an exact-integer division (identical IEEE).
+    def num(k: int) -> str:
+        return S.dsum(
+            f"round((cast(y as double) - m) * (cast(y{k} as double) - m), 9)", d
+        )
+    den = S.dsum("round((cast(y as double) - m) * (cast(y as double) - m), 9)", d)
+    rsq = " + ".join(
+        f"round((n{k} / nullif(dn, 0)) * (n{k} / nullif(dn, 0))"
+        f" / cast(n - {k} as double), 9)"
+        for k in (1, 2, 3)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {S.idiv(e, '86400', d)} AS di,
+            {S.isum(_CENTS, d)} AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, {S.idiv(e, '86400', d)}
+    ),
+    stats AS (
+        SELECT event_type,
+            cast(count(*) as bigint) AS n,
+            cast({S.isum('y', d)} as double) / cast(count(*) as double) AS m
+        FROM daily GROUP BY event_type
+    ),
+    lagged AS (
+        SELECT daily.event_type, daily.y, st.n, st.m,
+            lag(daily.y, 1) OVER ({w}) AS y1,
+            lag(daily.y, 2) OVER ({w}) AS y2,
+            lag(daily.y, 3) OVER ({w}) AS y3
+        FROM daily JOIN stats st ON st.event_type = daily.event_type
+    ),
+    moments AS (
+        SELECT event_type, max(n) AS n,
+            {num(1)} AS n1, {num(2)} AS n2, {num(3)} AS n3,
+            {den} AS dn
+        FROM lagged
+        GROUP BY event_type
+        HAVING max(n) > 4
+    )
+    SELECT event_type, cast(n as bigint) AS n_days,
+        round(n1 / nullif(dn, 0), 6) AS acf1,
+        round(n2 / nullif(dn, 0), 6) AS acf2,
+        round(n3 / nullif(dn, 0), 6) AS acf3,
+        round(cast(n as double) * (cast(n as double) + 2) * ({rsq}), 6)
+            AS q_ljung_box
+    FROM moments
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_ljung_box",
+    _ljung_box,
+    tags=("window", "series", "eval"),
+    doc="Ljung-Box portmanteau test on each type's daily value series "
+    "(lags 1-3): Q = n(n+2) * sum r_k^2/(n-k), with the textbook "
+    "full-series-mean autocorrelations — the white-noise screen run on "
+    "residuals after window_holt_linear / agg_linreg_daily detrending "
+    "decide whether structure remains. One window pass computes all "
+    "three lag columns on the calendar-bounded daily grid; centered "
+    "co-moment terms are 9-dp-quantized into decimal sums, the mean is "
+    "an exact-integer division, and each Q addend is re-quantized so "
+    "both engines agree bit-for-bit.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox screen (does the aggregate A/B direction reverse?)
+# ---------------------------------------------------------------------------
+
+
+def _simpson(d: str) -> str:
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+            CASE WHEN {_CENTS} >= 500 THEN 'high' ELSE 'low' END AS stratum,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT stratum, arm, cast(count(*) as bigint) AS n,
+            {S.isum('y', d)} AS conv
+        FROM base GROUP BY stratum, arm
+    ),
+    wide AS (
+        SELECT stratum,
+            {S.isum("CASE WHEN arm = 'A' THEN n ELSE 0 END", d)} AS n_a,
+            {S.isum("CASE WHEN arm = 'A' THEN conv ELSE 0 END", d)} AS c_a,
+            {S.isum("CASE WHEN arm = 'B' THEN n ELSE 0 END", d)} AS n_b,
+            {S.isum("CASE WHEN arm = 'B' THEN conv ELSE 0 END", d)} AS c_b
+        FROM cells GROUP BY stratum
+        UNION ALL
+        SELECT 'TOTAL',
+            {S.isum("CASE WHEN arm = 'A' THEN n ELSE 0 END", d)},
+            {S.isum("CASE WHEN arm = 'A' THEN conv ELSE 0 END", d)},
+            {S.isum("CASE WHEN arm = 'B' THEN n ELSE 0 END", d)},
+            {S.isum("CASE WHEN arm = 'B' THEN conv ELSE 0 END", d)}
+        FROM cells
+    ),
+    signed AS (
+        -- rate comparison by integer cross-multiplication: never a float.
+        SELECT stratum, n_a, c_a, n_b, c_b,
+            CASE WHEN c_a * n_b > c_b * n_a THEN 1
+                 WHEN c_a * n_b < c_b * n_a THEN -1 ELSE 0 END AS dir
+        FROM wide
+    )
+    SELECT s.stratum, s.n_a, s.c_a, s.n_b, s.c_b,
+        round(cast(s.c_a as double) / cast(s.n_a as double), 6) AS rate_a,
+        round(cast(s.c_b as double) / cast(s.n_b as double), 6) AS rate_b,
+        s.dir,
+        cast(max(CASE WHEN s2.stratum = 'TOTAL' THEN s2.dir END) as int)
+            AS total_dir,
+        cast(CASE WHEN max(CASE WHEN s2.stratum = 'TOTAL' THEN s2.dir END)
+                   * min(CASE WHEN s2.stratum <> 'TOTAL' THEN s2.dir END) < 0
+              AND min(CASE WHEN s2.stratum <> 'TOTAL' THEN s2.dir END)
+                = max(CASE WHEN s2.stratum <> 'TOTAL' THEN s2.dir END)
+             THEN 1 ELSE 0 END as int) AS simpson_flag
+    FROM signed s CROSS JOIN signed s2
+    GROUP BY s.stratum, s.n_a, s.c_a, s.n_b, s.c_b, s.dir
+    ORDER BY s.stratum
+    """
+
+
+_pair(
+    "profile_simpson_paradox",
+    _simpson,
+    tags=("profiling", "eval"),
+    doc="Simpson's-paradox screen on the A/B split (user parity) of "
+    "purchase conversion, stratified by value band: per-stratum and "
+    "aggregate rate comparisons are INTEGER cross-multiplications (never "
+    "a float compare), and simpson_flag fires when every stratum agrees "
+    "on one direction while the aggregate points the other way — the "
+    "aggregation bias every experiment readout must rule out before "
+    "trusting a pooled rate. The stratum grid is a handful of rows, so "
+    "the self-cross-join for the flag is metadata-scale.",
+)

@@ -56,6 +56,7 @@ _NLJ_ALLOWED = {
     "text_keyword_bm25",  # 1-row (N, total-tokens) corpus stats broadcast
     "graph_community_modularity",  # 1-row edge-count (m) broadcast
     "text_bigram_kneser_ney",  # 1-row bigram-type-count (T) broadcast
+    "profile_simpson_paradox",  # stratum-grid (3-row) self-cross for the flag
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

@@ -737,3 +737,61 @@ def test_vpin_one_sided_dump_is_toxic(hand_views):
     assert got["calm"].vpin == 0.325
     assert got["calm"].vpin < got["dump"].vpin
     assert got["calm"].n_buckets >= 1
+
+
+def test_ljung_box_white_noise_vs_trending(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ljung_box
+    import math
+    # strongly trending series: lag-1 autocorrelation near 1, large Q.
+    rows = [(i, i * 86400, 1, "trend", float(i + 1)) for i in range(10)]
+    # alternating series: lag-1 autocorrelation near -1.
+    rows += [
+        (100 + i, i * 86400, 1, "alt", 2.0 if i % 2 else 1.0)
+        for i in range(10)
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_ljung_box(SPARK)).collect()}
+    assert got["trend"].acf1 > 0.5 and got["trend"].q_ljung_box > 5
+    assert got["alt"].acf1 < -0.5
+    # python replica of the textbook statistic for the trend series
+    y = [math.floor(float(i + 1) * 100) for i in range(10)]
+    m = sum(y) / len(y)
+    den = sum((v - m) ** 2 for v in y)
+    n = len(y)
+    q = 0.0
+    for k in (1, 2, 3):
+        num = sum((y[t] - m) * (y[t - k] - m) for t in range(k, n))
+        q += (num / den) ** 2 / (n - k)
+    q *= n * (n + 2)
+    assert got["trend"].q_ljung_box == pytest.approx(q, abs=1e-4)
+
+
+def test_simpson_flag_on_classic_reversal(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _simpson
+    # classic construction: B beats A inside BOTH strata, but A's traffic
+    # concentrates in the easy (high-rate) stratum, so the pooled rate
+    # reverses. user parity: even ids = A, odd = B. cents >= 500 = 'high'.
+    rows, eid = [], 0
+
+    def add(arm_uid, stratum_value, n, conv):
+        nonlocal rows, eid
+        for i in range(n):
+            et = "purchase" if i < conv else "click"
+            rows.append((eid, eid, arm_uid, et, stratum_value))
+            eid += 1
+
+    # high stratum: A 80 trials / 60 conv (75%) vs B 20/16 (80%)
+    add(2, 9.0, 80, 60)
+    add(3, 9.0, 20, 16)
+    # low stratum: A 20 trials / 2 conv (10%) vs B 80/16 (20%)
+    add(2, 1.0, 20, 2)
+    add(3, 1.0, 80, 16)
+    _mk_events(spark, rows)
+    got = {r.stratum: r for r in spark.sql(_simpson(SPARK)).collect()}
+    # B wins both strata...
+    assert got["high"].dir == -1 and got["low"].dir == -1
+    # ...but A wins the pooled comparison (62/100 vs 32/100).
+    assert got["TOTAL"].dir == 1
+    assert all(r.simpson_flag == 1 for r in got.values())
