@@ -2190,3 +2190,157 @@ _pair(
     "trusting a pooled rate. The stratum grid is a handful of rows, so "
     "the self-cross-join for the flag is metadata-scale.",
 )
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between event-type value series
+# ---------------------------------------------------------------------------
+
+
+def _crosscorr(d: str) -> str:
+    e = S.epoch_s("ts", d)
+    di = S.idiv(e, "86400", d)
+    seq = S.explode_seq("k", "1", "5", d)
+    sx = "cast(sum(cast(x as decimal(38,9))) as double)"
+    sy = "cast(sum(cast(y as decimal(38,9))) as double)"
+    sxy = "cast(sum(cast(x * y as decimal(38,9))) as double)"
+    sxx = "cast(sum(cast(x * x as decimal(38,9))) as double)"
+    syy = "cast(sum(cast(y * y as decimal(38,9))) as double)"
+    n = "cast(count(*) as double)"
+    zero = "cast(0 as double)"
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {di} AS di,
+            cast({S.isum(_CENTS, d)} as double) / cast(100 as double) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, {di}
+    ),
+    lags AS (
+        SELECT k - 3 AS lag FROM (SELECT 1 AS one) o {seq}
+    ),
+    shifted AS (
+        -- probe side: each (type, day) sample replicated across the 5-lag
+        -- grid; the target day di + lag becomes the equi-join key.
+        SELECT a.event_type AS type_a, a.v AS x, l.lag, a.di + l.lag AS dj
+        FROM daily a CROSS JOIN lags l
+    ),
+    matched AS (
+        SELECT s.type_a, b.event_type AS type_b, s.lag, s.x, b.v AS y
+        FROM shifted s
+        JOIN daily b ON b.di = s.dj
+        WHERE s.type_a < b.event_type
+    )
+    SELECT type_a, type_b, lag,
+        cast(count(*) as bigint) AS n_days,
+        round(({n} * {sxy} - {sx} * {sy})
+            / nullif(sqrt(greatest({n} * {sxx} - {sx} * {sx}, {zero})
+                        * greatest({n} * {syy} - {sy} * {sy}, {zero})),
+                {zero}), 6) AS xcorr_r
+    FROM matched
+    GROUP BY type_a, type_b, lag
+    HAVING count(*) >= 8
+    ORDER BY type_a, type_b, lag
+    """
+
+
+_pair(
+    "window_crosscorr_leadlag",
+    _crosscorr,
+    tags=("window", "series", "eval"),
+    doc="Lead-lag cross-correlation: Pearson r between every ordered "
+    "event-type pair's daily value series at lags -2..+2 days — the "
+    "lead-lag discovery screen (does click volume LEAD purchase volume?) "
+    "that window_acf_lags cannot answer because autocorrelation is "
+    "single-series. The daily grid is one hash-agg; the 5-row lag grid "
+    "replicates the probe side (allowlisted literal cross join) and "
+    "di + lag is an equi-join key, so the alignment is a hash join on the "
+    "day index, never a window over raw rows. Co-moments follow the "
+    "agg_series_correlation discipline: 9-dp-quantized decimal sums, one "
+    "final sqrt/divide in double, zero-variance pairs NULLed via nullif.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon vocabulary drift: each source vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+
+def _jsd_counts(d: str) -> str:
+    """(source, tok, c) token counts — the shared table every JSD CTE reads."""
+    toks = S.split_ws("text", d)
+    if d == SPARK:
+        tok = f"SELECT source, explode({toks}) AS tok FROM documents"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return (
+        f"SELECT source, tok, cast(count(*) as bigint) AS c"
+        f" FROM ({tok}) t GROUP BY source, tok"
+    )
+
+
+def _jsd_drift(d: str, sc_src: str | None = None) -> str:
+    ln2 = "ln(cast(2 as double))"
+    # term_p handles q = 0 naturally (ln(2p/p) = ln 2, no /0: p > 0 on
+    # every (source, tok) row); term_q needs the q > 0 guard.
+    term_p = f"round(p * ln(cast(2 as double) * p / (p + q)), 9)"
+    term_q = (
+        "round(CASE WHEN q > cast(0 as double) "
+        f"THEN q * ln(cast(2 as double) * q / (p + q)) "
+        "ELSE cast(0 as double) END, 9)"
+    )
+    return f"""
+    WITH sc AS ({sc_src or _jsd_counts(d)}),
+    corpus AS (
+        SELECT tok, {S.isum('c', d)} AS ct FROM sc GROUP BY tok
+    ),
+    nsrc AS (
+        SELECT source, {S.isum('c', d)} AS ns FROM sc GROUP BY source
+    ),
+    ntot AS (SELECT {S.isum('c', d)} AS nt FROM sc),
+    terms AS (
+        SELECT sc.source, sc.c, nsrc.ns,
+            cast(sc.c as double) / cast(nsrc.ns as double) AS p,
+            cast(corpus.ct - sc.c as double)
+                / cast(nullif(ntot.nt - nsrc.ns, 0) as double) AS q
+        FROM sc
+        JOIN corpus ON corpus.tok = sc.tok
+        JOIN nsrc ON nsrc.source = sc.source
+        CROSS JOIN ntot
+    )
+    SELECT source,
+        cast(max(ns) as bigint) AS n_tok,
+        cast(count(*) as bigint) AS n_types,
+        round(cast(0.5 as double) * ({S.dsum(term_p, d)} + {S.dsum(term_q, d)})
+            + cast(0.5 as double) * {ln2}
+                * (cast(1 as double) - {S.dsum('round(q, 9)', d)}), 6)
+            AS jsd_vs_rest
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "profile_jsd_source_drift",
+    oracle=_jsd_drift(DUCK),
+    tags=("profiling", "text", "quality"),
+    doc="Jensen-Shannon vocabulary drift, each source vs the REST of the "
+    "corpus: the text-level complement of profile_drift_psi/ks (which "
+    "screen numeric columns) — a source whose token distribution drifts "
+    "from the corpus mix is the first suspect when a training-data "
+    "refresh regresses. Computed WITHOUT materializing absent tokens: "
+    "JSD = 0.5*sum_p-terms + 0.5*sum_q-terms over the source's own vocab "
+    "plus a closed-form 0.5*ln2*(1 - sum q) correction for the rest-mass "
+    "the source never covers, so the plan is one (source, token) hash-agg "
+    "(map-side combinable, localCheckpointed ONCE — its four CTE "
+    "consumers would otherwise each re-run the tokenize), a corpus re-agg "
+    "riding the same token key, one equi-join on token, and O(sources) "
+    "output. Each transcendental term is 9-dp-quantized into decimal "
+    "sums per the standing fp discipline; p and q are exact "
+    "integer-ratio doubles.",
+)
+def profile_jsd_source_drift(spark, sf_dir):
+    sc = spark.sql(_jsd_counts(SPARK)).localCheckpoint()
+    sc.createOrReplaceTempView("jsd_src_counts")
+    return spark.sql(
+        _jsd_drift(SPARK, sc_src="SELECT * FROM jsd_src_counts")
+    )

@@ -57,6 +57,8 @@ _NLJ_ALLOWED = {
     "graph_community_modularity",  # 1-row edge-count (m) broadcast
     "text_bigram_kneser_ney",  # 1-row bigram-type-count (T) broadcast
     "profile_simpson_paradox",  # stratum-grid (3-row) self-cross for the flag
+    "window_crosscorr_leadlag",  # 5-row literal lag grid replicating probes
+    "profile_jsd_source_drift",  # 1-row corpus-token-total broadcast
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

@@ -795,3 +795,83 @@ def test_simpson_flag_on_classic_reversal(hand_views):
     # ...but A wins the pooled comparison (62/100 vs 32/100).
     assert got["TOTAL"].dir == 1
     assert all(r.simpson_flag == 1 for r in got.values())
+
+
+def test_crosscorr_detects_one_day_lead(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _crosscorr
+    va = [5.0, 3.0, 8.0, 1.0, 9.0, 2.0, 7.0, 4.0, 6.0, 10.0, 3.0, 8.0]
+    rows = [(i, i * 86400, 1, "a", va[i]) for i in range(12)]
+    # b replays a with a one-day delay: b[d] = a[d-1]
+    rows += [(100 + i, i * 86400, 1, "b", va[i - 1]) for i in range(1, 13)]
+    _mk_events(spark, rows)
+    got = {
+        (r.type_a, r.type_b, r.lag): r
+        for r in spark.sql(_crosscorr(SPARK)).collect()
+    }
+    assert got[("a", "b", 1)].xcorr_r == 1.0
+    assert got[("a", "b", 1)].n_days == 12
+    assert abs(got[("a", "b", 0)].xcorr_r) < 0.9
+
+
+def test_crosscorr_constant_series_nulls_not_errors(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _crosscorr
+    rows = [(i, i * 86400, 1, "a", 5.0) for i in range(10)]
+    rows += [(100 + i, i * 86400, 1, "b", float(i)) for i in range(10)]
+    _mk_events(spark, rows)
+    got = {
+        (r.type_a, r.type_b, r.lag): r
+        for r in spark.sql(_crosscorr(SPARK)).collect()
+    }
+    # zero variance on the 'a' side -> NULL via nullif, never a /0 error
+    assert got[("a", "b", 0)].xcorr_r is None
+
+
+def test_jsd_source_drift_matches_python_replica(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _jsd_drift
+    import math
+    _mk_docs(
+        spark,
+        [
+            (1, "a a b", "en", "s1"),
+            (2, "a c c c", "en", "s2"),
+        ],
+    )
+    got = {r.source: r for r in spark.sql(_jsd_drift(SPARK)).collect()}
+    # s1 vs rest: P = {a:2/3, b:1/3}, Q = (corpus - s1)/(7 - 3)
+    p = {"a": 2 / 3, "b": 1 / 3}
+    q = {"a": 1 / 4, "b": 0.0, "c": 3 / 4}
+
+    def jsd(pd_, qd_):
+        out = 0.0
+        for t in set(pd_) | set(qd_):
+            pp, qq = pd_.get(t, 0.0), qd_.get(t, 0.0)
+            m = (pp + qq) / 2
+            if pp > 0:
+                out += 0.5 * pp * math.log(pp / m)
+            if qq > 0:
+                out += 0.5 * qq * math.log(qq / m)
+        return out
+
+    assert abs(got["s1"].jsd_vs_rest - jsd(p, q)) < 1e-5
+    assert got["s1"].n_tok == 3 and got["s1"].n_types == 2
+    # JSD is bounded by ln 2 and non-negative
+    for r in got.values():
+        assert 0.0 <= r.jsd_vs_rest <= math.log(2) + 1e-9
+
+
+def test_jsd_identical_distribution_is_zero(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _jsd_drift
+    _mk_docs(
+        spark,
+        [
+            (1, "a b", "en", "s1"),
+            (2, "a b", "en", "s2"),
+        ],
+    )
+    got = {r.source: r for r in spark.sql(_jsd_drift(SPARK)).collect()}
+    assert got["s1"].jsd_vs_rest == 0.0
+    assert got["s2"].jsd_vs_rest == 0.0
