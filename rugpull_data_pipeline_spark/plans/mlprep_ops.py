@@ -995,6 +995,144 @@ def graph_pagerank_power3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities (3 power iterations, L1-normalized)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(d: str) -> str:
+    # Unrolled mutual-reinforcement iterations: authority from hubs, hubs
+    # from authorities, each L1-normalized (the linear updates make
+    # per-round L1 equivalent to normalize-once, and L1 avoids a sqrt in
+    # the fold). Sums DECIMAL-quantized, divisions on identical doubles.
+    # Every CTE is MATERIALIZED on the DuckDB side: the 6-step chain with
+    # norm scalar subqueries re-inlines exponentially otherwise (the
+    # oracle-side twin of the builder's localCheckpoint contract).
+    mat = "MATERIALIZED " if d == DUCK else ""
+
+    def step(k: int, key: str, other: str, val: str, prev: str, pv: str) -> str:
+        dsum = f"cast(sum(cast(e.w * s.{pv} as decimal(38,18))) as double)"
+        norm = (
+            f"(SELECT cast(sum(cast({val} as decimal(38,18))) as double)"
+            f" FROM {val}{k}r)"
+        )
+        return f"""
+    {val}{k}r AS {mat}(
+        SELECT n.node, coalesce(x.c, cast(0 as double)) AS {val}
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.{key} AS node, {dsum} AS c
+            FROM edges e JOIN {prev} s ON s.node = e.{other}
+            GROUP BY e.{key}
+        ) x ON x.node = n.node
+    ),
+    {val}{k} AS {mat}(
+        SELECT node, {val} / nullif({norm}, cast(0 as double)) AS {val}
+        FROM {val}{k}r
+    )"""
+
+    steps = []
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(step(k, "dst", "src", "a", f"h{k - 1}", "h"))
+        steps.append(step(k, "src", "dst", "h", f"a{k}", "a"))
+    chain = ",".join(steps)
+    last = _HITS_ITERS
+    return f"""
+    WITH edges AS {mat}(
+        SELECT prev AS src, event_type AS dst, cast(count(*) as double) AS w
+        FROM (
+            SELECT event_type,
+                lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ) t
+        WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ),
+    nodes AS {mat}(SELECT DISTINCT event_type AS node FROM events),
+    nn AS {mat}(SELECT cast(count(*) as double) AS n FROM nodes),
+    h0 AS {mat}(SELECT node, cast(1 as double) / (SELECT n FROM nn) AS h
+           FROM nodes),{chain}
+    SELECT a{last}.node AS event_type,
+        round(a{last}.a, 6) AS authority,
+        round(h{last}.h, 6) AS hub
+    FROM a{last} JOIN h{last} ON h{last}.node = a{last}.node
+    ORDER BY authority DESC, event_type
+    """
+
+
+@register(
+    "graph_hits_power3",
+    oracle=_hits_oracle(DUCK),
+    tags=("graph", "iterative"),
+    doc="HITS hubs & authorities (Kleinberg), 3 mutual-reinforcement "
+    "iterations over the event-transition graph — the directed complement "
+    "of graph_pagerank_power3: PageRank ranks one notion of influence, "
+    "HITS separates SOURCES of flow (hubs) from SINKS (authorities), the "
+    "distributor-vs-collector split a rugpull flow graph cares about. "
+    "Same broadcast-iteration contract as pagerank/kmeans: the weighted "
+    "edge table (raw transition counts — HITS uses the unnormalized "
+    "adjacency) is localCheckpoint'd once, each half-iteration is one "
+    "equi-join + decimal-quantized agg, and only the 1-value L1 norm "
+    "reaches the driver per half-step. Per-round L1 normalization is "
+    "exactly normalize-once (the updates are linear) but keeps the "
+    "doubles near 1 so the decimal(38,18) quantization never saturates.",
+)
+def graph_hits_power3(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    prev = F.lag("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    edges = (
+        ev.select("event_type", prev.alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+    n = float(nodes.count())
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    def half_step(scores, val_col, group_key, join_key):
+        contrib = (
+            edges.join(scores, scores["node"] == edges[join_key])
+            .groupBy(group_key)
+            .agg(dsum(F.col("w") * F.col(val_col)).alias("c"))
+        )
+        unnorm = nodes.join(
+            contrib, nodes.node == F.col(group_key), "left"
+        ).select(
+            "node", F.coalesce(F.col("c"), F.lit(0.0)).alias(val_col)
+        ).localCheckpoint()
+        norm = unnorm.agg(dsum(F.col(val_col)).alias("s")).first()[0]
+        return unnorm.select(
+            "node", (F.col(val_col) / F.lit(norm)).alias(val_col)
+        ).localCheckpoint()
+
+    h = nodes.withColumn("h", F.lit(1.0 / n))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = half_step(h, "h", "dst", "src").withColumnRenamed("h", "a")
+        h = half_step(a, "a", "src", "dst").withColumnRenamed("a", "h")
+    return (
+        a.join(h.withColumnRenamed("node", "hn"), a.node == F.col("hn"))
+        .select(
+            F.col("node").alias("event_type"),
+            F.round("a", 6).alias("authority"),
+            F.round("h", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch accuracy audit: MinHash estimate vs exact Jaccard
 # ---------------------------------------------------------------------------
 

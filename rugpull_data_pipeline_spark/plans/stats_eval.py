@@ -2344,3 +2344,143 @@ def profile_jsd_source_drift(spark, sf_dir):
     return spark.sql(
         _jsd_drift(SPARK, sc_src="SELECT * FROM jsd_src_counts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (with tau-b and the normal approximation z)
+# ---------------------------------------------------------------------------
+
+
+def _mk_daily(d: str) -> str:
+    """(event_type, di, v) daily grid — the table every MK CTE reads."""
+    e = S.epoch_s("ts", d)
+    di = S.idiv(e, "86400", d)
+    return (
+        f"SELECT event_type, {di} AS di, {S.isum(_CENTS, d)} AS v"
+        f" FROM events WHERE value IS NOT NULL"
+        f" GROUP BY event_type, {di}"
+    )
+
+
+def _mann_kendall(d: str, daily_src: str | None = None) -> str:
+    return f"""
+    WITH daily AS ({daily_src or _mk_daily(d)}),
+    pairs AS (
+        SELECT a.event_type,
+            CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+                AS sgn,
+            CASE WHEN b.v = a.v THEN 1 ELSE 0 END AS tie
+        FROM daily a
+        JOIN daily b ON b.event_type = a.event_type AND b.di > a.di
+    ),
+    st AS (
+        SELECT event_type, {S.isum('sgn', d)} AS s, {S.isum('tie', d)} AS n1
+        FROM pairs GROUP BY event_type
+    ),
+    nd AS (
+        SELECT event_type, cast(count(*) as bigint) AS n
+        FROM daily GROUP BY event_type
+    ),
+    tievar AS (
+        -- sum over tied-value groups of t(t-1)(2t+5), for var(S)
+        SELECT event_type,
+            {S.isum('t * (t - 1) * (2 * t + 5)', d)} AS tv
+        FROM (
+            SELECT event_type, v, cast(count(*) as bigint) AS t
+            FROM daily GROUP BY event_type, v
+        ) g WHERE t > 1
+        GROUP BY event_type
+    )
+    SELECT st.event_type, nd.n AS n_days, st.s AS s_stat,
+        round(cast(st.s as double)
+            / nullif(sqrt(cast({S.idiv('nd.n * (nd.n - 1)', '2', d)} - st.n1
+                        as double)
+                    * cast({S.idiv('nd.n * (nd.n - 1)', '2', d)} as double)),
+                cast(0 as double)), 6) AS tau_b,
+        round((cast(st.s as double)
+                - cast(CASE WHEN st.s > 0 THEN 1
+                            WHEN st.s < 0 THEN -1 ELSE 0 END as double))
+            / nullif(sqrt(cast(nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                        - coalesce(tv.tv, 0) as double)
+                    / cast(18 as double)), cast(0 as double)), 6) AS z_mk
+    FROM st
+    JOIN nd ON nd.event_type = st.event_type
+    LEFT JOIN tievar tv ON tv.event_type = st.event_type
+    WHERE nd.n > 4
+    ORDER BY st.event_type
+    """
+
+
+@register(
+    "window_mann_kendall",
+    oracle=_mann_kendall(DUCK),
+    tags=("window", "series", "eval"),
+    doc="Mann-Kendall monotonic-trend test on each type's daily value "
+    "series: S = sum of pair signs, tie-corrected Kendall tau-b, and the "
+    "continuity-corrected normal z — the nonparametric significance "
+    "screen read next to window_theil_sen's slope (Theil-Sen says HOW "
+    "steep, Mann-Kendall says WHETHER to believe it). Everything is "
+    "exact-integer until the final sqrt/divide: pair signs, tie-pair "
+    "counts, and the 18*var(S) polynomial n(n-1)(2n+5) - sum t(t-1)(2t+5) "
+    "are all bigint. The daily grid is localCheckpointed ONCE (four CTE "
+    "consumers); the pair build is a self equi-join on event_type over "
+    "that grid — bounded by the calendar domain, never raw rows, the "
+    "same bounded-grid convention as window_theil_sen.",
+)
+def window_mann_kendall(spark, sf_dir):
+    daily = spark.sql(_mk_daily(SPARK)).localCheckpoint()
+    daily.createOrReplaceTempView("mk_daily")
+    return spark.sql(_mann_kendall(SPARK, daily_src="SELECT * FROM mk_daily"))
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-classifier test
+# ---------------------------------------------------------------------------
+
+_MCN_T_A = 500  # classifier A: value >= 5.00
+_MCN_T_B = 2000  # classifier B: value >= 20.00
+
+
+def _mcnemar(d: str) -> str:
+    return f"""
+    WITH sl AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+            CASE WHEN {_CENTS} >= {_MCN_T_A} THEN 1 ELSE 0 END AS pa,
+            CASE WHEN {_CENTS} >= {_MCN_T_B} THEN 1 ELSE 0 END AS pb
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT cast(count(*) as bigint) AS n,
+            {S.isum('CASE WHEN pa = y THEN 1 ELSE 0 END', d)} AS right_a,
+            {S.isum('CASE WHEN pb = y THEN 1 ELSE 0 END', d)} AS right_b,
+            {S.isum('CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END', d)}
+                AS b_only_b,
+            {S.isum('CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END', d)}
+                AS c_only_a
+        FROM sl
+    )
+    SELECT n, right_a, right_b, b_only_b, c_only_a,
+        round(cast((b_only_b - c_only_a) * (b_only_b - c_only_a) as double)
+            / cast(nullif(b_only_b + c_only_a, 0) as double), 6)
+            AS mcnemar_chi2,
+        round(cast(greatest(abs(b_only_b - c_only_a) - 1, 0)
+                 * greatest(abs(b_only_b - c_only_a) - 1, 0) as double)
+            / cast(nullif(b_only_b + c_only_a, 0) as double), 6)
+            AS mcnemar_cc
+    FROM m
+    """
+
+
+_pair(
+    "eval_mcnemar_paired",
+    _mcnemar,
+    tags=("eval",),
+    doc="McNemar's test comparing two threshold classifiers on the SAME "
+    "rows (paired design): only the discordant counts b (A wrong, B "
+    "right) and c (A right, B wrong) carry signal — the marginal-accuracy "
+    "comparison eval_ab_ztest runs is WRONG for paired predictions "
+    "because it ignores the correlation. Plain and Edwards "
+    "continuity-corrected statistics, all counts exact integers from one "
+    "map-side-combinable aggregation, single final division; b = c "
+    "degenerates to 0 via greatest(), b + c = 0 to NULL via nullif.",
+)

@@ -496,3 +496,43 @@ def test_token_budget_mixture_greedy_prefix(hand_views):
 
     rows = spark.sql(_token_budget_mixture(SPARK)).collect()
     assert [(r.doc_id, r.cum_tokens) for r in rows] == [(2, 500), (3, 800)]
+
+
+def test_hits_hand_graph_matches_replica(hand_views):
+    spark = hand_views
+    # u1: a->b, b->b ; u2: a->b, b->a  =>  w(a->b)=2, w(b->b)=1, w(b->a)=1
+    _mk_user_events(
+        spark,
+        [
+            (1, 10, 1, "a", None), (2, 20, 1, "b", None), (3, 30, 1, "b", None),
+            (4, 10, 2, "a", None), (5, 20, 2, "b", None), (6, 30, 2, "a", None),
+        ],
+    )
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import graph_hits_power3
+
+    got = {
+        r.event_type: (r.authority, r.hub)
+        for r in graph_hits_power3(spark, None).collect()
+    }
+    edges = {("a", "b"): 2.0, ("b", "b"): 1.0, ("b", "a"): 1.0}
+    nodes = ["a", "b"]
+    h = {v: 0.5 for v in nodes}
+    for _ in range(3):
+        a = {
+            v: sum(w * h[s] for (s, t), w in edges.items() if t == v)
+            for v in nodes
+        }
+        na = sum(a.values())
+        a = {v: a[v] / na for v in nodes}
+        hh = {
+            v: sum(w * a[t] for (s, t), w in edges.items() if s == v)
+            for v in nodes
+        }
+        nh = sum(hh.values())
+        h = {v: hh[v] / nh for v in nodes}
+    for v in nodes:
+        assert got[v][0] == pytest.approx(a[v], abs=2e-6)
+        assert got[v][1] == pytest.approx(h[v], abs=2e-6)
+    # b receives the bulk of the flow; a only emits
+    assert got["b"][0] > got["a"][0]
+    assert got["a"][1] > 0.0

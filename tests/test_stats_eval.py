@@ -875,3 +875,67 @@ def test_jsd_identical_distribution_is_zero(hand_views):
     got = {r.source: r for r in spark.sql(_jsd_drift(SPARK)).collect()}
     assert got["s1"].jsd_vs_rest == 0.0
     assert got["s2"].jsd_vs_rest == 0.0
+
+
+def test_mann_kendall_monotone_and_flat(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _mann_kendall
+    # strictly increasing: S = n(n-1)/2, tau_b = 1
+    rows = [(i, i * 86400, 1, "up", float(i + 1)) for i in range(10)]
+    # constant: every pair tied -> tau_b NULL (zero variance), S = 0
+    rows += [(100 + i, i * 86400, 1, "flat", 7.0) for i in range(10)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_mann_kendall(SPARK)).collect()}
+    assert got["up"].s_stat == 45 and got["up"].tau_b == 1.0
+    assert got["up"].z_mk > 3.0
+    assert got["flat"].s_stat == 0 and got["flat"].tau_b is None
+
+
+def test_mann_kendall_tie_correction_matches_replica(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _mann_kendall
+    import math
+    vals = [1.0, 2.0, 2.0, 3.0, 1.0, 4.0]
+    rows = [(i, i * 86400, 1, "x", vals[i]) for i in range(len(vals))]
+    _mk_events(spark, rows)
+    row = spark.sql(_mann_kendall(SPARK)).collect()[0]
+    v = [math.floor(x * 100) for x in vals]
+    n = len(v)
+    s = sum(
+        (1 if v[j] > v[i] else -1 if v[j] < v[i] else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    n1 = sum(
+        1 for i in range(n) for j in range(i + 1, n) if v[i] == v[j]
+    )
+    n0 = n * (n - 1) // 2
+    tau = s / math.sqrt((n0 - n1) * n0)
+    assert row.s_stat == s
+    assert abs(row.tau_b - round(tau, 6)) < 1e-9
+    from collections import Counter
+    tv = sum(t * (t - 1) * (2 * t + 5) for t in Counter(v).values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tv
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var18 / 18)
+    assert abs(row.z_mk - round(z, 6)) < 1e-9
+
+
+def test_mcnemar_counts_discordant_pairs(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _mcnemar
+    # values straddle the two thresholds (500 and 2000 cents):
+    #   purchase @ 10.00: A says 1 (right), B says 0 (wrong) -> c
+    #   purchase @ 30.00: both right
+    #   view     @ 10.00: A says 1 (wrong), B says 0 (right) -> b
+    #   view     @  1.00: both say 0 (both right)
+    rows = [
+        (1, 0, 1, "purchase", 10.0),
+        (2, 86400, 1, "purchase", 30.0),
+        (3, 2 * 86400, 1, "view", 10.0),
+        (4, 3 * 86400, 1, "view", 1.0),
+    ]
+    _mk_events(spark, rows)
+    row = spark.sql(_mcnemar(SPARK)).collect()[0]
+    assert row.n == 4
+    assert row.b_only_b == 1 and row.c_only_a == 1
+    assert row.mcnemar_chi2 == 0.0 and row.mcnemar_cc == 0.0
+    assert row.right_a == 3 and row.right_b == 3
