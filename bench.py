@@ -83,6 +83,11 @@ HEADLINE = [
     "sample_dsir_selection",
     "traindata_dataset_card",
     "text_keyword_bm25",
+    # Round-5 final additions: JSD source drift (the full tokenize +
+    # token-key join corpus pass) and HITS (the broadcast-iteration
+    # pattern under measurement — 6 half-steps of join+agg+norm).
+    "profile_jsd_source_drift",
+    "graph_hits_power3",
     # ~110 MB of generated getBlock JSON through the full extraction chain —
     # the parse+filter+agg throughput entry vs the reference's ≈25 MB/s
     # anchor (BASELINE.md).
