@@ -1404,3 +1404,108 @@ def stream_hopping_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", scratch_dir(prefix="rugpull_hop_ckpt_"))
         )
     return spark.table(name).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter — recursive fold, fixed IEEE expression order
+# ---------------------------------------------------------------------------
+
+# Per key, over micro-unit doubles z_i: first observation initializes
+# (x = z, p = R, innovation 0); then p_n = p + Q, k = p_n/(p_n + R),
+# x += k*(z - x), p = (1 - k)*p_n. The Python kernel and this recursive
+# walk execute the IDENTICAL expression tree in the identical order, so
+# the unrounded doubles agree bit-for-bit; both sides round only the
+# emitted unit-scaled columns (SQL round, 6 dp).
+_KALMAN_ORACLE = """
+WITH RECURSIVE scaled AS (
+    SELECT event_type, ts, event_id,
+        cast(cast(floor(value * 1000000.0) as bigint) as double) AS z
+    FROM events WHERE value IS NOT NULL
+),
+arr AS MATERIALIZED (
+    SELECT event_type,
+        list(z ORDER BY ts, event_id) AS zs,
+        list(ts ORDER BY ts, event_id) AS tss,
+        count(*) AS n
+    FROM scaled GROUP BY event_type
+),
+walk AS (
+    SELECT event_type, 1 AS i,
+        zs[1] AS x,
+        cast(1000000000000 as double) AS p,
+        cast(0 as double) AS innov
+    FROM arr WHERE n >= 1
+    UNION ALL
+    SELECT w.event_type, w.i + 1,
+        w.x + ((w.p + 10000000000.0) / ((w.p + 10000000000.0)
+             + 1000000000000.0)) * (a.zs[w.i + 1] - w.x),
+        (1.0 - ((w.p + 10000000000.0) / ((w.p + 10000000000.0)
+             + 1000000000000.0))) * (w.p + 10000000000.0),
+        a.zs[w.i + 1] - w.x
+    FROM walk w JOIN arr a ON a.event_type = w.event_type
+    WHERE w.i < a.n
+)
+SELECT w.event_type,
+    cast(floor(epoch(a.tss[w.i])) as bigint) AS ts_epoch,
+    round(w.x / 1000000.0, 6) AS filtered,
+    round(w.innov / 1000000.0, 6) AS innovation
+FROM walk w JOIN arr a ON a.event_type = w.event_type
+ORDER BY w.event_type, ts_epoch, filtered, innovation
+"""
+
+
+@register(
+    "stream_kalman_filter",
+    oracle=_KALMAN_ORACLE,
+    tags=("streaming", "stateful", "series"),
+    doc="1-D Kalman filter (local-level model) as a custom stateful "
+    "streaming operator: per key the state is just (level estimate x, "
+    "error variance p) — the optimal recursive smoother that the "
+    "reference's single-step ±10% predicate and the Bollinger ring "
+    "buffer both approximate, emitting the filtered level AND the "
+    "innovation (the residual every downstream changepoint test wants) "
+    "for every observation. The fold is a fixed IEEE double expression "
+    "tree over micro-unit observations, so the availableNow replay "
+    "hash-matches a recursive-CTE walk oracle running the identical "
+    "arithmetic — the CUSUM proof technique extended from integer to "
+    "floating-point recursion. O(active keys) state, O(rows) output, "
+    "no shuffle beyond the keyed state exchange.",
+)
+def stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import kalman_filtered
+
+    src = (
+        _events_src(spark, sf_dir, ["event_type", "ts", "event_id", "value"])
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v"),
+        )
+    )
+    src_dir = scratch_dir(prefix="rugpull_kalman_src_")
+    src.repartition(2).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+    with _state_partitions(spark, 8):
+        out = kalman_filtered(stream)
+        name = "kalman_sink_" + os.path.basename(src_dir)[-8:]
+        _run_available_now(
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                scratch_dir(prefix="rugpull_kalman_ckpt_"),
+            )
+        )
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "ts_epoch",
+            F.round("filtered", 6).alias("filtered"),
+            F.round("innovation", 6).alias("innovation"),
+        )
+        .orderBy("event_type", "ts_epoch", "filtered", "innovation")
+    )

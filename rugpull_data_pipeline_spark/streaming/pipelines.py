@@ -690,3 +690,106 @@ def cusum_alerts(values: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_KALMAN_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_epoch", T.LongType()),
+        T.StructField("filtered", T.DoubleType()),
+        T.StructField("innovation", T.DoubleType()),
+    ]
+)
+
+_KALMAN_STATE = T.StructType(
+    [
+        T.StructField("x", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+        # Ordering guard: last folded (ts ns, event_id).
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+    ]
+)
+
+# Local-level model noise, in micro-unit² variance. Fixed constants so the
+# recursion is a pure function of the observation sequence.
+_KALMAN_Q = 1.0e10  # process (level drift) variance per step
+_KALMAN_R = 1.0e12  # observation variance
+
+
+def _kalman_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """1-D Kalman filter, local-level model: predict p_n = p + Q, gain
+    k = p_n / (p_n + R), update x += k·(z − x), p = (1 − k)·p_n — the
+    optimal recursive smoother the reference's ±10% single-step predicate
+    and the Bollinger ring buffer both approximate. First observation
+    initializes (x = z, p = R) and emits innovation 0. State per key is
+    TWO doubles (+ the ordering guard) — O(active keys).
+
+    DETERMINISM: the fold is plain IEEE double +, ·, / in a fixed
+    expression order over micro-unit observations, so the DuckDB
+    recursive-CTE oracle that performs the identical expression tree
+    reproduces it bit-for-bit; emitted values are RAW doubles — the
+    registered replay rounds via SQL round() on both engines.
+
+    ORDERING CONTRACT: consumes rows in (ts, event_id) order; rows that
+    regress behind the fold frontier are dropped (see _cusum_fn)."""
+    (x, p, last_ts, last_eid) = (
+        state.get if state.exists else (None, None, None, None)
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    merged = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    rows = []
+    if len(merged):
+        for r in merged.sort_values(["ts", "event_id"]).itertuples():
+            ts_ns, eid = int(r.ts.value), int(r.event_id)
+            if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                continue  # regressed behind the fold frontier: late, dropped
+            last_ts, last_eid = ts_ns, eid
+            z = float(int(r.v))
+            if x is None:
+                x, p = z, _KALMAN_R
+                innov = 0.0
+            else:
+                pn = p + _KALMAN_Q
+                k = pn / (pn + _KALMAN_R)
+                innov = z - x
+                x = x + k * innov
+                p = (1.0 - k) * pn
+            # emit RAW unit-scaled doubles; the registered replay rounds
+            # via SQL round() so both engines share one rounding rule.
+            rows.append(
+                (
+                    key[0],
+                    ts_ns // 1_000_000_000,
+                    x / 1000000.0,
+                    innov / 1000000.0,
+                )
+            )
+    state.update((x, p, last_ts, last_eid))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["event_type", "ts_epoch", "filtered", "innovation"]
+        )
+
+
+def kalman_filtered(values: DataFrame) -> DataFrame:
+    """Streaming DataFrame (event_type, ts, event_id, v) → per-observation
+    filtered level + innovation. State per key is two doubles — O(active
+    keys), never O(stream).
+
+    Requires event-time-monotonic arrival across micro-batches; rows that
+    regress behind a key's fold frontier are dropped (see _kalman_fn)."""
+    from ..session import ship_package
+
+    ship_package(values.sparkSession)
+    return values.groupBy("event_type").applyInPandasWithState(
+        _kalman_fn,
+        _KALMAN_OUT,
+        _KALMAN_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -658,3 +658,61 @@ def test_stream_cms_est_is_upper_bound_of_true_counts(spark):
         if r.batch_id == 3:  # full prefix: compare against exact counts
             assert r.est_count >= true[r.user_id]
         assert 1 <= r.rnk <= 10
+
+
+def test_kalman_state_survives_batch_boundary(spark, tmp_path):
+    """The (x, p) doubles must carry across the micro-batch boundary: the
+    filtered level after 4 observations split 2+2 across two files must
+    equal the single-pass Python fold over all 4."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import (
+        _KALMAN_Q,
+        _KALMAN_R,
+        kalman_filtered,
+    )
+
+    vals = [1_000_000, 3_000_000, 2_000_000, 5_000_000]
+    rows = [(i + 1, 10 * (i + 1), "k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string, v long"
+    ).select(
+        "event_type", F.col("t").cast("timestamp").alias("ts"), "event_id", "v"
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        kalman_filtered(stream)
+        .writeStream.format("memory")
+        .queryName("kalman_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kalman_boundary").orderBy("ts_epoch").collect()
+    assert len(got) == 4
+
+    # single-pass replica of the fold (identical expression tree)
+    x, p = None, None
+    exp = []
+    for z in (float(v) for v in vals):
+        if x is None:
+            x, p = z, _KALMAN_R
+            innov = 0.0
+        else:
+            pn = p + _KALMAN_Q
+            k = pn / (pn + _KALMAN_R)
+            innov = z - x
+            x = x + k * innov
+            p = (1.0 - k) * pn
+        exp.append((x / 1000000.0, innov / 1000000.0))
+    for r, (ex, ei) in zip(got, exp):
+        assert r.filtered == ex and r.innovation == ei
+    # the filter smooths: filtered level lags the raw jump
+    assert got[1].filtered < 3.0 and got[1].filtered > 1.0
