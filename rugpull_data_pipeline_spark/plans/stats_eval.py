@@ -2484,3 +2484,205 @@ _pair(
     "map-side-combinable aggregation, single final division; b = c "
     "degenerates to 0 via greatest(), b + c = 0 to NULL via nullif.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V(N) = K * N^beta
+# ---------------------------------------------------------------------------
+
+
+def _heaps_tokens(d: str) -> str:
+    """(doc_id, tok) one row per token occurrence — shared by both aggs."""
+    toks = S.split_ws("text", d)
+    if d == SPARK:
+        return f"SELECT doc_id, explode({toks}) AS tok FROM documents"
+    return f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+
+
+def _heaps_fit(
+    d: str,
+    tok_src: str | None = None,
+    doc_src: str | None = None,
+    first_src: str | None = None,
+) -> str:
+    x = "round(ln(cast(cum_n as double)), 9)"
+    y = "round(ln(cast(cum_v as double)), 9)"
+    n = "cast(count(*) as double)"
+    sx = S.dsum(x, d)
+    sy = S.dsum(y, d)
+    sxy = S.dsum(f"round(({x}) * ({y}), 9)", d)
+    sxx = S.dsum(f"round(({x}) * ({x}), 9)", d)
+    slope = f"(({n} * {sxy} - {sx} * {sy}) / nullif({n} * {sxx} - {sx} * {sx}, cast(0 as double)))"
+    return f"""
+    WITH tok AS ({tok_src or _heaps_tokens(d)}),
+    doc_m AS ({doc_src or
+        "SELECT doc_id, cast(count(*) as bigint) AS m FROM tok GROUP BY doc_id"
+    }),
+    ordered AS (
+        SELECT doc_id, m,
+            row_number() OVER (ORDER BY doc_id) AS rk,
+            cast(sum(m) OVER (ORDER BY doc_id) as bigint) AS cum_n
+        FROM doc_m
+    ),
+    dtot AS (SELECT cast(count(*) as bigint) AS nd FROM doc_m),
+    checkpoints AS (
+        -- 8 evenly spaced corpus prefixes (every ceil(D/8)-th doc)
+        SELECT o.doc_id, o.rk, o.cum_n
+        FROM ordered o CROSS JOIN dtot
+        WHERE o.rk % {S.idiv('dtot.nd + 7', '8', d)} = 0
+    ),
+    first_occ AS ({first_src or
+        "SELECT tok, cast(min(doc_id) as bigint) AS fd FROM tok GROUP BY tok"
+    }),
+    vgrid AS (
+        -- vocab x 8-row checkpoint grid: V(prefix) = tokens first seen in it
+        SELECT c.rk, c.cum_n,
+            {S.isum('CASE WHEN f.fd <= c.doc_id THEN 1 ELSE 0 END', d)}
+                AS cum_v
+        FROM first_occ f CROSS JOIN checkpoints c
+        GROUP BY c.rk, c.cum_n
+    )
+    SELECT cast(count(*) as bigint) AS n_checkpoints,
+        round({slope}, 6) AS beta_heaps,
+        round(({sy} - {slope} * {sx}) / {n}, 6) AS ln_k_heaps
+    FROM vgrid
+    WHERE cum_v > 0 AND cum_n > 0
+    """
+
+
+@register(
+    "profile_heaps_law",
+    oracle=_heaps_fit(DUCK),
+    tags=("profiling", "text"),
+    doc="Heaps'-law fit V(N) = K*N^beta of vocabulary growth against "
+    "corpus size — the second corpus law next to text_zipf_fit: healthy "
+    "natural-language mixes grow vocabulary with beta in ~0.4-0.6, while "
+    "template/boilerplate floods flatten the curve and ID/hash floods "
+    "push it toward 1. Computed without any cumulative-distinct pass: "
+    "each token's FIRST document (one hash-agg over the localCheckpointed "
+    "token table) turns V(prefix) into a count of first-occurrences "
+    "inside the prefix, evaluated on an 8-row checkpoint grid (the "
+    "allowlisted vocab x 8 cross join); the least-squares fit runs on 8 "
+    "points with 9-dp-quantized log terms. The doc-order cumsum windows "
+    "run over the DOC-COUNT grid, not tokens; at 100 TB the rank-based "
+    "checkpoint picker would switch to approx doc_id quantiles (the "
+    "corpus-prefix definition is inherently ordered — the single-pass "
+    "first-occurrence trick is what removes the O(N) cumulative-distinct "
+    "scan, which is the part that cannot scale).",
+)
+def profile_heaps_law(spark, sf_dir):
+    tok = spark.sql(_heaps_tokens(SPARK)).localCheckpoint()
+    tok.createOrReplaceTempView("heaps_toks")
+    spark.sql(
+        "SELECT doc_id, cast(count(*) as bigint) AS m"
+        " FROM heaps_toks GROUP BY doc_id"
+    ).localCheckpoint().createOrReplaceTempView("heaps_doc_m")
+    spark.sql(
+        "SELECT tok, cast(min(doc_id) as bigint) AS fd"
+        " FROM heaps_toks GROUP BY tok"
+    ).localCheckpoint().createOrReplaceTempView("heaps_first")
+    return spark.sql(
+        _heaps_fit(
+            SPARK,
+            tok_src="SELECT * FROM heaps_toks",
+            doc_src="SELECT * FROM heaps_doc_m",
+            first_src="SELECT * FROM heaps_first",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+
+def _hurst_rs(d: str) -> str:
+    pb = "PARTITION BY event_type, w, b"
+    zc = (
+        f"cast(sum(cast(round(dev, 9) as decimal(38,9)))"
+        f" OVER ({pb} ORDER BY rk) as double)"
+    )
+    lx = "round(ln(cast(w as double)), 9)"
+    ly = "round(ln(ars), 9)"
+    n = "cast(count(*) as double)"
+    sx = S.dsum(lx, d)
+    sy = S.dsum(ly, d)
+    sxy = S.dsum(f"round(({lx}) * ({ly}), 9)", d)
+    sxx = S.dsum(f"round(({lx}) * ({lx}), 9)", d)
+    slope = (
+        f"(({n} * {sxy} - {sx} * {sy})"
+        f" / nullif({n} * {sxx} - {sx} * {sx}, cast(0 as double)))"
+    )
+    return f"""
+    WITH daily AS ({_mk_daily(d)}),
+    ranked AS (
+        SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY di) AS rk
+        FROM daily
+    ),
+    scales AS (
+        SELECT 8 AS w UNION ALL SELECT 16 UNION ALL SELECT 32
+    ),
+    cells AS (
+        SELECT r.event_type, s.w, {S.idiv('r.rk - 1', 's.w', d)} AS b,
+            r.rk, r.v
+        FROM ranked r CROSS JOIN scales s
+    ),
+    blocks AS (
+        SELECT event_type, w, b, rk, v,
+            cast(count(*) OVER ({pb}) as bigint) AS bn,
+            cast(sum(v) OVER ({pb}) as bigint) AS bs
+        FROM cells
+    ),
+    devs AS (
+        -- full blocks only; the block mean is an exact int/int ratio
+        SELECT event_type, w, b, rk,
+            cast(v as double) - cast(bs as double) / cast(w as double) AS dev
+        FROM blocks WHERE bn = w
+    ),
+    z AS (
+        SELECT event_type, w, b,
+            {zc} AS zc,
+            round(dev * dev, 9) AS dev2
+        FROM devs
+    ),
+    rs AS (
+        SELECT event_type, w, b,
+            cast(max(zc) - min(zc) as double) AS r_range,
+            sqrt({S.dsum('dev2', d)} / cast(w as double)) AS s_dev
+        FROM z GROUP BY event_type, w, b
+    ),
+    avg_rs AS (
+        SELECT event_type, w,
+            {S.dsum('round(r_range / s_dev, 9)', d)}
+                / cast(count(*) as double) AS ars
+        FROM rs WHERE s_dev > 0
+        GROUP BY event_type, w
+    )
+    SELECT event_type,
+        cast(count(*) as bigint) AS n_scales,
+        round({slope}, 6) AS hurst
+    FROM avg_rs WHERE ars > 0
+    GROUP BY event_type
+    HAVING count(*) >= 2
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_hurst_rs",
+    _hurst_rs,
+    tags=("window", "series"),
+    doc="Hurst exponent by rescaled-range analysis on each type's daily "
+    "value series: split into full blocks at scales 8/16/32 days, per "
+    "block R = range of the cumulative deviation walk and S = population "
+    "stddev, H = log-log slope of the block-averaged R/S against scale — "
+    "H>0.5 persistent (trending), H<0.5 mean-reverting, the long-memory "
+    "diagnostic read next to window_acf_lags' short lags. Determinism: "
+    "block sums/counts are exact integers, the cumulative deviation walk "
+    "is a DECIMAL cumsum of 9-dp-quantized terms (order-independent "
+    "inside the ordered window), every transcendental term re-quantized "
+    "before its decimal sum. All windows partition by (type, scale, "
+    "block) over the calendar-bounded daily grid; the 3-row scale grid "
+    "is the allowlisted literal cross join.",
+)

@@ -59,6 +59,8 @@ _NLJ_ALLOWED = {
     "profile_simpson_paradox",  # stratum-grid (3-row) self-cross for the flag
     "window_crosscorr_leadlag",  # 5-row literal lag grid replicating probes
     "profile_jsd_source_drift",  # 1-row corpus-token-total broadcast
+    "profile_heaps_law",  # vocab x 8-row checkpoint grid + 1-row doc total
+    "window_hurst_rs",  # 3-row literal scale grid replicating the day grid
     # deliberate tiny-dim cross joins (event types × fixed bin/digit grid),
     # the same shape as join_cross_region_bands.
     "profile_drift_psi",

@@ -939,3 +939,84 @@ def test_mcnemar_counts_discordant_pairs(hand_views):
     assert row.b_only_b == 1 and row.c_only_a == 1
     assert row.mcnemar_chi2 == 0.0 and row.mcnemar_cc == 0.0
     assert row.right_a == 3 and row.right_b == 3
+
+
+def test_heaps_law_matches_python_replica(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import profile_heaps_law
+    import math
+    # doc i = "a t{i}": after i docs N = 2i tokens, V = i + 1 types.
+    _mk_docs(
+        spark,
+        [(i, f"a t{i}", "en", "s1") for i in range(1, 9)],
+    )
+    row = profile_heaps_law(spark, None).collect()[0]
+    pts = [(math.log(2 * i), math.log(i + 1)) for i in range(1, 9)]
+    xs = [round(x, 9) for x, _ in pts]
+    ys = [round(y, 9) for _, y in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(round(x * y, 9) for x, y in zip(xs, ys))
+    sxx = sum(round(x * x, 9) for x in xs)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.n_checkpoints == 8
+    assert abs(row.beta_heaps - round(beta, 6)) < 2e-6
+    assert 0.0 < row.beta_heaps < 1.0
+
+
+def test_hurst_trending_vs_alternating(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _hurst_rs
+    # 64 days: a strong trend is persistent (H near 1); a strict
+    # alternation is antipersistent (H near 0).
+    rows = [(i, i * 86400, 1, "trend", float(i + 1)) for i in range(64)]
+    rows += [
+        (1000 + i, i * 86400, 1, "alt", 2.0 if i % 2 else 1.0)
+        for i in range(64)
+    ]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_hurst_rs(SPARK)).collect()}
+    assert got["trend"].n_scales == 3
+    assert got["trend"].hurst > 0.85
+    assert got["alt"].hurst < 0.35
+    assert got["trend"].hurst > got["alt"].hurst
+
+
+def test_hurst_matches_python_replica(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _hurst_rs
+    import math
+    vals = [float((i * 37) % 11 + 1) for i in range(64)]  # deterministic mix
+    rows = [(i, i * 86400, 1, "x", vals[i]) for i in range(64)]
+    _mk_events(spark, rows)
+    row = spark.sql(_hurst_rs(SPARK)).collect()[0]
+    v = [math.floor(x * 100) for x in vals]
+    pts = []
+    for w in (8, 16, 32):
+        rss = []
+        for b in range(len(v) // w):
+            blk = v[b * w:(b + 1) * w]
+            m = sum(blk) / w
+            dev = [x - m for x in blk]
+            zc, z = 0.0, []
+            for dv in dev:
+                zc += round(dv, 9)
+                z.append(zc)
+            r = max(z) - min(z)
+            s = math.sqrt(sum(round(dv * dv, 9) for dv in dev) / w)
+            if s > 0:
+                rss.append(round(r / s, 9))
+        if rss:
+            pts.append((round(math.log(w), 9),
+                        round(math.log(sum(rss) / len(rss)), 9)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(round(x * y, 9) for x, y in pts)
+    sxx = sum(round(x * x, 9) for x, _ in pts)
+    h = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.n_scales == n == 3
+    # dsum quantizes each addend to decimal(38,6); the replica sums 9-dp
+    # floats, so agreement is to a few 6th-dp ulps (cross-ENGINE exactness
+    # is the oracle's job — both engines share the decimal cast).
+    assert abs(row.hurst - round(h, 6)) < 5e-6
