@@ -165,19 +165,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_gini_value",
 )
 # Round-6 rotation plan: round 5 froze this window on the round-4b
-# backlog BEFORE adding its own queries, so with 283 registered and this
-# 50-slot window green, the never-checked carry-over is 85 queries
-# (= 135 never-checked before/during r5 − the 50 in this window; computed,
+# backlog BEFORE adding its own queries, so with 285 registered and this
+# 50-slot window green, the never-checked carry-over is 87 queries
+# (= 137 never-checked before/during r5 − the 50 in this window; computed,
 # not estimated —
 # tests/test_correctness_oracle.py::test_driver_window_rotation caps the
 # carry at 90). Round 6 takes the 45 highest-value carried queries + 5
 # oldest-first RE-PROOFS (start with the round-2 relational/TPC-H block);
-# round 7 absorbs the remaining ~40 and resumes the standing re-proof
+# round 7 absorbs the remaining ~42 and resumes the standing re-proof
 # cadence. Recompute the authoritative set as
 # set(all_queries()) − union(CORRECTNESS_r02..r05 keys) rather than
 # trusting this comment. Mitigation already banked: EVERY query in the
-# registry (283/283) was locally hash-verified against its DuckDB oracle
-# at sf0.1 this round (268 in the full sweep + the 15 later additions
+# registry (285/285) was locally hash-verified against its DuckDB oracle
+# at sf0.1 this round (268 in the full sweep + the 17 later additions
 # checked individually; SCALE.md round-5 sweep note), so 'never in a
 # driver window' does not mean 'never oracle-verified'.
 

@@ -2686,3 +2686,140 @@ _pair(
     "block) over the calendar-bounded daily grid; the 3-row scale grid "
     "is the allowlisted literal cross join.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the event-transition chain
+# ---------------------------------------------------------------------------
+
+
+def _entropy_rate(d: str) -> str:
+    # H = -sum_ij (c_ij / tot) * ln(c_ij / c_i): the empirical-occupancy
+    # weighting, which IS the stationary weighting of the empirical chain.
+    term = (
+        "round((cast(c as double) / cast(tot as double))"
+        " * ln(cast(c as double) / cast(ci as double)), 9)"
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT prev, event_type AS nxt
+        FROM (
+            SELECT event_type,
+                lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ) t WHERE prev IS NOT NULL
+    ),
+    cells AS (
+        SELECT prev, nxt, cast(count(*) as bigint) AS c
+        FROM pairs GROUP BY prev, nxt
+    ),
+    rows_ AS (
+        -- both totals as windows over the state-squared cell grid
+        SELECT prev, nxt, c,
+            cast(sum(c) OVER (PARTITION BY prev) as bigint) AS ci,
+            cast(sum(c) OVER () as bigint) AS tot
+        FROM cells
+    )
+    SELECT cast(sum(c) as bigint) AS n_transitions,
+        cast(count(DISTINCT prev) as bigint) AS n_states,
+        round(-({S.dsum(term, d)}), 6) AS entropy_rate_nats,
+        round(-({S.dsum(term, d)})
+            / ln(cast(count(DISTINCT prev) as double)), 6)
+            AS entropy_rate_norm
+    FROM rows_
+    """
+
+
+_pair(
+    "events_entropy_rate",
+    _entropy_rate,
+    tags=("events", "eval"),
+    doc="Entropy rate of the user event-transition Markov chain, "
+    "empirical-occupancy weighted: H = -sum (c_ij/total)*ln(c_ij/c_i) in "
+    "nats plus the ln(n_states)-normalized form — how PREDICTABLE the "
+    "next event is given the current one, the information-theoretic "
+    "summary of events_transition_matrix (near 0 = deterministic flows, "
+    "near 1 = uniform wandering; bot traffic and scripted rug flows sit "
+    "at the extremes). One lag window pass, one hash-agg to the "
+    "state-squared cell grid, totals as windows over that grid; each "
+    "transcendental term 9-dp-quantized into the decimal sum.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy (Bandt-Pompe ordinal complexity) of the daily series
+# ---------------------------------------------------------------------------
+
+
+def _perm_entropy(d: str) -> str:
+    w = "PARTITION BY event_type ORDER BY rk"
+    # ordinal ranks of the (v1, v2, v3) triple with POSITION tie-break:
+    # for an earlier element, ties count as smaller (<=); for a later one,
+    # strictly smaller (<) — every comparison is on exact integers.
+    r1 = ("(CASE WHEN v2 < v1 THEN 1 ELSE 0 END"
+          " + CASE WHEN v3 < v1 THEN 1 ELSE 0 END)")
+    r2 = ("(CASE WHEN v1 <= v2 THEN 1 ELSE 0 END"
+          " + CASE WHEN v3 < v2 THEN 1 ELSE 0 END)")
+    r3 = ("(CASE WHEN v1 <= v3 THEN 1 ELSE 0 END"
+          " + CASE WHEN v2 <= v3 THEN 1 ELSE 0 END)")
+    term = (
+        "round((cast(c as double) / cast(nt as double))"
+        " * ln(cast(c as double) / cast(nt as double)), 9)"
+    )
+    return f"""
+    WITH daily AS ({_mk_daily(d)}),
+    ranked AS (
+        SELECT event_type, v,
+            row_number() OVER (PARTITION BY event_type ORDER BY di) AS rk
+        FROM daily
+    ),
+    triples AS (
+        SELECT event_type, v AS v1,
+            lead(v, 1) OVER ({w}) AS v2,
+            lead(v, 2) OVER ({w}) AS v3
+        FROM ranked
+    ),
+    pats AS (
+        SELECT event_type, {r1} * 9 + {r2} * 3 + {r3} AS pat
+        FROM triples WHERE v2 IS NOT NULL AND v3 IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, pat, cast(count(*) as bigint) AS c
+        FROM pats GROUP BY event_type, pat
+    ),
+    grid AS (
+        SELECT event_type, pat, c,
+            cast(sum(c) OVER (PARTITION BY event_type) as bigint) AS nt
+        FROM cells
+    )
+    SELECT event_type,
+        cast(max(nt) as bigint) AS n_triples,
+        cast(count(*) as bigint) AS n_patterns,
+        round(-({S.dsum(term, d)}), 6) AS perm_entropy_nats,
+        round(-({S.dsum(term, d)}) / ln(cast(6 as double)), 6)
+            AS perm_entropy_norm
+    FROM grid
+    GROUP BY event_type
+    HAVING max(nt) >= 8
+    ORDER BY event_type
+    """
+
+
+_pair(
+    "window_perm_entropy",
+    _perm_entropy,
+    tags=("window", "series"),
+    doc="Permutation entropy (Bandt-Pompe, order 3) of each type's daily "
+    "value series: the distribution of ordinal patterns of consecutive "
+    "sample triples, in nats and normalized by ln 6 — the "
+    "complexity-vs-determinism diagnostic that is immune to monotone "
+    "value distortions (it sees only orderings). Ranks use exact integer "
+    "comparisons with the standard position tie-break, so the pattern id "
+    "is engine-exact; one window pass builds the triples on the "
+    "calendar-bounded daily grid, one hash-agg counts the at-most-6 "
+    "patterns per type, and each p*ln(p) term is 9-dp-quantized into the "
+    "decimal sum.",
+)
+
+

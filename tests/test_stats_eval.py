@@ -1020,3 +1020,52 @@ def test_hurst_matches_python_replica(hand_views):
     # floats, so agreement is to a few 6th-dp ulps (cross-ENGINE exactness
     # is the oracle's job — both engines share the decimal cast).
     assert abs(row.hurst - round(h, 6)) < 5e-6
+
+
+def test_entropy_rate_deterministic_vs_uniform(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _entropy_rate
+    import math
+    # user 1: deterministic cycle a->b->a->b...  (H = 0)
+    rows = [(i, 10 * i, 1, "a" if i % 2 == 0 else "b", None) for i in range(20)]
+    _mk_events(spark, rows)
+    row = spark.sql(_entropy_rate(SPARK)).collect()[0]
+    assert row.entropy_rate_nats == 0.0 and row.n_states == 2
+    # fair alternation between two successors: H = ln 2 per step
+    rows = [(i, 10 * i, 1, ["a", "b", "a", "c"][i % 4], None) for i in range(40)]
+    _mk_events(spark, rows)
+    row = spark.sql(_entropy_rate(SPARK)).collect()[0]
+    # transitions: a->b (10), b->a (10), a->c (9 or 10), c->a (9 or 10):
+    # a's row is the only stochastic one (~ln 2 weighted by a's occupancy)
+    assert 0.0 < row.entropy_rate_nats < math.log(2)
+    assert row.entropy_rate_norm < 1.0
+
+
+def test_perm_entropy_monotone_vs_mixed(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _perm_entropy
+    import math
+    # strictly increasing: every triple is the same ordinal pattern -> H = 0
+    rows = [(i, i * 86400, 1, "up", float(i + 1)) for i in range(16)]
+    # deterministic mixed series: several patterns -> H > 0
+    vals = [float((i * 37) % 11 + 1) for i in range(16)]
+    rows += [(100 + i, i * 86400, 1, "mix", vals[i]) for i in range(16)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r for r in spark.sql(_perm_entropy(SPARK)).collect()}
+    assert got["up"].n_patterns == 1
+    assert got["up"].perm_entropy_nats == 0.0
+    assert got["mix"].n_patterns > 1
+    assert 0.0 < got["mix"].perm_entropy_norm <= 1.0
+    # replica for the mixed series (order-3 patterns, position tie-break)
+    v = [int(x * 100) for x in vals]
+    from collections import Counter
+    pats = Counter()
+    for i in range(len(v) - 2):
+        a, b, c = v[i], v[i + 1], v[i + 2]
+        r1 = (b < a) + (c < a)
+        r2 = (a <= b) + (c < b)
+        r3 = (a <= c) + (b <= c)
+        pats[r1 * 9 + r2 * 3 + r3] += 1
+    nt = sum(pats.values())
+    h = -sum(round((c / nt) * math.log(c / nt), 9) for c in pats.values())
+    assert abs(got["mix"].perm_entropy_nats - round(h, 6)) < 5e-6
