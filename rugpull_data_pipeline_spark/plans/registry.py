@@ -88,98 +88,99 @@ def get(name: str) -> QuerySpec:
 
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
-# order against their DuckDB oracles each round. Round 2 verified the
-# relational/TPC-H block, round 3 the Solana chain + LLM dedup/similarity
-# core, round 4 the streaming-infrastructure replays plus the round-3
-# backlog (CORRECTNESS_r02/r03/r04.json, 50+50+50 green — cumulative 148
-# distinct queries). Round 5 rotates in 50 of the 56 queries that have
-# never had a CORRECTNESS row: the 55 computed as
-# set(all_queries) − union(CORRECTNESS_r02..r04) — including
-# q20_potential_promotion, which earlier candidate notes omitted — plus the
-# new S10 control-gated replay. Everything NOT listed keeps registration
-# order behind these, so already-green queries still run when the driver
-# checks more than 50.
+# order against their DuckDB oracles each round. Rounds 2–5 verified 198
+# distinct queries (CORRECTNESS_r02..r05, 50 each, 198 green / 0 standing
+# red). Round 6 rotates the window onto 50 of the 87 queries that have
+# never had a CORRECTNESS row — the authoritative set is computed as
+# set(all_queries()) − union(CORRECTNESS_r02..r05 hash-green keys) — plus
+# the one new registration `console_head10` (the S11 console-sink closure
+# the round-5 verdict asked for; it sits IN the window so the carry-over
+# does not grow). Everything NOT listed keeps registration order behind
+# these, so already-green queries still run when the driver checks more
+# than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # The last never-driver-green SURVEY §2 row: S10 pub/sub control source.
-    "stream_control_gated_replay",
-    # Omitted from every prior window/candidate list — first slot this round.
-    "q20_potential_promotion",
-    # Round-4b stateful / watermark / stream-stream replays.
-    "stream_cusum_alert",
-    "stream_bollinger_alert",
-    "stream_attribution_replay",
-    "stream_dedup_watermark",
-    "stream_stream_join_replay",
-    # Multimodal kernels (oracles rewritten byte-exact this round).
-    "multimodal_resize_batch",
-    "multimodal_window_energy",
-    # Spark-4 surface trio.
-    "pipe_syntax_monthly_revenue",
-    "spark4_exec_immediate_params",
-    "spark4_collated_grouping",
-    # ANN / graph / audit.
-    "sim_ivfpq_topk",
-    "sim_mmr_diversify",
-    "sim_knn_classify",
-    "graph_pagerank_power3",
-    "audit_minhash_estimate",
-    # Dedup / decontamination tier 2.
-    "dedup_chunk_decontaminate",
-    "dedup_containment_ngram",
-    "dedup_winnow_pairs",
-    # Text / corpus tier 2.
-    "text_winnow_fingerprint",
-    "text_chunk_sliding",
-    "text_filter_gate",
-    "text_word_entropy",
-    "text_feature_hash_16",
-    "text_pmi_collocations",
-    "text_bpe_merge_round2",
-    "text_token_budget_mixture",
-    # Joins: as-of / interval / point-in-time family.
-    "join_asof_tolerance",
-    "join_asof_next_view",
-    "join_point_in_time",
-    "join_interval_overlap",
-    # Events analytics.
-    "events_transition_matrix",
-    "events_path_trigrams",
-    "events_attribution_last_touch",
-    "events_time_to_convert",
-    # Sampling / profiling / lakehouse.
-    "sample_importance_weighted",
-    "sample_temporal_split",
-    "profile_fk_integrity",
-    "layout_compaction_plan",
-    # Window / series analytics.
-    "window_twap_irregular",
-    "window_max_drawdown",
-    "window_ewma_halflife",
-    "window_bollinger_bands",
-    "window_rsi_14",
-    # Aggregates / eval.
-    "agg_mad_outliers",
-    "agg_holder_concentration",
-    "agg_time_rollup",
-    "eval_lang_confusion",
-    "agg_gini_value",
+    # S11 console sink — the last SURVEY §2 row without a driver record.
+    "console_head10",
+    # Round-5 stateful streaming replays.
+    "stream_kalman_filter",
+    "stream_psi_drift_replay",
+    "stream_cms_topk_replay",
+    "stream_hopping_window_replay",
+    # Sketch/ANN accuracy audits.
+    "audit_ann_recall",
+    "audit_lsh_band_sensitivity",
+    "audit_multiprobe_recall",
+    # Dedup tier 3 (incremental / overlap shapes).
+    "dedup_minhash_incremental",
+    "dedup_suffix_prefix_overlap",
+    "dedup_incremental_newonly",
+    # Multimodal near-dup / segmentation.
+    "multimodal_phash_neardup",
+    "multimodal_vad_segments",
+    # Data-selection sampling.
+    "sample_kcenter_coreset",
+    "sample_dsir_selection",
+    # Corpus/text heavies.
+    "text_keyword_bm25",
+    "text_boilerplate_ccnet",
+    # Graph analytics family.
+    "graph_hits_power3",
+    "graph_triangle_count",
+    "graph_adamic_adar",
+    "graph_label_prop2",
+    "graph_community_modularity",
+    "graph_kcore_peel",
+    # Spark-4 SQL scripting.
+    "spark4_sql_scripting",
+    # Eval/metrics tier.
+    "eval_auc_roc",
+    "eval_threshold_sweep",
+    "eval_ab_ztest",
+    "eval_spearman_rho",
+    "eval_calibration_bins",
+    "eval_ndcg_ranking",
+    "eval_cohens_kappa",
+    "eval_brier_score",
+    "eval_mcnemar_paired",
+    # Similarity / embedding preprocessing.
+    "sim_pca_power1",
+    "sim_whiten_rerank",
+    "sim_random_projection16",
+    # ML-prep modeling kernels.
+    "mlprep_target_encode_loo",
+    "mlprep_category_encode",
+    "mlprep_logreg_gd3",
+    "mlprep_decision_stump",
+    "mlprep_naive_bayes",
+    "mlprep_quantile_binning",
+    "mlprep_ridge_closed_form",
+    # Statistics aggregates.
+    "agg_series_correlation",
+    "agg_linreg_daily",
+    "agg_chi2_independence",
+    "agg_mutual_info",
+    "agg_winsorized_mean",
+    # Join infra + privacy screen.
+    "join_bloom_prefilter",
+    "quality_k_anonymity",
 )
-# Round-6 rotation plan: round 5 froze this window on the round-4b
-# backlog BEFORE adding its own queries, so with 285 registered and this
-# 50-slot window green, the never-checked carry-over is 87 queries
-# (= 137 never-checked before/during r5 − the 50 in this window; computed,
-# not estimated —
-# tests/test_correctness_oracle.py::test_driver_window_rotation caps the
-# carry at 90). Round 6 takes the 45 highest-value carried queries + 5
-# oldest-first RE-PROOFS (start with the round-2 relational/TPC-H block);
-# round 7 absorbs the remaining ~42 and resumes the standing re-proof
-# cadence. Recompute the authoritative set as
-# set(all_queries()) − union(CORRECTNESS_r02..r05 keys) rather than
-# trusting this comment. Mitigation already banked: EVERY query in the
-# registry (285/285) was locally hash-verified against its DuckDB oracle
-# at sf0.1 this round (268 in the full sweep + the 17 later additions
-# checked individually; SCALE.md round-5 sweep note), so 'never in a
-# driver window' does not mean 'never oracle-verified'.
+# Round-7 rotation plan: with 286 registered, 198 cumulative driver-green
+# and this 50-slot window green, the never-checked carry-over is 38
+# queries (= 87 pre-round-6 backlog − 49 backlog slots in this window
+# + 1 new `console_head10` that the window absorbs itself; the rotation
+# test caps the carry at 90, the round-5 verdict asked for ≤ 40 — both
+# hold). Round 7 takes those 38 (window/profile/events/layout families,
+# the sample/text remainders, `traindata_dataset_card`) plus 12
+# oldest-first RE-PROOFS starting with the round-2 relational/TPC-H
+# block, clearing the backlog entirely and resuming the standing
+# re-proof cadence. Recompute the authoritative set as
+# set(all_queries()) − union(CORRECTNESS_r02..r06 keys) rather than
+# trusting this comment. Registry growth stays FROZEN until that r7
+# window is green (round-5 verdict item 2); the sole round-6 addition is
+# `console_head10`, absorbed by this window. Mitigation already banked:
+# every query in the registry was locally hash-verified against its
+# DuckDB oracle at sf0.1 (SCALE.md sweeps), so 'never in a driver
+# window' does not mean 'never oracle-verified'.
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

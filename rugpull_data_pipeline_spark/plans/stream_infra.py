@@ -1509,3 +1509,32 @@ def stream_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "ts_epoch", "filtered", "innovation")
     )
+
+
+_CONSOLE_HEAD10_ORACLE = """
+SELECT ts, event_id, user_id, event_type, value
+FROM (SELECT * FROM events ORDER BY ts, event_id LIMIT 10) t
+ORDER BY ts, event_id
+"""
+
+
+@register(
+    "console_head10",
+    oracle=_CONSOLE_HEAD10_ORACLE,
+    tags=("sink", "console"),
+    doc="S11 console sink as a driver-verifiable shape: the reference "
+    "pretty-prints each chunk's FIRST 10 rows of a fixed projection "
+    "(SERVER/flightWithRedis.py:101-121, print_df.head(10)). The Spark "
+    "twin is sources/io.py:show_chunk (df.show(n, truncate=False)); the "
+    "printable content is exactly this deterministic limit-10 projection "
+    "— ordered on (ts, event_id) so the head is total-ordered and "
+    "engine-independent. LIMIT is driver-side after a top-k sort "
+    "(TakeOrderedAndProject), so at 100 TB only k rows ever leave the "
+    "executors.",
+)
+def console_head10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events_src(spark, sf_dir, ["ts", "event_id", "user_id", "event_type", "value"])
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )
