@@ -197,6 +197,7 @@ def _bollinger_fn(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    drops=None,
 ) -> Iterator[pd.DataFrame]:
     """Streaming Bollinger-band breakout: per key, keep a ring buffer of the
     last 7 fixed-point values; a row whose 8-row frame satisfies
@@ -229,6 +230,8 @@ def _bollinger_fn(
             ts_ns = int(r.ts.value)
             eid = int(r.event_id)
             if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                if drops is not None:
+                    drops.add(1)
                 continue  # regressed behind the fold frontier: late, dropped
             v = int(r.v)
             frame = buf[-7:] + [v]
@@ -245,7 +248,7 @@ def _bollinger_fn(
         yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
 
 
-def bollinger_alerts(values: DataFrame) -> DataFrame:
+def bollinger_alerts(values: DataFrame, late_drops=None) -> DataFrame:
     """Streaming DataFrame (event_type, ts, event_id, v) → breakout alerts.
 
     The streaming twin of the batch ``window_bollinger_bands`` operator,
@@ -253,12 +256,21 @@ def bollinger_alerts(values: DataFrame) -> DataFrame:
     ring buffer, so total state is O(active keys), never O(stream).
 
     Requires event-time-monotonic arrival across micro-batches; rows that
-    regress behind a key's fold frontier are dropped (see _bollinger_fn)."""
+    regress behind a key's fold frontier are dropped (see _bollinger_fn).
+    OBSERVABILITY: pass ``late_drops`` (an accumulator from
+    ``late_drop_counter``) to count those silent drops — a production
+    deployment pages on drops/rows_in, where rows_in is the per-batch
+    ``bollinger_rows_in`` metric ``observe()`` emits in every
+    StreamingQueryProgress event."""
     from ..session import ship_package
 
     ship_package(values.sparkSession)
-    return values.groupBy("event_type").applyInPandasWithState(
-        _bollinger_fn,
+    fn = _bollinger_fn if late_drops is None else (
+        lambda key, pdfs, state: _bollinger_fn(key, pdfs, state, late_drops)
+    )
+    src = values.observe("bollinger_guard", F.count(F.lit(1)).alias("bollinger_rows_in"))
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
         _BOLL_OUT,
         _BOLL_STATE,
         "append",
@@ -543,6 +555,7 @@ def _attribution_fn(
     key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    drops=None,
 ) -> Iterator[pd.DataFrame]:
     """Streaming last-touch attribution: state per user is ONE (epoch-sec,
     type) pair — the most recent non-purchase touch; each purchase emits its
@@ -571,6 +584,8 @@ def _attribution_fn(
                 last_kind,
                 last_eid,
             ):
+                if drops is not None:
+                    drops.add(1)
                 continue  # regressed behind the fold frontier: late, dropped
             sec = ts_ns // 1_000_000_000
             if kind == 0:
@@ -588,19 +603,28 @@ def _attribution_fn(
         )
 
 
-def attribution_events(events: DataFrame) -> DataFrame:
+def attribution_events(events: DataFrame, late_drops=None) -> DataFrame:
     """Streaming DataFrame (user_id, ts, event_id, event_type, value, kind)
     → per-purchase attributed rows. State per user is one touch — O(active
     users), never O(stream); the streaming twin of the batch
     events_attribution_last_touch rollup.
 
     Requires event-time-monotonic arrival across micro-batches; rows that
-    regress behind a user's fold frontier are dropped (see _attribution_fn)."""
+    regress behind a user's fold frontier are dropped (see _attribution_fn);
+    pass ``late_drops`` (see ``late_drop_counter``) to count them, and read
+    the per-batch ``attribution_rows_in`` observe() metric for the rate
+    denominator."""
     from ..session import ship_package
 
     ship_package(events.sparkSession)
-    return events.groupBy("user_id").applyInPandasWithState(
-        _attribution_fn,
+    fn = _attribution_fn if late_drops is None else (
+        lambda key, pdfs, state: _attribution_fn(key, pdfs, state, late_drops)
+    )
+    src = events.observe(
+        "attribution_guard", F.count(F.lit(1)).alias("attribution_rows_in")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
         _ATTR_OUT,
         _ATTR_STATE,
         "append",
@@ -635,6 +659,7 @@ def _cusum_fn(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    drops=None,
 ) -> Iterator[pd.DataFrame]:
     """CUSUM changepoint detector (one-sided, upper): after a 20-sample
     warm-up fixes the baseline sum, fold s = max(0, s + 20·v − sum20) and
@@ -658,6 +683,8 @@ def _cusum_fn(
         for r in merged.sort_values(["ts", "event_id"]).itertuples():
             ts_ns, eid = int(r.ts.value), int(r.event_id)
             if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                if drops is not None:
+                    drops.add(1)
                 continue  # regressed behind the fold frontier: late, dropped
             last_ts, last_eid = ts_ns, eid
             v = int(r.v)
@@ -674,17 +701,23 @@ def _cusum_fn(
         yield pd.DataFrame(rows, columns=["event_type", "ts_epoch", "v_micro"])
 
 
-def cusum_alerts(values: DataFrame) -> DataFrame:
+def cusum_alerts(values: DataFrame, late_drops=None) -> DataFrame:
     """Streaming DataFrame (event_type, ts, event_id, v) → changepoint
     alerts. State per key is five longs — O(active keys), never O(stream).
 
     Requires event-time-monotonic arrival across micro-batches; rows that
-    regress behind a key's fold frontier are dropped (see _cusum_fn)."""
+    regress behind a key's fold frontier are dropped (see _cusum_fn); pass
+    ``late_drops`` (see ``late_drop_counter``) to count them, and read the
+    per-batch ``cusum_rows_in`` observe() metric for the rate denominator."""
     from ..session import ship_package
 
     ship_package(values.sparkSession)
-    return values.groupBy("event_type").applyInPandasWithState(
-        _cusum_fn,
+    fn = _cusum_fn if late_drops is None else (
+        lambda key, pdfs, state: _cusum_fn(key, pdfs, state, late_drops)
+    )
+    src = values.observe("cusum_guard", F.count(F.lit(1)).alias("cusum_rows_in"))
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
         _CUSUM_OUT,
         _CUSUM_STATE,
         "append",
@@ -721,6 +754,7 @@ def _kalman_fn(
     key: Tuple[str],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    drops=None,
 ) -> Iterator[pd.DataFrame]:
     """1-D Kalman filter, local-level model: predict p_n = p + Q, gain
     k = p_n / (p_n + R), update x += k·(z − x), p = (1 − k)·p_n — the
@@ -747,6 +781,8 @@ def _kalman_fn(
         for r in merged.sort_values(["ts", "event_id"]).itertuples():
             ts_ns, eid = int(r.ts.value), int(r.event_id)
             if last_ts is not None and (ts_ns, eid) <= (last_ts, last_eid):
+                if drops is not None:
+                    drops.add(1)
                 continue  # regressed behind the fold frontier: late, dropped
             last_ts, last_eid = ts_ns, eid
             z = float(int(r.v))
@@ -776,20 +812,41 @@ def _kalman_fn(
         )
 
 
-def kalman_filtered(values: DataFrame) -> DataFrame:
+def kalman_filtered(values: DataFrame, late_drops=None) -> DataFrame:
     """Streaming DataFrame (event_type, ts, event_id, v) → per-observation
     filtered level + innovation. State per key is two doubles — O(active
     keys), never O(stream).
 
     Requires event-time-monotonic arrival across micro-batches; rows that
-    regress behind a key's fold frontier are dropped (see _kalman_fn)."""
+    regress behind a key's fold frontier are dropped (see _kalman_fn); pass
+    ``late_drops`` (see ``late_drop_counter``) to count them, and read the
+    per-batch ``kalman_rows_in`` observe() metric for the rate denominator."""
     from ..session import ship_package
 
     ship_package(values.sparkSession)
-    return values.groupBy("event_type").applyInPandasWithState(
-        _kalman_fn,
+    fn = _kalman_fn if late_drops is None else (
+        lambda key, pdfs, state: _kalman_fn(key, pdfs, state, late_drops)
+    )
+    src = values.observe("kalman_guard", F.count(F.lit(1)).alias("kalman_rows_in"))
+    return src.groupBy("event_type").applyInPandasWithState(
+        fn,
         _KALMAN_OUT,
         _KALMAN_STATE,
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def late_drop_counter(spark: SparkSession):
+    """Accumulator for the frontier guards' silently-dropped late rows.
+
+    The stateful kernels (Bollinger / CUSUM / Kalman / attribution) DROP
+    rows that regress behind a key's fold frontier — the correct late-data
+    policy, but one a production pipeline must be able to page on. Pass the
+    returned accumulator as the factories' ``late_drops`` argument; its
+    ``.value`` on the driver is the cumulative dropped-row count across all
+    executors and micro-batches (accumulator deltas ride task completion,
+    so the count is exact once a batch commits). Pair it with the
+    ``*_rows_in`` observe() metric in StreamingQueryProgress for the
+    drop-rate a monitor alerts on."""
+    return spark.sparkContext.accumulator(0)

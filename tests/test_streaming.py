@@ -716,3 +716,60 @@ def test_kalman_state_survives_batch_boundary(spark, tmp_path):
         assert r.filtered == ex and r.innovation == ei
     # the filter smooths: filtered level lags the raw jump
     assert got[1].filtered < 3.0 and got[1].filtered > 1.0
+
+
+def test_late_drop_counter_counts_frontier_drops(spark, tmp_path):
+    """Observability for the fold-frontier guards: the drops the kernels
+    apply silently must be countable — `late_drop_counter` rides the
+    accumulator channel back from the executors, and the factory's input
+    observe() metric (`bollinger_rows_in`) gives the rate denominator a
+    monitor alerts on. Replays the bollinger regression fixture: 2 late
+    rows in, counter must read exactly 2 and the output must be unchanged
+    from the uncounted run."""
+    from rugpull_data_pipeline_spark.streaming.pipelines import (
+        bollinger_alerts,
+        late_drop_counter,
+    )
+
+    rows = [(i, 100 * i, "k", 1000 + (i % 3)) for i in range(1, 12)]
+    rows.append((12, 1200, "k", 5000))
+    late = [(13, 500, "k", 9000), (14, 550, "k", 9500)]
+    df = spark.createDataFrame(
+        rows + late, "event_id long, t long, event_type string, raw long"
+    ).select(
+        "event_type",
+        F.col("t").cast("timestamp").alias("ts"),
+        "event_id",
+        F.col("raw").alias("v"),
+    )
+    src = str(tmp_path / "src")
+    df.where("event_id <= 12").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 12").coalesce(1).write.mode("append").parquet(src)
+
+    drops = late_drop_counter(spark)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        bollinger_alerts(stream, late_drops=drops)
+        .writeStream.format("memory")
+        .queryName("boll_drop_count")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("boll_drop_count").toPandas()
+    assert list(got["v_micro"]) == [5000]
+    assert drops.value == 2
+    # the observe() metric surfaced per-batch rows_in in the progress log
+    progresses = [p for p in q.recentProgress if p]
+    rows_in = sum(
+        p["observedMetrics"]["bollinger_guard"]["bollinger_rows_in"]
+        for p in progresses
+        if "bollinger_guard" in p.get("observedMetrics", {})
+    )
+    assert rows_in == 14
