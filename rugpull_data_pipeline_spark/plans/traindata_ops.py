@@ -258,7 +258,8 @@ def _hour_bucket(d: str) -> str:
     return "strftime(ts, '%Y-%m-%d %H')"
 
 
-def _triangles(d: str) -> str:
+def _tri_edges(d: str) -> str:
+    """Capped co-occurrence edge build: one distinct pair join."""
     return f"""
     WITH member AS (
         SELECT DISTINCT user_id, event_type, {_hour_bucket(d)} AS bucket
@@ -271,54 +272,107 @@ def _triangles(d: str) -> str:
     ),
     capped AS (
         SELECT user_id, event_type, bucket FROM sized WHERE gsz <= {_GRP_CAP}
-    ),
-    edges AS (
-        SELECT DISTINCT a.user_id AS u, b.user_id AS v
-        FROM capped a JOIN capped b
-            ON a.event_type = b.event_type AND a.bucket = b.bucket
-            AND a.user_id < b.user_id
-    ),
-    deg AS (
-        SELECT node, cast(count(*) as bigint) AS dg
-        FROM (SELECT u AS node FROM edges
-              UNION ALL SELECT v AS node FROM edges) s
-        GROUP BY node
-    ),
-    oriented AS (
-        -- degree-ordered orientation (each edge points from the lower-
-        -- (degree, id) endpoint): every triangle keeps exactly ONE acyclic
-        -- orientation, and the wedge join's fan-out per node drops from
-        -- deg^2 to outdeg^2, where outdeg is bounded by ~sqrt(2m) on skewed
-        -- graphs — the standard exact hardening against hub detonation.
-        SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-                    THEN e.u ELSE e.v END AS u,
-               CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-                    THEN e.v ELSE e.u END AS v
-        FROM edges e
-        JOIN deg du ON du.node = e.u
-        JOIN deg dv ON dv.node = e.v
-    ),
-    tri AS (
+    )
+    SELECT DISTINCT a.user_id AS u, b.user_id AS v
+    FROM capped a JOIN capped b
+        ON a.event_type = b.event_type AND a.bucket = b.bucket
+        AND a.user_id < b.user_id
+    """
+
+
+def _tri_orient(edges: str) -> str:
+    """Degree-ordered orientation over an edge table/CTE named ``edges``.
+
+    Each edge points from the lower-(degree, id) endpoint: every triangle
+    keeps exactly ONE acyclic orientation, and the wedge join's fan-out per
+    node drops from deg^2 to outdeg^2, where outdeg is bounded by ~sqrt(2m)
+    on skewed graphs — the standard exact hardening against hub detonation.
+    ``deg`` is inlined twice; both consumers aggregate the (materialized)
+    edge table, never the raw events."""
+    deg = (
+        "SELECT node, cast(count(*) as bigint) AS dg "
+        f"FROM (SELECT u AS node FROM {edges} "
+        f"      UNION ALL SELECT v AS node FROM {edges}) s "
+        "GROUP BY node"
+    )
+    return f"""
+    SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                THEN e.u ELSE e.v END AS u,
+           CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+                THEN e.v ELSE e.u END AS v
+    FROM {edges} e
+    JOIN ({deg}) du ON du.node = e.u
+    JOIN ({deg}) dv ON dv.node = e.v
+    """
+
+
+def _tri_corners(d: str, oriented: str, lead: str = "WITH ") -> str:
+    """Per-corner triangle participation counts over ``oriented``.
+
+    Spark: ONE wedge join; the three corners explode from an inline
+    3-array straight into a partial-aggregating hash-agg — the triangle
+    set streams through codegen and is never re-scanned.
+
+    DuckDB (oracle): the dense fixture graph closes ~192M triangles, and
+    unnesting 3x that through one aggregation measured 400+ s; instead
+    each corner role is counted by its own GROUP BY pushed INTO the wedge
+    join (3 joins over the MATERIALIZED oriented table, ~4 s each), then
+    the three per-role count tables are summed — trivially the same
+    multiset: every triangle contributes exactly once per corner role.
+
+    ``lead`` lets the caller splice the CTE into an existing WITH-clause
+    list (the single-statement oracle form)."""
+    wedge = (
+        f"FROM {oriented} e1 "
+        f"JOIN {oriented} e2 ON e2.u = e1.v "
+        f"JOIN {oriented} e3 ON e3.u = e1.u AND e3.v = e2.v"
+    )
+    if d == SPARK:
+        return f"""
+    {lead}tri AS (
         SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
-        FROM oriented e1
-        JOIN oriented e2 ON e2.u = e1.v
-        JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+        {wedge}
     )
     SELECT user_id, count(*) AS n_triangles
-    FROM (
-        SELECT na AS user_id FROM tri
-        UNION ALL SELECT nb FROM tri
-        UNION ALL SELECT nc FROM tri
-    ) corners
+    FROM (SELECT explode(array(na, nb, nc)) AS user_id FROM tri) corners
+    GROUP BY user_id
+    ORDER BY n_triangles DESC, user_id
+    LIMIT 20
+    """
+    return f"""
+    {lead}corner_counts AS (
+        SELECT e1.u AS user_id, count(*) AS c {wedge} GROUP BY e1.u
+        UNION ALL
+        SELECT e1.v AS user_id, count(*) AS c {wedge} GROUP BY e1.v
+        UNION ALL
+        SELECT e2.v AS user_id, count(*) AS c {wedge} GROUP BY e2.v
+    )
+    SELECT user_id, cast(sum(c) AS bigint) AS n_triangles
+    FROM corner_counts
     GROUP BY user_id
     ORDER BY n_triangles DESC, user_id
     LIMIT 20
     """
 
 
-_pair(
+def _triangles(d: str) -> str:
+    """Single-statement form: the DuckDB oracle and the hand-fixture unit
+    test. Multi-consumer CTEs are MATERIALIZED on the DuckDB side (the
+    HITS-oracle convention). The Spark builder NEVER runs this form — raw
+    CTE inlining re-evaluated the edge build combinatorially (90 scans /
+    274 exchanges at sf0.01, ~90 s at sf0.1); it stages through
+    localCheckpoints instead (graph_triangle_count below)."""
+    mat = "MATERIALIZED " if d == DUCK else ""
+    return f"""
+    WITH edges AS {mat}({_tri_edges(d)}),
+    oriented AS {mat}({_tri_orient("edges")})
+    {_tri_corners(d, "oriented", lead=", ")}
+    """
+
+
+@register(
     "graph_triangle_count",
-    _triangles,
+    oracle=_triangles(DUCK),
     tags=("graph",),
     doc="Triangle counting over the user co-occurrence graph (users active "
     "in the same event_type within the same hour are adjacent). Edges are "
@@ -327,10 +381,19 @@ _pair(
     "exactly once AND a hub's wedge fan-out is bounded by its OUT-degree "
     "(~sqrt(2m) on skewed graphs) instead of its full degree squared — "
     "the standard exact hardening on top of the 40-member group cap that "
-    "already guards the pair build. Per-node participation via a UNION "
-    "ALL of the three corners and one hash-agg; top-20 by "
+    "already guards the pair build. The edge table and the oriented table "
+    "are localCheckpointed once each (the kcore/LPA convention — the "
+    "wedge join consumes `oriented` three times, and raw-SQL CTE inlining "
+    "re-ran the whole edge build per consumer); the three corners explode "
+    "from one array so the triangle set is scanned once; top-20 by "
     "TakeOrderedAndProject.",
 )
+def graph_triangle_count(spark, sf_dir):
+    edges = spark.sql(_tri_edges(SPARK)).localCheckpoint()
+    edges.createOrReplaceTempView("tri_edges")
+    oriented = spark.sql(_tri_orient("tri_edges")).localCheckpoint()
+    oriented.createOrReplaceTempView("tri_oriented")
+    return spark.sql(_tri_corners(SPARK, "tri_oriented"))
 
 
 # ---------------------------------------------------------------------------
