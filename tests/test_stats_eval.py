@@ -1069,3 +1069,159 @@ def test_perm_entropy_monotone_vs_mixed(hand_views):
     nt = sum(pats.values())
     h = -sum(round((c / nt) * math.log(c / nt), 9) for c in pats.values())
     assert abs(got["mix"].perm_entropy_nats - round(h, 6)) < 5e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-6 property-based brute-force cross-checks for the eval tier in the
+# r6 driver window (AUC / NDCG / kappa / Brier). The oracle hash-compare
+# proves Spark == DuckDB on the SAME algebra; these prove the algebra
+# itself against the textbook definition on random inputs.
+# ---------------------------------------------------------------------------
+
+
+def _q9_then_dec6(x: float):
+    """Replicate Spark's round(double, 9) -> cast(decimal(38,6)) chain.
+
+    Both steps go through the double's SHORTEST decimal repr (Java
+    BigDecimal.valueOf semantics == Python repr) with HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t9 = float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+    return Decimal(repr(t9)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), max_size=12))
+def test_auc_matches_bruteforce(hand_views, pts):
+    spark = hand_views
+    pts = list(pts) + [(7, True), (3, False)]  # both classes guaranteed
+    rows = [
+        (i, 10 * i, 1, "purchase" if pos else "click", c / 100.0)
+        for i, (c, pos) in enumerate(pts)
+    ]
+    _mk_events(spark, rows)
+    got = spark.sql(_auc(SPARK)).collect()[0]
+    # brute force on the SAME floored-cents values the SQL sees
+    sc = [(math.floor((c / 100.0) * 100.0), pos) for c, pos in pts]
+    pos_s = [s for s, p in sc if p]
+    neg_s = [s for s, p in sc if not p]
+    wins = sum(1 for a in pos_s for b in neg_s if a > b)
+    ties = sum(1 for a in pos_s for b in neg_s if a == b)
+    assert got.n_pos == len(pos_s) and got.n_neg == len(neg_s)
+    expect = (2 * wins + ties) / (2 * len(pos_s) * len(neg_s))
+    assert got.auc == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 500)),  # (nvoc, n_chars)
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_ndcg_matches_bruteforce(hand_views, docs):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ndcg
+
+    rows = [
+        (i + 1, " ".join(f"w{j}" for j in range(k)), "en", "s", nc)
+        for i, (k, nc) in enumerate(docs)
+    ]
+    _mk_docs_nchars(spark, rows)
+    row = spark.sql(_ndcg(SPARK)).collect()[0]
+    scored = [(i + 1, min(3, k // 8), nc) for i, (k, nc) in enumerate(docs)]
+
+    def dcg(order):
+        total = 0
+        for pos, (_doc, rel, _nc) in enumerate(order[:10], start=1):
+            term = (2.0 ** rel - 1) * math.log(2.0) / math.log(pos + 1.0)
+            total += _q9_then_dec6(term)
+        return float(total)
+
+    d = dcg(sorted(scored, key=lambda t: (-t[2], t[0])))  # n_chars DESC, id
+    i = dcg(sorted(scored, key=lambda t: (-t[1], t[0])))  # rel DESC, id
+    assert row.dcg_at_10 == pytest.approx(round(d, 6), abs=2e-6)
+    assert row.idcg_at_10 == pytest.approx(round(i, 6), abs=2e-6)
+    expect = d / i if i > 0 else 0.0
+    assert row.ndcg_at_10 == pytest.approx(expect, abs=2e-6)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.tuples(st.integers(1, 25), st.integers(1, 400)), max_size=12))
+def test_cohens_kappa_matches_bruteforce(hand_views, docs):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _cohens_kappa
+
+    # the two anchors force mixed margins, so the kappa denominator is > 0
+    docs = list(docs) + [(20, 200), (2, 5)]
+    rows = [
+        (i + 1, " ".join(f"w{j}" for j in range(k)), "en", "s", nc)
+        for i, (k, nc) in enumerate(docs)
+    ]
+    _mk_docs_nchars(spark, rows)
+    got = spark.sql(_cohens_kappa(SPARK)).collect()[0]
+    cells = {}
+    for k, nc in docs:
+        key = (nc >= 150, k >= 12)  # (rater A keeps, rater B keeps)
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    agree = cells.get((True, True), 0) + cells.get((False, False), 0)
+    row_n = {k: sum(v for (a, _), v in cells.items() if a == k) for k in (True, False)}
+    col_n = {k: sum(v for (_, b), v in cells.items() if b == k) for k in (True, False)}
+    chance = sum(row_n[k] * col_n[k] for k in (True, False))
+    assert got.n_docs == n
+    assert got.observed_agree == pytest.approx(round(agree / n, 6), abs=1e-6)
+    assert got.kappa == pytest.approx(
+        (n * agree - chance) / (n * n - chance), abs=2e-6
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), max_size=12))
+def test_brier_matches_bruteforce(hand_views, pts):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _brier
+
+    pts = list(pts) + [(9, True), (2, False)]  # m > 0, both classes
+    rows = [
+        (i, 10 * i, 1, "purchase" if pos else "click", c / 100.0)
+        for i, (c, pos) in enumerate(pts)
+    ]
+    _mk_events(spark, rows)
+    got = spark.sql(_brier(SPARK)).collect()[0]
+    grid = {}
+    for c, pos in pts:
+        s = math.floor((c / 100.0) * 100.0)
+        cnt, p = grid.get(s, (0, 0))
+        grid[s] = (cnt + 1, p + (1 if pos else 0))
+    m = max(grid)
+    n = sum(c for c, _ in grid.values())
+    np_ = sum(p for _, p in grid.values())
+    sq = 0
+    for s, (c, p) in grid.items():
+        f = s / m
+        sq += _q9_then_dec6(p * (f - 1) * (f - 1) + (c - p) * f * f)
+    sq = float(sq)
+    brier = sq / n
+    base = (np_ / n) * (1 - np_ / n)
+    assert got.n_events == n and got.n_pos == np_
+    assert got.brier == pytest.approx(round(brier, 6), abs=2e-6)
+    assert got.brier_baseline == pytest.approx(round(base, 6), abs=2e-6)
+    assert got.brier_skill == pytest.approx(1 - brier / base, abs=2e-6)
