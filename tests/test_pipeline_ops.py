@@ -470,3 +470,29 @@ def _kcenter_property(spark_session):
 
 def test_kcenter_matches_bruteforce_greedy(spark):
     _kcenter_property(spark)()
+
+
+def test_vacuum_plan_flags_expired_and_superseded(hand_views):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _vacuum_plan
+
+    # Anchor file: day 21, slot 0, 38 rows (2432 B >= tombstone) -> healthy
+    # and sets the retention horizon at day 7 + 37 s.
+    rows = [(100 + i, 21 * 86400 + i, 1, "click") for i in range(38)]
+    # Expired big file: day 0, slot 0, 2 rows, far behind the horizon.
+    rows += [(0, 100, 1, "click"), (1, 200, 2, "click")]
+    # Expired AND small: day 1, slot 2 (hour 6) -> 'expired' wins the CASE.
+    rows += [(10, 86400 + 6 * 3600, 3, "click")]
+    # Superseded: day 20, slot 1, 3 rows (192 B < 2400) but retained.
+    rows += [(20 + i, 20 * 86400 + 3 * 3600 + i, 4, "click") for i in range(3)]
+    _mk_events(spark, rows)
+    got = [
+        (r.day, r.reason, r.n_files, r.reclaim_bytes, r.first_slot, r.last_slot)
+        for r in spark.sql(_vacuum_plan(SPARK)).collect()
+    ]
+    assert got == [
+        ("1970-01-01", "expired", 1, 128, 0, 0),
+        ("1970-01-02", "expired", 1, 64, 2, 2),
+        ("1970-01-21", "superseded", 1, 192, 1, 1),
+    ]  # the healthy day-22 anchor file must NOT appear
