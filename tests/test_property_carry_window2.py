@@ -376,3 +376,67 @@ def test_zipf_fit_matches_bruteforce(hand_views, counts):
     assert row.n_terms == len(pts)
     assert row.zipf_slope == pytest.approx(slope, abs=2e-5)
     assert row.intercept == pytest.approx((sy - slope * sx) / n, abs=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_kneser_ney
+# ---------------------------------------------------------------------------
+
+
+@settings(**PROP)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bigram_kneser_ney_matches_bruteforce(hand_views, docs):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.corpus_ops import _bigram_kn
+
+    docs = docs + [["a", "b", "a", "c"]]  # at least one scorable doc
+    _mk_docs(
+        spark,
+        [(i, " ".join(toks), "en", "s1") for i, toks in enumerate(docs)],
+    )
+    got = {r.doc_id: r for r in spark.sql(_bigram_kn(SPARK)).collect()}
+
+    # global bigram statistics over ' '-split tokens, docs with >= 2
+    cb: dict[tuple, int] = {}
+    per_doc: dict[int, list] = {}
+    for i, toks in enumerate(docs):
+        if len(toks) < 2:
+            continue
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        for bg in bgs:
+            cb[bg] = cb.get(bg, 0) + 1
+    c1: dict[str, int] = {}
+    n1p: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    for (w1, w2), c in cb.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        n1f[w2] = n1f.get(w2, 0) + 1
+    tt = len(cb)
+    lp7 = {
+        bg: float(
+            _dec(
+                math.log(
+                    (cb[bg] - 0.75) / c1[bg[0]]
+                    + 0.75 * n1p[bg[0]] / c1[bg[0]] * (n1f[bg[1]] / tt)
+                ),
+                "1e-7",
+            )
+        )
+        for bg in cb
+    }
+    assert set(got) == set(per_doc)
+    for i, bgs in per_doc.items():
+        s = sum((_dec(lp7[bg], "1e-6") for bg in bgs), Decimal(0))
+        n = len(bgs)
+        big_n = int(-s * 10**6)  # exact: s has 6-dp scale
+        expect = ((2 * big_n + n) // (2 * n)) / 1e6
+        assert got[i].n_bigrams == n
+        assert got[i].avg_nll_kn == pytest.approx(expect, abs=1e-9)
