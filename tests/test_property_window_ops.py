@@ -295,3 +295,98 @@ def test_ridge_closed_form_matches_bruteforce(hand_views, docs):
         sy / n - w1 * sx1 / n - w2 * sx2 / n, abs=2e-6
     )
     assert row.r2_explained == pytest.approx((w1 * b1 + w2 * b2) / styy, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank_power3 on random transition sequences
+# ---------------------------------------------------------------------------
+
+
+@settings(**PROP)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.sampled_from(["a", "b", "c", "d"])),
+        max_size=16,
+    )
+)
+def test_pagerank_matches_bruteforce(hand_views, seq):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import (
+        _PR_D, _PR_ITERS, graph_pagerank_power3,
+    )
+
+    seq = list(seq) + [(9, "a"), (9, "b")]  # at least one edge
+    rows = [(i, 100 + i, u, et, 1.0) for i, (u, et) in enumerate(seq)]
+    _mk_events(spark, rows)
+    got = {r.event_type: r.pagerank
+           for r in graph_pagerank_power3(spark, "unused").collect()}
+
+    per_user: dict[int, list] = {}
+    for i, (u, et) in enumerate(seq):
+        per_user.setdefault(u, []).append(et)
+    cnt: dict[tuple, int] = {}
+    for chain in per_user.values():
+        for a, b in zip(chain, chain[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    outs: dict[str, int] = {}
+    for (a, _b), c in cnt.items():
+        outs[a] = outs.get(a, 0) + c
+    w = {(a, b): c / outs[a] for (a, b), c in cnt.items()}
+    nodes = sorted({et for _, et in seq})
+    n = float(len(nodes))
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(_PR_ITERS):
+        nxt = {}
+        for v in nodes:
+            contrib = sum(
+                (_dec(r[a] * ww, "1e-18") for (a, b), ww in w.items() if b == v),
+                Decimal(0),
+            )
+            nxt[v] = (1.0 - _PR_D) / n + _PR_D * float(contrib)
+        r = nxt
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(round(r[v], 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar on random bipartite incidence
+# ---------------------------------------------------------------------------
+
+
+@settings(**PROP)
+@given(
+    st.sets(
+        st.tuples(st.integers(1, 5), st.sampled_from(["a", "b", "c", "d"])),
+        max_size=14,
+    )
+)
+def test_adamic_adar_matches_bruteforce(hand_views, incidence):
+    spark = hand_views
+    from rugpull_data_pipeline_spark.plans.stats_eval import _adamic_adar
+
+    incidence = set(incidence) | {(9, "a"), (9, "b")}  # one shared user
+    rows = [(i, 10 * i, u, et, 1.0) for i, (u, et) in enumerate(sorted(incidence))]
+    _mk_events(spark, rows)
+    got = {
+        (r.type_a, r.type_b): r
+        for r in spark.sql(_adamic_adar(SPARK)).collect()
+    }
+
+    deg: dict[int, int] = {}
+    for u, _et in incidence:
+        deg[u] = deg.get(u, 0) + 1
+    expect: dict[tuple, list] = {}
+    for u, d_ in deg.items():
+        if not (2 <= d_ <= 32):
+            continue
+        types = sorted(et for uu, et in incidence if uu == u)
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                e = expect.setdefault((a, b), [0, Decimal(0)])
+                e[0] += 1
+                e[1] += _dec(1.0 / math.log(d_), "1e-6")
+    assert set(got) == set(expect)
+    for pair, (c, s) in expect.items():
+        assert got[pair].common_users == c
+        assert got[pair].adamic_adar == pytest.approx(round(float(s), 6), abs=1e-9)
