@@ -672,9 +672,15 @@ def _neyman(d: str) -> str:
         FROM events WHERE value IS NOT NULL GROUP BY event_type
     ),
     wgt AS (
+        -- greatest(.., 0): the decimal-quantized power sums can put the
+        -- variance an epsilon below zero on degenerate (single-row or
+        -- constant-value) strata, and sqrt(-eps) is NaN in both engines —
+        -- same clamp discipline as window_crosscorr_leadlag.
         SELECT event_type, n,
-            sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd,
-            n * sqrt(s2 / n - (s1 / n) * (s1 / n)) AS w
+            sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), cast(0 as double)))
+                AS sd,
+            n * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+                cast(0 as double))) AS w
         FROM sums
     ),
     tot AS (SELECT {S.dsum('w', d)} AS tw FROM wgt)
