@@ -189,12 +189,21 @@ def _zscore_outliers(d: str) -> str:
     WITH stats AS (
         SELECT event_type, {mu} AS mu, {ex2} AS ex2
         FROM events GROUP BY event_type
+    ),
+    sig AS (
+        -- greatest(.., 0): the quantized moments can put the variance an
+        -- epsilon below zero on a constant-value type, where DuckDB's
+        -- sqrt THROWS (Spark yields NaN); the sd > 0 filter then keeps the
+        -- zscore division away from ANSI DIVIDE_BY_ZERO on either engine.
+        SELECT event_type, mu,
+            sqrt(greatest(ex2 - mu * mu, cast(0 as double))) AS sd
+        FROM stats
     )
     SELECT e.event_id, e.event_type,
         round(e.value, 6) AS value,
-        round((e.value - s.mu) / sqrt(s.ex2 - s.mu * s.mu), 4) AS zscore
-    FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs(e.value - s.mu) > 2.5 * sqrt(s.ex2 - s.mu * s.mu)
+        round((e.value - s.mu) / s.sd, 4) AS zscore
+    FROM events e JOIN sig s ON e.event_type = s.event_type
+    WHERE s.sd > cast(0 as double) AND abs(e.value - s.mu) > 2.5 * s.sd
     ORDER BY e.event_id
     """
 

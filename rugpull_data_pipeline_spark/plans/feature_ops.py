@@ -465,9 +465,11 @@ def _bootstrap(d: str) -> str:
     SELECT round(pt.mean_value, 6) AS mean_value,
         round(min(res.m), 6) AS boot_lo,
         round(max(res.m), 6) AS boot_hi,
-        round(sqrt({S.dsum('res.m * res.m', d)} / cast({_BOOT_B} as double)
+        round(sqrt(greatest(
+            {S.dsum('res.m * res.m', d)} / cast({_BOOT_B} as double)
             - ({S.dsum('res.m', d)} / cast({_BOOT_B} as double))
-            * ({S.dsum('res.m', d)} / cast({_BOOT_B} as double))), 6)
+            * ({S.dsum('res.m', d)} / cast({_BOOT_B} as double)),
+            cast(0 as double))), 6)
             AS boot_sd,
         cast({_BOOT_B} as int) AS n_replicates
     FROM res CROSS JOIN pt

@@ -145,8 +145,11 @@ def _acf_lags(d: str) -> str:
     SELECT event_type, lag_k,
         cast(count(*) as bigint) AS n_pairs,
         round(({n} * {sxy} - {sx} * {sy})
-            / sqrt(({n} * {sxx} - {sx} * {sx})
-                 * ({n} * {syy} - {sy} * {sy})), 6) AS acf
+            / nullif(sqrt(greatest({n} * {sxx} - {sx} * {sx},
+                        cast(0 as double))
+                    * greatest({n} * {syy} - {sy} * {sy},
+                        cast(0 as double))),
+                cast(0 as double)), 6) AS acf
     FROM stacked
     GROUP BY event_type, lag_k
     ORDER BY event_type, lag_k

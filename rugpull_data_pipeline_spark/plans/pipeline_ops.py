@@ -1094,8 +1094,12 @@ def _series_correlation(d: str) -> str:
     SELECT type_a, type_b,
         cast(count(*) as bigint) AS n_buckets,
         round((cast(count(*) as double) * {sxy} - {sx} * {sy})
-            / sqrt((cast(count(*) as double) * {sxx} - {sx} * {sx})
-                 * (cast(count(*) as double) * {syy} - {sy} * {sy})), 6)
+            / nullif(sqrt(
+                greatest(cast(count(*) as double) * {sxx} - {sx} * {sx},
+                    cast(0 as double))
+                * greatest(cast(count(*) as double) * {syy} - {sy} * {sy},
+                    cast(0 as double))),
+                cast(0 as double)), 6)
             AS pearson_r
     FROM pairs
     GROUP BY type_a, type_b

@@ -686,8 +686,8 @@ def _neyman(d: str) -> str:
     tot AS (SELECT {S.dsum('w', d)} AS tw FROM wgt)
     SELECT wgt.event_type, cast(wgt.n as bigint) AS n_rows,
         round(wgt.sd, 6) AS std_pop,
-        cast(floor(cast({_NEYMAN_BUDGET} as double) * wgt.w / tot.tw)
-            as bigint) AS alloc_n
+        cast(floor(cast({_NEYMAN_BUDGET} as double) * wgt.w
+            / nullif(tot.tw, cast(0 as double))) as bigint) AS alloc_n
     FROM wgt, tot
     ORDER BY wgt.event_type
     """
@@ -2731,7 +2731,8 @@ def _entropy_rate(d: str) -> str:
         cast(count(DISTINCT prev) as bigint) AS n_states,
         round(-({S.dsum(term, d)}), 6) AS entropy_rate_nats,
         round(-({S.dsum(term, d)})
-            / ln(cast(count(DISTINCT prev) as double)), 6)
+            / nullif(ln(cast(count(DISTINCT prev) as double)),
+                cast(0 as double)), 6)
             AS entropy_rate_norm
     FROM rows_
     """

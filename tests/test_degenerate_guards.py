@@ -1,0 +1,122 @@
+"""Cross-engine agreement on DEGENERATE inputs for the variance-shaped
+statistics: constant series and single-state chains used to make one
+engine throw while the other returned NaN/NULL (Spark 4 runs ANSI, so
+double x/0 THROWS; DuckDB's sqrt(negative) THROWS). After the
+greatest/nullif guards, both engines must return the same NULL-shaped
+answer — this test runs the SAME hand data through the Spark builder
+AND the DuckDB oracle builder and compares."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rugpull_data_pipeline_spark.functions.scalars import DUCK, SPARK
+from rugpull_data_pipeline_spark.plans import registry
+
+
+@pytest.fixture
+def hand_views(spark):
+    yield spark
+    registry._VIEWS_FOR.pop(id(spark), None)
+
+
+def _both(spark, events_rows, builder):
+    """Run builder(SPARK) on a temp view and builder(DUCK) on the same
+    frame registered in DuckDB; return (spark_rows, duck_df)."""
+    pdf = pd.DataFrame(
+        events_rows, columns=["event_id", "t", "user_id", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(
+        pdf, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    sdf.createOrReplaceTempView("events")
+    con = duckdb.connect()
+    dpdf = pdf.assign(ts=pd.to_datetime(pdf["t"], unit="s")).drop(columns=["t"])
+    con.register("events", dpdf)
+    srows = spark.sql(builder(SPARK)).collect()
+    ddf = con.execute(builder(DUCK)).fetchdf()
+    con.close()
+    return srows, ddf
+
+
+def _constant_daily(n_days=8, cents=500):
+    return [
+        (i, i * 86400, 1, "click", cents / 100.0) for i in range(n_days)
+    ]
+
+
+def test_acf_lags_constant_series_is_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.mlprep_ops import _acf_lags
+
+    srows, ddf = _both(hand_views, _constant_daily(), _acf_lags)
+    assert len(srows) == 3 and len(ddf) == 3
+    assert all(r.acf is None for r in srows)
+    assert ddf["acf"].isna().all()
+
+
+def test_series_correlation_constant_pair_is_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _series_correlation
+
+    rows = []
+    for i in range(30):  # >= 24 shared hourly buckets, both series constant
+        rows.append((2 * i, i * 3600, 1, "a", 5.0))
+        rows.append((2 * i + 1, i * 3600, 1, "b", 7.0))
+    srows, ddf = _both(hand_views, rows, _series_correlation)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].pearson_r is None
+    assert ddf["pearson_r"].isna().all()
+
+
+def test_neyman_all_constant_strata_alloc_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _neyman
+
+    rows = [(i, 10 * i, 1, ["a", "b"][i % 2], 5.0) for i in range(8)]
+    srows, ddf = _both(hand_views, rows, _neyman)
+    assert len(srows) == 2 and len(ddf) == 2
+    for r in srows:
+        assert r.std_pop == 0.0
+        assert r.alloc_n is None  # total weight 0 -> NULL, not an error
+    assert (ddf["std_pop"] == 0.0).all()
+    assert ddf["alloc_n"].isna().all()
+
+
+def test_zscore_constant_type_yields_no_rows_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.curation import _zscore_outliers
+
+    # 6.11: floor-cents quantization makes ex2 - mu^2 epsilon-negative
+    rows = [(i, 10 * i, 1, "click", 6.11) for i in range(5)]
+    srows, ddf = _both(hand_views, rows, _zscore_outliers)
+    assert srows == [] and len(ddf) == 0
+
+
+def test_bootstrap_single_constant_row_sd_zero_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.feature_ops import _bootstrap
+
+    rows = [(i, 10 * i, 1, "click", 6.11) for i in range(4)]
+    srows, ddf = _both(hand_views, rows, _bootstrap)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].boot_sd is not None and not math.isnan(srows[0].boot_sd)
+    assert srows[0].boot_sd == ddf["boot_sd"].iloc[0]
+
+
+def test_entropy_rate_single_state_norm_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _entropy_rate
+
+    rows = [(i, 100 + i, 1, "click", 1.0) for i in range(6)]
+    srows, ddf = _both(hand_views, rows, _entropy_rate)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].n_states == 1
+    assert srows[0].entropy_rate_nats == 0.0
+    assert srows[0].entropy_rate_norm is None  # ln(1) = 0 -> NULL
+    assert ddf["entropy_rate_norm"].isna().all()

@@ -206,12 +206,9 @@ def test_bootstrap_matches_bruteforce(hand_views, cents_list):
     mean = float(sum((_dec(v, "1e-6") for v in vals.values()), Decimal(0))) / len(vals)
     sq = float(sum((_dec(m * m, "1e-6") for m in ms), Decimal(0))) / _BOOT_B
     sm = float(sum((_dec(m, "1e-6") for m in ms), Decimal(0))) / _BOOT_B
-    var = sq - sm * sm
+    var = max(sq - sm * sm, 0.0)  # the plan clamps epsilon-negatives
     assert got.n_replicates == _BOOT_B
     assert got.mean_value == pytest.approx(mean, abs=2e-6)
     assert got.boot_lo == pytest.approx(min(ms), abs=2e-6)
     assert got.boot_hi == pytest.approx(max(ms), abs=2e-6)
-    if var >= 0:
-        assert got.boot_sd == pytest.approx(math.sqrt(var), abs=2e-5)
-    else:
-        assert got.boot_sd is None or math.isnan(got.boot_sd)
+    assert got.boot_sd == pytest.approx(math.sqrt(var), abs=2e-5)
