@@ -886,9 +886,15 @@ _pair(
 
 def _ab_ztest(d: str) -> str:
     day = "cast(floor(" + S.epoch_s("ts", d) + " / 86400) as bigint)"
-    p1 = "(cast(k1 as double) / cast(n1 as double))"
-    p2 = "(cast(k2 as double) / cast(n2 as double))"
-    pp = "(cast(k1 + k2 as double) / cast(n1 + n2 as double))"
+    # nullif everywhere a count can be zero (an arm with no rows, or a
+    # degenerate 0%/100% pooled rate): ANSI Spark THROWS on double x/0
+    # where DuckDB returns NULL — the guards make both engines emit NULL.
+    p1 = "(cast(k1 as double) / nullif(cast(n1 as double), cast(0 as double)))"
+    p2 = "(cast(k2 as double) / nullif(cast(n2 as double), cast(0 as double)))"
+    pp = (
+        "(cast(k1 + k2 as double)"
+        " / nullif(cast(n1 + n2 as double), cast(0 as double)))"
+    )
     return f"""
     WITH base AS (
         SELECT CASE WHEN {day} % 2 = 0 THEN 1 ELSE 0 END AS is_a,
@@ -904,9 +910,13 @@ def _ab_ztest(d: str) -> str:
     SELECT n1, k1, n2, k2,
         round({p1}, 6) AS rate_a, round({p2}, 6) AS rate_b,
         round(({p1} - {p2})
-            / sqrt({pp} * (cast(1 as double) - {pp})
-                * (cast(1 as double) / cast(n1 as double)
-                   + cast(1 as double) / cast(n2 as double))), 6) AS z_score
+            / nullif(sqrt(greatest({pp} * (cast(1 as double) - {pp}),
+                    cast(0 as double))
+                * (cast(1 as double)
+                       / nullif(cast(n1 as double), cast(0 as double))
+                   + cast(1 as double)
+                       / nullif(cast(n2 as double), cast(0 as double)))),
+                cast(0 as double)), 6) AS z_score
     FROM counts
     """
 

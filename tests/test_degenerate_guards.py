@@ -110,6 +110,31 @@ def test_bootstrap_single_constant_row_sd_zero_both_engines(hand_views):
     assert srows[0].boot_sd == ddf["boot_sd"].iloc[0]
 
 
+def test_ab_ztest_zero_conversions_z_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ab_ztest
+
+    # no purchases at all: pooled rate 0 -> z denominator 0 -> NULL
+    rows = [(i, i * 86400, 1, "click", 1.0) for i in range(6)]
+    srows, ddf = _both(hand_views, rows, _ab_ztest)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].z_score is None
+    assert ddf["z_score"].isna().all()
+
+
+def test_ab_ztest_empty_arm_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _ab_ztest
+
+    # every event on an odd day: arm A is empty -> rate_a and z are NULL
+    rows = [
+        (i, 86400 + i, 1, ["click", "purchase"][i % 2], 1.0) for i in range(6)
+    ]
+    srows, ddf = _both(hand_views, rows, _ab_ztest)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].n1 == 0
+    assert srows[0].rate_a is None and srows[0].z_score is None
+    assert ddf["rate_a"].isna().all() and ddf["z_score"].isna().all()
+
+
 def test_entropy_rate_single_state_norm_null_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.stats_eval import _entropy_rate
 
