@@ -724,6 +724,11 @@ def kmeans_lloyd_fit(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < k).collect()
     ]
     centroids = [v for _, v in sorted(cents)]
+    if not centroids:
+        # empty corpus slice: no clusters, not a driver-side crash
+        return spark.createDataFrame(
+            [], "cluster int, n_points bigint, inertia double"
+        )
 
     def assign(df, centroids):
         # Distance to each centroid as a literal column; argmin via least()

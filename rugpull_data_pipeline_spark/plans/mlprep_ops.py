@@ -974,6 +974,9 @@ def graph_pagerank_power3(spark, sf_dir):
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     n = float(nodes.count())  # metadata-sized scalar, like kmeans' k
+    if n == 0:
+        # empty slice: no graph, no ranks — not a ZeroDivisionError
+        return spark.createDataFrame([], "event_type string, pagerank double")
     r = nodes.withColumn("score", F.lit(1.0 / n))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1099,6 +1102,11 @@ def graph_hits_power3(spark, sf_dir):
     )
     nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     n = float(nodes.count())
+    if n == 0:
+        # empty slice: no graph, no scores — not a ZeroDivisionError
+        return spark.createDataFrame(
+            [], "event_type string, authority double, hub double"
+        )
 
     def dsum(col):
         return F.sum(col.cast("decimal(38,18)")).cast("double")
@@ -1115,6 +1123,10 @@ def graph_hits_power3(spark, sf_dir):
             "node", F.coalesce(F.col("c"), F.lit(0.0)).alias(val_col)
         ).localCheckpoint()
         norm = unnorm.agg(dsum(F.col(val_col)).alias("s")).first()[0]
+        if not norm:
+            # edgeless graph: every contribution is 0 — skip the L1
+            # normalization instead of an ANSI 0/0 error
+            return unnorm
         return unnorm.select(
             "node", (F.col(val_col) / F.lit(norm)).alias(val_col)
         ).localCheckpoint()

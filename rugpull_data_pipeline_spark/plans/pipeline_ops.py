@@ -1289,7 +1289,13 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, e: acc + e,
         )
 
-    seed = iv.orderBy("vec_id").limit(1).collect()[0]
+    seeds = iv.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        # empty corpus slice: an empty coreset, not a driver-side crash
+        return spark.createDataFrame(
+            [], "center_rank int, vec_id long, coverage_radius_sq long"
+        )
+    seed = seeds[0]
     out = []
     cur = iv.select("vec_id", "v", d2(F.col("v"), seed.v).alias("dist"))
     cur = cur.localCheckpoint()

@@ -604,6 +604,11 @@ def _pca_power_components(spark) -> list[float]:
 )
 def sim_pca_power1(spark, sf_dir):
     v = _pca_power_components(spark)
+    if not any(v):
+        # empty (or exactly-orthogonal-degenerate) slice: no principal
+        # direction — mirror the oracle's 0-row answer instead of an
+        # ANSI 0-norm division
+        return spark.createDataFrame([], "dim int, loading double")
     vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
     return spark.sql(
         f"""
@@ -2741,7 +2746,7 @@ def _entropy_rate(d: str) -> str:
         cast(count(DISTINCT prev) as bigint) AS n_states,
         round(-({S.dsum(term, d)}), 6) AS entropy_rate_nats,
         round(-({S.dsum(term, d)})
-            / nullif(ln(cast(count(DISTINCT prev) as double)),
+            / nullif(ln(cast(nullif(count(DISTINCT prev), 0) as double)),
                 cast(0 as double)), 6)
             AS entropy_rate_norm
     FROM rows_

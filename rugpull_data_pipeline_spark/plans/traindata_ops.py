@@ -1038,6 +1038,14 @@ def mlprep_logreg_gd3(spark, sf_dir):
 
     feats = spark.sql(_lr_feats(SPARK)).localCheckpoint()
     n = feats.count()
+    if n == 0:
+        # empty slice: no fit — mirror the oracle's 0-row answer instead
+        # of a None-gradient TypeError (or an ANSI 0-count division)
+        return spark.createDataFrame(
+            [],
+            "w0 double, w1 double, w2 double, w3 double,"
+            " train_accuracy double, n_rows bigint",
+        )
     w = ["0", "0", "0", "0"]
     for _ in range(_LR_ITERS):
         z = _lr_z(w)

@@ -1,0 +1,112 @@
+"""Empty-input robustness sweep: every registered query run against
+EMPTY tables, on both engines.
+
+At 100 TB some slice is always empty — a day partition with no events, a
+source with no documents after filtering. The round-6 divergence audit
+(SCALE.md) showed ANSI Spark and DuckDB disagree violently on the edge
+cases an empty input reaches (`x / count(*)` THROWS on Spark when the
+count is 0, returns NULL on DuckDB; DuckDB's `sqrt`/`ln` THROW where
+Spark yields NaN/NULL). This sweep classifies every query:
+
+    ok         both engines run; same row count
+    rows-diff  both run; row counts differ (semantic divergence)
+    spark-err  Spark throws, DuckDB runs   (ANSI landmine)
+    duck-err   DuckDB throws, Spark runs   (oracle landmine)
+    both-err   both throw
+
+Usage:  python tools/empty_sweep.py [--only prefix ...]
+Exit 0 iff every query is `ok`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("SPARK_GRAFT_EMPTY_SF", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", nargs="*", default=None, help="name-prefix filter")
+    ap.add_argument("--start", type=int, default=0)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.session import get_spark
+    from rugpull_data_pipeline_spark.sources.tables import TABLES, register_views
+
+    spark = get_spark(app_name="empty-sweep")
+    # real schemas (incl. the event-time normalization), zero rows; then pin
+    # the registry's view cache so builders don't re-register the full views
+    register_views(spark, SF)
+    for t in TABLES:
+        spark.table(t).limit(0).createOrReplaceTempView(t)
+    registry._VIEWS_FOR[id(spark)] = SF
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF}/{t}.parquet') WHERE 1 = 0"
+        )
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = [
+        n
+        for n in qs
+        if args.only is None or any(n.startswith(p) for p in args.only)
+    ][args.start :]
+
+    tallies: dict[str, list] = {}
+    for i, name in enumerate(names):
+        t0 = time.time()
+        s_rows = s_err = None
+        try:
+            s_rows = len(qs[name](spark, SF).collect())
+        except Exception as ex:  # noqa: BLE001
+            s_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+        d_rows = d_err = None
+        if name in osql:
+            try:
+                d_rows = len(con.execute(osql[name]).fetchall())
+            except Exception as ex:  # noqa: BLE001
+                d_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+        if s_err and d_err:
+            kind = "both-err"
+        elif s_err:
+            kind = "spark-err"
+        elif d_err:
+            kind = "duck-err"
+        elif name in osql and s_rows != d_rows:
+            kind = "rows-diff"
+        else:
+            kind = "ok"
+        tallies.setdefault(kind, []).append(name)
+        detail = s_err or d_err or f"{s_rows} rows"
+        print(
+            f"[{i + 1 + args.start:3d}/{len(names) + args.start}] "
+            f"{kind:9s} {name} ({time.time() - t0:.1f}s) {detail}",
+            flush=True,
+        )
+
+    print("\nEMPTY SWEEP SUMMARY")
+    for kind in ("ok", "rows-diff", "spark-err", "duck-err", "both-err"):
+        if kind in tallies:
+            print(f"  {kind:9s} {len(tallies[kind])}")
+            if kind != "ok":
+                for n in tallies[kind]:
+                    print(f"      {n}")
+    return 0 if set(tallies) <= {"ok"} else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
