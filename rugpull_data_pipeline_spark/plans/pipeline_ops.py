@@ -983,8 +983,11 @@ def _ewma_halflife(d: str) -> str:
     )
     return f"""
     WITH sm AS (
+        -- nullif: a row whose whole 8-lag window is NULL values has a
+        -- 0 weight sum — ANSI Spark THROWS on the division where DuckDB
+        -- returns NULL; both engines emit NULL ewma with the guard.
         SELECT event_type, event_id, value,
-            ({num}) / ({den}) AS ewma
+            ({num}) / nullif(({den}), 0.0) AS ewma
         FROM events
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     )

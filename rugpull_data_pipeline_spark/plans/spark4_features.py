@@ -429,7 +429,11 @@ def spark4_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                            FROM scripting_cents_grid WHERE s >= thr);
             SET n_iters = n_iters + 1;
           END WHILE;
-          SELECT thr AS threshold_cents, n_above, n_total, n_iters;
+          -- empty grid (no valued events): the oracle's recursive walk
+          -- anchors on NULL and emits nothing — match it instead of
+          -- returning a NULL-total row
+          SELECT thr AS threshold_cents, n_above, n_total, n_iters
+          WHERE n_total IS NOT NULL;
         END
         """
     )

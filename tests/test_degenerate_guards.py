@@ -135,6 +135,19 @@ def test_ab_ztest_empty_arm_null_both_engines(hand_views):
     assert ddf["rate_a"].isna().all() and ddf["z_score"].isna().all()
 
 
+def test_ewma_all_null_values_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _ewma_halflife
+
+    # count(*) > 0 but count(value) = 0: every 8-lag window is all-NULL,
+    # the weight sum is 0 — previously an ANSI DIVIDE_BY_ZERO on Spark
+    rows = [(i, 10 * i, 1, "click", None) for i in range(6)]
+    srows, ddf = _both(hand_views, rows, _ewma_halflife)
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].n == 6
+    assert srows[0].sum_ewma is None and srows[0].max_ewma is None
+    assert ddf["sum_ewma"].isna().all() and ddf["max_ewma"].isna().all()
+
+
 def test_entropy_rate_single_state_norm_null_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.stats_eval import _entropy_rate
 

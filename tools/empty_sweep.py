@@ -35,6 +35,13 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--only", nargs="*", default=None, help="name-prefix filter")
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument(
+        "--null-values",
+        action="store_true",
+        help="instead of empty tables: real tables but events.value all NULL "
+        "(count(*) > 0 while count(value) = 0 — a different degenerate "
+        "surface; found the EWMA weight-sum ANSI divide)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -44,20 +51,38 @@ def main() -> int:
     from rugpull_data_pipeline_spark.session import get_spark
     from rugpull_data_pipeline_spark.sources.tables import TABLES, register_views
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="empty-sweep")
     # real schemas (incl. the event-time normalization), zero rows; then pin
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
-    for t in TABLES:
-        spark.table(t).limit(0).createOrReplaceTempView(t)
-    registry._VIEWS_FOR[id(spark)] = SF
-
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{SF}/{t}.parquet') WHERE 1 = 0"
-        )
+    if args.null_values:
+        spark.table("events").withColumn(
+            "value", F.lit(None).cast("double")
+        ).createOrReplaceTempView("events")
+        for t in TABLES:
+            if t == "events":
+                con.execute(
+                    "CREATE VIEW events AS SELECT * REPLACE"
+                    " (cast(NULL as double) AS value)"
+                    f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    else:
+        for t in TABLES:
+            spark.table(t).limit(0).createOrReplaceTempView(t)
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{SF}/{t}.parquet') WHERE 1 = 0"
+            )
+    registry._VIEWS_FOR[id(spark)] = SF
 
     qs, osql = e.queries(), e.oracle_sql()
     names = [
