@@ -825,7 +825,10 @@ def _cosine(d: str, va: str, vb: str) -> str:
         )
         na = f"list_reduce(list_transform({va}, v -> v::DOUBLE * v::DOUBLE), (acc, v) -> acc + v)"
         nb = f"list_reduce(list_transform({vb}, v -> v::DOUBLE * v::DOUBLE), (acc, v) -> acc + v)"
-    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+    # nullif: a zero vector has a 0 norm — ANSI Spark THROWS on the double
+    # division where DuckDB returns NULL; with the guard both engines emit
+    # NULL cosine, and every consumer ranks with DESC (NULLS LAST in both).
+    return f"({dot}) / nullif(sqrt({na}) * sqrt({nb}), cast(0 as double))"
 
 
 def _sim_topk(d: str) -> str:

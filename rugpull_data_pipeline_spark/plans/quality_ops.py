@@ -178,9 +178,13 @@ def _semantic_dedup(d: str) -> str:
             "s -> s[1] * s[2])) as bigint)"
         )
         nrm = "cast(list_sum(list_transform({v}, x -> x * x)) as bigint)"
+    # nullif: a zero vector has a 0 norm — ANSI Spark THROWS on the
+    # division where DuckDB returns NULL; the >= 0.95 CASE then lands in
+    # ELSE (not-a-dup) identically on both engines.
     cos = (
         f"round(cast({dot} as double) / "
-        f"(sqrt(cast(m.n2 as double)) * sqrt(cast(k.n2 as double))), 6)"
+        f"nullif(sqrt(cast(m.n2 as double)) * sqrt(cast(k.n2 as double)), "
+        f"cast(0 as double)), 6)"
     )
     return f"""
     WITH iv AS (

@@ -560,7 +560,8 @@ def _round_half_up6(x: float) -> float:
 
 def _pca_power_components(spark) -> list[float]:
     """Run the 2-round power iteration; return the 6-dp-quantized 64-float
-    UNnormalized second-round component vector (matches the oracle's c2)."""
+    UNnormalized second-round component vector (matches the oracle's c2),
+    or None when the embedding table is empty (no component rows)."""
     xv = spark.sql(_pca_xv(SPARK)).localCheckpoint()
     xv.createOrReplaceTempView("pca_xv")
     v = [0.125] * _PCA_DIMS
@@ -579,6 +580,8 @@ def _pca_power_components(spark) -> list[float]:
             FROM pca_xv xv JOIN y ON xv.vec_id = y.vec_id GROUP BY xv.dm
             """
         ).collect()
+        if not comp:
+            return None  # empty input: no component rows at all
         nxt = [0.0] * _PCA_DIMS
         for row in comp:
             nxt[row["dm"]] = _round_half_up6(row["m"])
@@ -604,17 +607,18 @@ def _pca_power_components(spark) -> list[float]:
 )
 def sim_pca_power1(spark, sf_dir):
     v = _pca_power_components(spark)
-    if not any(v):
-        # empty (or exactly-orthogonal-degenerate) slice: no principal
-        # direction — mirror the oracle's 0-row answer instead of an
-        # ANSI 0-norm division
+    if v is None:
+        # empty slice: mirror the oracle's 0-row answer
         return spark.createDataFrame([], "dim int, loading double")
     vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
+    # nullif: all-zero embeddings give a 0-norm component — the oracle's
+    # division returns NULL loadings on its 64-row grid, not an ANSI error
     return spark.sql(
         f"""
         WITH ct AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
         nrm AS (SELECT sqrt({S.dsum('m * m', SPARK)}) AS nr FROM ct)
-        SELECT ct.dm AS dim, round(ct.m / nrm.nr, 6) AS loading
+        SELECT ct.dm AS dim,
+            round(ct.m / nullif(nrm.nr, cast(0 as double)), 6) AS loading
         FROM ct, nrm ORDER BY dim
         """
     )
@@ -1249,15 +1253,25 @@ def _whiten_oracle() -> str:
 )
 def sim_whiten_rerank(spark, sf_dir):
     comp = _pca_power_components(spark)
+    if comp is None:
+        # empty slice: mirror the oracle's 0-row answer
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cosine double, rnk int"
+        )
     vals = ", ".join(
         f"({i}, cast({comp[i]!r} as double))" for i in range(_PCA_DIMS)
     )
+    # nullif: all-zero embeddings give a 0-norm direction — loadings go
+    # NULL, the deflated norms go NULL, and the nrm2 > 0 filter drops
+    # every pair identically on both engines (no ANSI error)
     return spark.sql(
         f"""
         WITH xv AS (SELECT * FROM pca_xv),
         ct AS (SELECT * FROM VALUES {vals} AS t(dm, m)),
         nrm AS (SELECT sqrt({S.dsum('m * m', SPARK)}) AS nr FROM ct),
-        loading AS (SELECT ct.dm, round(ct.m / nrm.nr, 6) AS l
+        loading AS (SELECT ct.dm,
+                        round(ct.m / nullif(nrm.nr, cast(0 as double)), 6)
+                            AS l
                     FROM ct, nrm),
         {_whiten_body(SPARK)}
         """

@@ -135,6 +135,43 @@ def test_ab_ztest_empty_arm_null_both_engines(hand_views):
     assert ddf["rate_a"].isna().all() and ddf["z_score"].isna().all()
 
 
+def test_cosine_zero_vector_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.llm_ops import _sim_topk
+
+    # one all-zero vector among normal ones: its cosines are NULL (0 norm)
+    # on BOTH engines — previously an ANSI DIVIDE_BY_ZERO on Spark —
+    # and NULLS sort LAST under DESC in both, so ranks agree exactly
+    vecs = [
+        (0, [1.0, 0.0, 2.0, 0.5], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 1),  # zero vector
+        (2, [0.5, 1.0, 0.0, 2.0], 0),
+        (3, [1.0, 1.0, 1.0, 1.0], 1),
+    ]
+    spark = hand_views
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).createOrReplaceTempView("embeddings")
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"]),
+    )
+    srows = [
+        (r.query_id, r.vec_id, r.cosine, r.rnk)
+        for r in spark.sql(_sim_topk(SPARK)).collect()
+    ]
+    ddf = con.execute(_sim_topk(DUCK)).fetchdf()
+    drows = [
+        (int(r.query_id), int(r.vec_id),
+         None if pd.isna(r.cosine) else float(r.cosine), int(r.rnk))
+        for r in ddf.itertuples()
+    ]
+    con.close()
+    assert sorted(srows) == sorted(drows)
+    # the zero vector's cosines are NULL wherever it appears
+    assert all(c is None for q, v, c, _ in srows if q == 1 or v == 1)
+
+
 def test_ewma_all_null_values_null_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.pipeline_ops import _ewma_halflife
 

@@ -42,6 +42,13 @@ def main() -> int:
         "(count(*) > 0 while count(value) = 0 — a different degenerate "
         "surface; found the EWMA weight-sum ANSI divide)",
     )
+    ap.add_argument(
+        "--zero-vectors",
+        action="store_true",
+        help="instead of empty tables: real tables but every embedding "
+        "all-zero (0-norm cosine surface; found 10 unguarded cosine "
+        "divisions in the similarity family)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -68,6 +75,23 @@ def main() -> int:
                     "CREATE VIEW events AS SELECT * REPLACE"
                     " (cast(NULL as double) AS value)"
                     f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.zero_vectors:
+        spark.table("embeddings").withColumn(
+            "embedding", F.expr("transform(embedding, x -> cast(0.0 as float))")
+        ).createOrReplaceTempView("embeddings")
+        for t in TABLES:
+            if t == "embeddings":
+                con.execute(
+                    "CREATE VIEW embeddings AS SELECT vec_id,"
+                    " list_transform(embedding, x -> cast(0.0 as float))"
+                    " AS embedding, label"
+                    f" FROM read_parquet('{SF}/embeddings.parquet')"
                 )
             else:
                 con.execute(
