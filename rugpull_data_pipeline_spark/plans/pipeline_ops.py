@@ -798,6 +798,14 @@ def _pmi_collocations(d: str) -> str:
     WITH toks AS (
         SELECT {hint}doc_id, {tk} AS tk FROM documents
     ),
+    toks2 AS (
+        -- single-token docs have no bigrams; Spark's sequence(1, n-1)
+        -- DESCENDS when n < 2 (same pitfall as the Kneser-Ney bigram
+        -- build) and ANSI element_at then throws on the out-of-bounds
+        -- index — filter them before the explode, as DuckDB's empty
+        -- range() does implicitly.
+        SELECT doc_id, tk FROM toks WHERE {S.arr_len('tk', d)} >= 2
+    ),
     uni AS (
         SELECT {el('p')} AS w, count(*) AS c
         FROM toks {lat_all}
@@ -805,7 +813,7 @@ def _pmi_collocations(d: str) -> str:
     ),
     big AS (
         SELECT {el('p')} AS a, {el('p + 1')} AS b, count(*) AS c
-        FROM toks {lat_big}
+        FROM toks2 {lat_big}
         GROUP BY {el('p')}, {el('p + 1')}
         HAVING count(*) >= {_PMI_MIN_COUNT}
     ),
@@ -815,7 +823,7 @@ def _pmi_collocations(d: str) -> str:
     tot_b AS (
         SELECT cast(sum(c) as bigint) AS n_big
         FROM (SELECT {el('p')} AS a, {el('p + 1')} AS b, count(*) AS c
-              FROM toks {lat_big} GROUP BY {el('p')}, {el('p + 1')}) all_b
+              FROM toks2 {lat_big} GROUP BY {el('p')}, {el('p + 1')}) all_b
     )
     SELECT a, b, cast(big.c as bigint) AS n_ab,
         round(cast(big.c as double) * (SELECT n_uni FROM tot)

@@ -450,10 +450,15 @@ def _zipf(d: str) -> str:
         FROM ranked
     )
     SELECT
+        -- nullif: a 1-term vocabulary (degenerate corpus) has a single
+        -- fit point — ANSI Spark THROWS on the 0 denominator where
+        -- DuckDB returns NULL; both now emit NULL slope/intercept.
         round((cast(n as double) * sxy - sx * sy)
-            / (cast(n as double) * sxx - sx * sx), 6) AS zipf_slope,
+            / nullif(cast(n as double) * sxx - sx * sx,
+                cast(0 as double)), 6) AS zipf_slope,
         round((sy - ((cast(n as double) * sxy - sx * sy)
-            / (cast(n as double) * sxx - sx * sx)) * sx)
+            / nullif(cast(n as double) * sxx - sx * sx,
+                cast(0 as double))) * sx)
             / cast(n as double), 6) AS intercept,
         cast(n as bigint) AS n_terms
     FROM reg

@@ -135,6 +135,52 @@ def test_ab_ztest_empty_arm_null_both_engines(hand_views):
     assert ddf["rate_a"].isna().all() and ddf["z_score"].isna().all()
 
 
+def test_pmi_single_token_docs_empty_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.pipeline_ops import _pmi_collocations
+
+    # single-token docs have no bigrams: Spark's sequence(1, 0) DESCENDS
+    # and ANSI element_at threw on the out-of-bounds probe before the
+    # size >= 2 prefilter; DuckDB's empty range() always skipped them
+    docs = [(i, t, "en", "s0") for i, t in enumerate(["", "solo", "a b"])]
+    spark = hand_views
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"]),
+    )
+    srows = spark.sql(_pmi_collocations(SPARK)).collect()
+    drows = con.execute(_pmi_collocations(DUCK)).fetchall()
+    con.close()
+    # the one bigram ('a','b') is below the min-count threshold -> empty,
+    # identically, with no ANSI error on the single-token docs
+    assert srows == [] and drows == []
+
+
+def test_zipf_single_term_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _zipf
+
+    docs = [(0, "word", "en", "s0"), (1, "word", "en", "s0")]
+    spark = hand_views
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"]),
+    )
+    srows = spark.sql(_zipf(SPARK)).collect()
+    ddf = con.execute(_zipf(DUCK)).fetchdf()
+    con.close()
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].n_terms == 1
+    assert srows[0].zipf_slope is None and srows[0].intercept is None
+    assert ddf["zipf_slope"].isna().all()
+
+
 def test_cosine_zero_vector_null_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.llm_ops import _sim_topk
 

@@ -49,6 +49,13 @@ def main() -> int:
         "all-zero (0-norm cosine surface; found 10 unguarded cosine "
         "divisions in the similarity family)",
     )
+    ap.add_argument(
+        "--empty-text",
+        action="store_true",
+        help="instead of empty tables: real tables but documents.text all "
+        "'' (single-empty-token surface; found the PMI descending-"
+        "sequence ANSI element_at and the 1-term Zipf-fit divide)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -75,6 +82,22 @@ def main() -> int:
                     "CREATE VIEW events AS SELECT * REPLACE"
                     " (cast(NULL as double) AS value)"
                     f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.empty_text:
+        spark.table("documents").withColumn("text", F.lit("")).withColumn(
+            "n_chars", F.lit(0)
+        ).createOrReplaceTempView("documents")
+        for t in TABLES:
+            if t == "documents":
+                con.execute(
+                    "CREATE VIEW documents AS SELECT * REPLACE"
+                    " ('' AS text, 0 AS n_chars)"
+                    f" FROM read_parquet('{SF}/documents.parquet')"
                 )
             else:
                 con.execute(
