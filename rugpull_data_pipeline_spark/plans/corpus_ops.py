@@ -742,7 +742,8 @@ def kmeans_lloyd_fit(spark, sf_dir):
                 lambda acc, e: acc + e,
             )
             dcols.append(F.struct(dist.alias("d2"), F.lit(cid).alias("cid")))
-        best = F.least(*dcols)
+        # least() needs >= 2 columns; a 1-vector corpus has one centroid
+        best = F.least(*dcols) if len(dcols) > 1 else dcols[0]
         return df.withColumn("cluster", best["cid"]).withColumn("d2", best["d2"])
 
     for _ in range(iters):

@@ -165,7 +165,10 @@ def _ridge(d: str) -> str:
     )
     SELECT round(w1, 6) AS w1, round(w2, 6) AS w2,
         round(my - w1 * mx1 - w2 * mx2, 6) AS intercept,
-        round((w1 * b1 + w2 * b2) / styy, 6) AS r2_explained,
+        -- nullif: a single doc (or constant-length corpus) has zero
+        -- target variance — R^2 undefined, NULL on both engines
+        round((w1 * b1 + w2 * b2) / nullif(styy, cast(0 as double)), 6)
+            AS r2_explained,
         cast(n as bigint) AS n_rows
     FROM sol
     """

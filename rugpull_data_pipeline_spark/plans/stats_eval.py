@@ -106,8 +106,10 @@ def _auc(d: str) -> str:
         SELECT {S.isum('pos * (2 * lt + c + 1)', d)} AS r2 FROM w
     )
     SELECT tot.np AS n_pos, tot.nn AS n_neg,
+        -- nullif: a single-class slice (np or nn = 0) leaves AUC
+        -- undefined — NULL on both engines, not an ANSI divide error
         round(cast(rs.r2 - tot.np * (tot.np + 1) as double)
-            / cast(2 * tot.np * tot.nn as double), 6) AS auc
+            / cast(nullif(2 * tot.np * tot.nn, 0) as double), 6) AS auc
     FROM rs, tot
     """
 
@@ -160,8 +162,11 @@ def _ks_drift(d: str) -> str:
     )
     SELECT cum.event_type, max(tot.na) AS n_even_days,
         max(tot.nb) AS n_odd_days,
+        -- nullif: a type seen only on even (or only odd) days has one
+        -- empty sample — KS undefined, NULL on both engines
         round(cast(max(abs(cum.fa * tot.nb - cum.fb * tot.na)) as double)
-            / cast(max(tot.na) * max(tot.nb) as double), 6) AS ks_stat
+            / cast(nullif(max(tot.na) * max(tot.nb), 0) as double), 6)
+            AS ks_stat
     FROM cum JOIN tot ON cum.event_type = tot.event_type
     GROUP BY cum.event_type
     ORDER BY cum.event_type
@@ -730,8 +735,11 @@ _SWEEP_N = 5
 
 def _threshold_sweep(d: str) -> str:
     seq = S.explode_seq("k", "1", str(_SWEEP_N), d)
-    prec = "cast(tp as double) / cast(tp + fp as double)"
-    rec = "cast(tp as double) / cast(np as double)"
+    # nullif: a slice with nothing at-or-above a threshold (tp + fp = 0)
+    # or with no positives at all (np = 0) leaves precision/recall
+    # undefined — NULL on both engines, not an ANSI divide error
+    prec = "cast(tp as double) / cast(nullif(tp + fp, 0) as double)"
+    rec = "cast(tp as double) / cast(nullif(np, 0) as double)"
     return f"""
     WITH sl AS (
         SELECT {_CENTS} AS v,
@@ -1953,13 +1961,12 @@ def _brier(d: str) -> str:
     # p = s / max_s on the distinct-cents grid; per-grid-row contribution
     # pos*(p-1)^2 + (c-pos)*p^2 is one deterministic double expression over
     # exact integers, 9-dp-quantized into the decimal sum.
+    # nullif(m, 0): a slice whose only value is 0 cents has a 0 max —
+    # NULL probability (and NULL score) on both engines, not a 0/0 error
+    p = "(cast(s as double) / cast(nullif(m, 0) as double))"
     term = (
-        "round(cast(pos as double)"
-        " * (cast(s as double) / cast(m as double) - 1)"
-        " * (cast(s as double) / cast(m as double) - 1)"
-        " + cast(c - pos as double)"
-        " * (cast(s as double) / cast(m as double))"
-        " * (cast(s as double) / cast(m as double)), 9)"
+        f"round(cast(pos as double) * ({p} - 1) * ({p} - 1)"
+        f" + cast(c - pos as double) * {p} * {p}, 9)"
     )
     return f"""
     WITH sl AS (
@@ -1985,8 +1992,9 @@ def _brier(d: str) -> str:
             * (1 - cast(np as double) / cast(n as double)), 6)
             AS brier_baseline,
         round(1 - (sq / cast(n as double))
-            / (cast(np as double) / cast(n as double)
-               * (1 - cast(np as double) / cast(n as double))), 6)
+            / nullif(cast(np as double) / cast(n as double)
+               * (1 - cast(np as double) / cast(n as double)),
+               cast(0 as double)), 6)
             AS brier_skill
     FROM agg
     """
@@ -2201,8 +2209,12 @@ def _simpson(d: str) -> str:
         FROM wide
     )
     SELECT s.stratum, s.n_a, s.c_a, s.n_b, s.c_b,
-        round(cast(s.c_a as double) / cast(s.n_a as double), 6) AS rate_a,
-        round(cast(s.c_b as double) / cast(s.n_b as double), 6) AS rate_b,
+        -- nullif: an arm absent from a stratum has no rate — NULL on
+        -- both engines (the integer cross-multiplied dir still works)
+        round(cast(s.c_a as double)
+            / cast(nullif(s.n_a, 0) as double), 6) AS rate_a,
+        round(cast(s.c_b as double)
+            / cast(nullif(s.n_b, 0) as double), 6) AS rate_b,
         s.dir,
         cast(max(CASE WHEN s2.stratum = 'TOTAL' THEN s2.dir END) as int)
             AS total_dir,

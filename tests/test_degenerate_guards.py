@@ -135,6 +135,29 @@ def test_ab_ztest_empty_arm_null_both_engines(hand_views):
     assert ddf["rate_a"].isna().all() and ddf["z_score"].isna().all()
 
 
+def test_single_class_eval_metrics_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import (
+        _auc,
+        _brier,
+        _ks_drift,
+        _threshold_sweep,
+    )
+
+    # a slice with clicks only (no purchases), all on even days: AUC has
+    # one class, recall has no positives, Brier's climatology is 0, KS
+    # has an empty odd-day sample — each was an ANSI divide on Spark
+    rows = [(i, i * 2 * 86400 + i, 1, "click", 5.0 + i) for i in range(4)]
+    srows, ddf = _both(hand_views, rows, _auc)
+    assert srows[0].auc is None and ddf["auc"].isna().all()
+    srows, ddf = _both(hand_views, rows, _threshold_sweep)
+    assert all(r.recall_ is None for r in srows)
+    assert ddf["recall_"].isna().all()
+    srows, ddf = _both(hand_views, rows, _brier)
+    assert srows[0].brier_skill is None and ddf["brier_skill"].isna().all()
+    srows, ddf = _both(hand_views, rows, _ks_drift)
+    assert srows[0].ks_stat is None and ddf["ks_stat"].isna().all()
+
+
 def test_pmi_single_token_docs_empty_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.pipeline_ops import _pmi_collocations
 

@@ -56,6 +56,14 @@ def main() -> int:
         "'' (single-empty-token surface; found the PMI descending-"
         "sequence ANSI element_at and the 1-term Zipf-fit divide)",
     )
+    ap.add_argument(
+        "--single-row",
+        action="store_true",
+        help="instead of empty tables: every table cut to its min-key row "
+        "(single-point statistics surface; found 7 single-class/empty-"
+        "arm ANSI divides: AUC, threshold sweep, Brier skill, ridge R2, "
+        "KS, Simpson rates, 1-centroid kmeans least())",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -88,6 +96,23 @@ def main() -> int:
                     f"CREATE VIEW {t} AS SELECT * FROM"
                     f" read_parquet('{SF}/{t}.parquet')"
                 )
+    elif args.single_row:
+        keys = {
+            "region": "r_regionkey", "nation": "n_nationkey",
+            "customer": "c_custkey", "supplier": "s_suppkey",
+            "part": "p_partkey", "orders": "o_orderkey",
+            "lineitem": "l_orderkey, l_linenumber", "events": "event_id",
+            "documents": "doc_id", "embeddings": "vec_id",
+        }
+        for t in TABLES:
+            spark.sql(
+                f"SELECT * FROM {t} ORDER BY {keys[t]} LIMIT 1"
+            ).localCheckpoint().createOrReplaceTempView(t)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{SF}/{t}.parquet')"
+                f" ORDER BY {keys[t]} LIMIT 1"
+            )
     elif args.empty_text:
         spark.table("documents").withColumn("text", F.lit("")).withColumn(
             "n_chars", F.lit(0)
