@@ -14,8 +14,18 @@ Spark yields NaN/NULL). This sweep classifies every query:
     duck-err   DuckDB throws, Spark runs   (oracle landmine)
     both-err   both throw
 
-Usage:  python tools/empty_sweep.py [--only prefix ...]
-Exit 0 iff every query is `ok`.
+Modes (one per degenerate surface; default is empty tables):
+
+    python tools/empty_sweep.py                  # zero-row tables
+    python tools/empty_sweep.py --null-values    # events.value all NULL
+    python tools/empty_sweep.py --zero-vectors   # embeddings all-zero
+    python tools/empty_sweep.py --empty-text     # documents.text all ''
+    python tools/empty_sweep.py --single-row     # min-key row per table
+
+Exit 0 iff every query is `ok`. Known non-`ok` classes are documented
+in SCALE.md: self-sourced streaming replays (rows-diff artifact — they
+synthesize their own landing-zone input) and the ROLLUP/CUBE
+grand-total-row-on-empty engine semantic.
 """
 
 from __future__ import annotations
