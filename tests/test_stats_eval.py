@@ -1095,10 +1095,10 @@ def _q9_then_dec6(x: float):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), max_size=12))
+@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), min_size=1, max_size=12))
 def test_auc_matches_bruteforce(hand_views, pts):
     spark = hand_views
-    pts = list(pts) + [(7, True), (3, False)]  # both classes guaranteed
+    # no forced class rows: hypothesis owns the single-class NULL guard too
     rows = [
         (i, 10 * i, 1, "purchase" if pos else "click", c / 100.0)
         for i, (c, pos) in enumerate(pts)
@@ -1109,9 +1109,12 @@ def test_auc_matches_bruteforce(hand_views, pts):
     sc = [(math.floor((c / 100.0) * 100.0), pos) for c, pos in pts]
     pos_s = [s for s, p in sc if p]
     neg_s = [s for s, p in sc if not p]
+    assert got.n_pos == len(pos_s) and got.n_neg == len(neg_s)
+    if not pos_s or not neg_s:
+        assert got.auc is None  # single-class slice: AUC undefined
+        return
     wins = sum(1 for a in pos_s for b in neg_s if a > b)
     ties = sum(1 for a in pos_s for b in neg_s if a == b)
-    assert got.n_pos == len(pos_s) and got.n_neg == len(neg_s)
     expect = (2 * wins + ties) / (2 * len(pos_s) * len(neg_s))
     assert got.auc == pytest.approx(round(expect, 6), abs=1e-6)
 
