@@ -1197,12 +1197,13 @@ def test_cohens_kappa_matches_bruteforce(hand_views, docs):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), max_size=12))
+@given(st.lists(st.tuples(st.integers(0, 40), st.booleans()), min_size=1, max_size=12))
 def test_brier_matches_bruteforce(hand_views, pts):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.stats_eval import _brier
 
-    pts = list(pts) + [(9, True), (2, False)]  # m > 0, both classes
+    # no forced rows: hypothesis owns the degenerate paths too (0-max
+    # cents -> NULL probability; single-class -> NULL skill)
     rows = [
         (i, 10 * i, 1, "purchase" if pos else "click", c / 100.0)
         for i, (c, pos) in enumerate(pts)
@@ -1217,6 +1218,10 @@ def test_brier_matches_bruteforce(hand_views, pts):
     m = max(grid)
     n = sum(c for c, _ in grid.values())
     np_ = sum(p for _, p in grid.values())
+    assert got.n_events == n and got.n_pos == np_
+    if m == 0:
+        assert got.brier is None  # only 0-cent values: probability undefined
+        return
     sq = 0
     for s, (c, p) in grid.items():
         f = s / m
@@ -1224,7 +1229,9 @@ def test_brier_matches_bruteforce(hand_views, pts):
     sq = float(sq)
     brier = sq / n
     base = (np_ / n) * (1 - np_ / n)
-    assert got.n_events == n and got.n_pos == np_
     assert got.brier == pytest.approx(round(brier, 6), abs=2e-6)
     assert got.brier_baseline == pytest.approx(round(base, 6), abs=2e-6)
-    assert got.brier_skill == pytest.approx(1 - brier / base, abs=2e-6)
+    if base == 0.0:
+        assert got.brier_skill is None  # single-class: no climatology
+    else:
+        assert got.brier_skill == pytest.approx(1 - brier / base, abs=2e-6)
