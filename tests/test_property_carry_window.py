@@ -227,7 +227,7 @@ def test_ks_drift_matches_bruteforce(hand_views, pts):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.stats_eval import _ks_drift
 
-    pts = list(pts) + [(0, 400), (1, 450)]  # both parities non-empty
+    pts = list(pts) + [(0, 400)]  # >= 1 row; hypothesis owns empty halves
     rows = [
         (i, d * 86400 + i, 1, "click", c / 100.0)
         for i, (d, c) in enumerate(pts)
@@ -238,12 +238,15 @@ def test_ks_drift_matches_bruteforce(hand_views, pts):
     a = sorted(_floor_cents(c) for d, c in pts if d % 2 == 0)
     b = sorted(_floor_cents(c) for d, c in pts if d % 2 == 1)
     na, nb = len(a), len(b)
+    assert (got.n_even_days, got.n_odd_days) == (na, nb)
+    if na == 0 or nb == 0:
+        assert got.ks_stat is None  # one empty sample: KS undefined
+        return
     grid = sorted(set(a) | set(b))
     best = max(
         abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
         for v in grid
     )
-    assert (got.n_even_days, got.n_odd_days) == (na, nb)
     assert got.ks_stat == pytest.approx(round(best / (na * nb), 6), abs=1e-9)
 
 
