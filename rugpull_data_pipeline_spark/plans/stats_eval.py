@@ -1830,8 +1830,12 @@ def _cohens_kappa(d: str) -> str:
             AS observed_agree,
         round(cast(ee.chance as double) / cast(tot.nn * tot.nn as double), 6)
             AS expected_agree,
+        -- nullif: when both raters give every doc ONE verdict (degenerate
+        -- corpus), expected agreement is 1 and n^2 - chance = 0 — kappa
+        -- is undefined, NULL on both engines, not an ANSI divide error
         round(cast(tot.nn * tot.agree - ee.chance as double)
-            / cast(tot.nn * tot.nn - ee.chance as double), 6) AS kappa
+            / cast(nullif(tot.nn * tot.nn - ee.chance, 0) as double), 6)
+            AS kappa
     FROM tot, ee
     """
 

@@ -158,6 +158,30 @@ def test_single_class_eval_metrics_null_both_engines(hand_views):
     assert srows[0].ks_stat is None and ddf["ks_stat"].isna().all()
 
 
+def test_kappa_unanimous_raters_null_both_engines(hand_views):
+    from rugpull_data_pipeline_spark.plans.stats_eval import _cohens_kappa
+
+    # every doc short and low-vocab: both gates say drop for everything,
+    # expected agreement is 1 and kappa undefined — NULL on both engines
+    docs = [(i, "tiny", "en", "s0") for i in range(4)]
+    spark = hand_views
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).createOrReplaceTempView(
+        "documents"
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
+    con.register("documents", pdf.assign(n_chars=pdf["text"].str.len()))
+    srows = spark.sql(_cohens_kappa(SPARK)).collect()
+    ddf = con.execute(_cohens_kappa(DUCK)).fetchdf()
+    con.close()
+    assert len(srows) == 1 and len(ddf) == 1
+    assert srows[0].observed_agree == 1.0
+    assert srows[0].kappa is None
+    assert ddf["kappa"].isna().all()
+
+
 def test_pmi_single_token_docs_empty_both_engines(hand_views):
     from rugpull_data_pipeline_spark.plans.pipeline_ops import _pmi_collocations
 
