@@ -1127,9 +1127,13 @@ def graph_hits_power3(spark, sf_dir):
             # edgeless graph: every contribution is 0 — skip the L1
             # normalization instead of an ANSI 0/0 error
             return unnorm
+        # no second checkpoint: the normalization is a node-count-sized
+        # projection over the ALREADY-checkpointed unnorm, so lineage
+        # stays flat and re-evaluation costs one 1-column divide — the
+        # checkpoint here was 6 extra no-op Spark jobs per query
         return unnorm.select(
             "node", (F.col(val_col) / F.lit(norm)).alias(val_col)
-        ).localCheckpoint()
+        )
 
     h = nodes.withColumn("h", F.lit(1.0 / n))
     a = None
