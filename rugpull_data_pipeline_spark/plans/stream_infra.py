@@ -61,8 +61,29 @@ _GUARD_N = 2000
 _GUARD_MAX_BYTES = 4096
 
 
+def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events source for the streaming replays, VIEW-FIRST: when an
+    `events` temp view is registered (the registry wrapper always
+    registers one before a builder runs) read through it, so harness-level
+    input substitution — the degenerate-input sweeps swap the view for an
+    empty / all-NULL / single-row variant — reaches the landing-zone
+    replays instead of being silently bypassed by a direct parquet read
+    (the round-6 sweeps classified these queries `rows-diff
+    self-sourced`; this removes the artifact class entirely). Falls back
+    to the parquet loader for direct callers that never registered views."""
+    try:
+        if spark.catalog.tableExists("events"):
+            from ..session import tune_session
+
+            tune_session(spark)
+            return spark.table("events")
+    except Exception:  # noqa: BLE001 - catalog probe must never mask the load
+        pass
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
 def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
-    return load_tables(spark, sf_dir, ("events",))["events"].select(*cols)
+    return _events_table(spark, sf_dir).select(*cols)
 
 
 def _write_slices(df: DataFrame, path: str, n: int, slice_col: str = "event_id") -> None:
@@ -135,7 +156,7 @@ def stream_dim_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import upsert_dimension
 
     src = (
-        load_tables(spark, sf_dir, ("events",))["events"]
+        _events_table(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
         .select("user_id", "ts", "event_id", "value")
     )
@@ -195,7 +216,7 @@ ORDER BY user_id
 )
 def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
-        load_tables(spark, sf_dir, ("events",))["events"]
+        _events_table(spark, sf_dir)
         .where(F.col("event_type") == "click")
         .select("user_id", "event_id", "value")
     )
@@ -379,7 +400,7 @@ ORDER BY window_start
     "the sentinel's own window stays unemitted in state.",
 )
 def stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events_table(spark, sf_dir)
     src = ev.select("user_id", "ts")
     sentinel = ev.groupBy().agg(
         F.lit(-1).cast("long").alias("user_id"),
@@ -594,7 +615,7 @@ ORDER BY user_id
 )
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
-        load_tables(spark, sf_dir, ("events",))["events"]
+        _events_table(spark, sf_dir)
         .where(F.col("event_type") == "view")
         .select("event_id", "ts", "user_id", "value")
     )
@@ -670,7 +691,7 @@ ORDER BY click_id, purchase_id
     "batch interval join row-for-row.",
 )
 def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events_table(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -1377,7 +1398,7 @@ ORDER BY window_start
     "of stream length.",
 )
 def stream_hopping_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = _events_table(spark, sf_dir)
     src = ev.select("user_id", "ts")
     sentinel = ev.groupBy().agg(
         F.lit(-1).cast("long").alias("user_id"),

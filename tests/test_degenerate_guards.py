@@ -288,3 +288,41 @@ def test_entropy_rate_single_state_norm_null_both_engines(hand_views):
     assert srows[0].entropy_rate_nats == 0.0
     assert srows[0].entropy_rate_norm is None  # ln(1) = 0 -> NULL
     assert ddf["entropy_rate_norm"].isna().all()
+
+
+def test_hits_edgeless_graph_null_scores_both_engines(hand_views):
+    """Every user has exactly ONE event: nodes exist but the transition
+    edge set is empty, so the L1 norm is 0. The DuckDB oracle's
+    `val / nullif(norm, 0)` yields NULL authority/hub; the Spark builder
+    used to return unnormalized 0.0 — a silent value divergence the
+    row-count-only sweep missed (ADVICE r6). Both engines must now agree
+    on NULL. The Spark side exercises the real DataFrame builder, not the
+    oracle SQL."""
+    import duckdb as _duckdb
+
+    from rugpull_data_pipeline_spark.plans import mlprep_ops
+
+    spark = hand_views
+    rows = [(i, i * 3600, i, t, 1.0) for i, t in
+            enumerate(["click", "buy", "view"])]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "t", "user_id", "event_type", "value"]
+    )
+    sdf = spark.createDataFrame(
+        pdf, "event_id long, t long, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    sdf.createOrReplaceTempView("events")
+    srows = mlprep_ops.graph_hits_power3(spark, "").collect()
+
+    con = _duckdb.connect()
+    dpdf = pdf.assign(ts=pd.to_datetime(pdf["t"], unit="s")).drop(columns=["t"])
+    con.register("events", dpdf)
+    ddf = con.execute(mlprep_ops._hits_oracle(DUCK)).fetchdf()
+    con.close()
+
+    assert len(srows) == 3 and len(ddf) == 3
+    assert all(r.authority is None and r.hub is None for r in srows)
+    assert ddf["authority"].isna().all() and ddf["hub"].isna().all()

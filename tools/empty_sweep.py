@@ -8,7 +8,11 @@ cases an empty input reaches (`x / count(*)` THROWS on Spark when the
 count is 0, returns NULL on DuckDB; DuckDB's `sqrt`/`ln` THROW where
 Spark yields NaN/NULL). This sweep classifies every query:
 
-    ok         both engines run; same row count
+    ok         both engines run; same row count AND same normalized values
+               (the driver's sort-columns/sort-rows exact compare, via
+               tests.oracle_harness.compare — row-count-only `ok` hid the
+               HITS 0.0-vs-NULL divergence; ADVICE r6)
+    val-diff   both run, same row count, value-level divergence
     rows-diff  both run; row counts differ (semantic divergence)
     spark-err  Spark throws, DuckDB runs   (ANSI landmine)
     duck-err   DuckDB throws, Spark runs   (oracle landmine)
@@ -173,20 +177,26 @@ def main() -> int:
         if args.only is None or any(n.startswith(p) for p in args.only)
     ][args.start :]
 
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from oracle_harness import compare as _value_compare
+
     tallies: dict[str, list] = {}
     for i, name in enumerate(names):
         t0 = time.time()
-        s_rows = s_err = None
+        s_pdf = s_err = None
         try:
-            s_rows = len(qs[name](spark, SF).collect())
+            s_pdf = qs[name](spark, SF).toPandas()
         except Exception as ex:  # noqa: BLE001
             s_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
-        d_rows = d_err = None
+        d_pdf = d_err = None
         if name in osql:
             try:
-                d_rows = len(con.execute(osql[name]).fetchall())
+                d_pdf = con.execute(osql[name]).fetchdf()
             except Exception as ex:  # noqa: BLE001
                 d_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+        s_rows = None if s_pdf is None else len(s_pdf)
+        d_rows = None if d_pdf is None else len(d_pdf)
+        val_note = ""
         if s_err and d_err:
             kind = "both-err"
         elif s_err:
@@ -195,10 +205,17 @@ def main() -> int:
             kind = "duck-err"
         elif name in osql and s_rows != d_rows:
             kind = "rows-diff"
+        elif name in osql:
+            problems = _value_compare(s_pdf, d_pdf)
+            if problems:
+                kind = "val-diff"
+                val_note = " | ".join(problems)[:160]
+            else:
+                kind = "ok"
         else:
-            kind = "ok"
+            kind = "ok"  # nosql query: rows-only check, like the driver's
         tallies.setdefault(kind, []).append(name)
-        detail = s_err or d_err or f"{s_rows} rows"
+        detail = s_err or d_err or val_note or f"{s_rows} rows"
         print(
             f"[{i + 1 + args.start:3d}/{len(names) + args.start}] "
             f"{kind:9s} {name} ({time.time() - t0:.1f}s) {detail}",
@@ -206,7 +223,7 @@ def main() -> int:
         )
 
     print("\nEMPTY SWEEP SUMMARY")
-    for kind in ("ok", "rows-diff", "spark-err", "duck-err", "both-err"):
+    for kind in ("ok", "val-diff", "rows-diff", "spark-err", "duck-err", "both-err"):
         if kind in tallies:
             print(f"  {kind:9s} {len(tallies[kind])}")
             if kind != "ok":
