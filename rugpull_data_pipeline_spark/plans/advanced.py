@@ -304,7 +304,7 @@ def _grouping_sets(d: str) -> str:
 _pair(
     "agg_grouping_sets",
     _grouping_sets,
-    tags=("agg",),
+    tags=("agg", "sweep:rollup-empty"),
     doc="Explicit GROUPING SETS with grouping() markers (distinguishes "
     "'NULL key' from 'superaggregate row').",
 )

@@ -1523,7 +1523,7 @@ def _time_rollup(d: str) -> str:
 _pair(
     "agg_time_rollup",
     _time_rollup,
-    tags=("agg", "temporal"),
+    tags=("agg", "temporal", "sweep:rollup-empty"),
     doc="Hypertable-style time-hierarchy ROLLUP: purchase volume at "
     "(day, hour), per-day subtotals, and the grand total in ONE "
     "aggregation pass (grouping() markers distinguish subtotal rows from "

@@ -105,7 +105,6 @@ REPROOF: tuple[str, ...] = (
     "join_full_outer_nations",
     "join_left_outer_orders",
     "join_semi_parts_in_lineitem",
-    "join_tag_enrichment",
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
@@ -165,6 +164,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_holt_linear",
     # Dataset documentation.
     "traindata_dataset_card",
+    # ---- round-7 debut: the end-to-end streaming composition (it sits
+    # INSIDE its debut window, so the never-checked set stays empty; one
+    # re-proof slot yielded to it — 38 backlog + this + 11 re-proofs = 50) ----
+    "stream_flagship_e2e_replay",
 ) + REPROOF
 # Round-7 rotation state: backlog cleared — after a green r7 window every
 # one of the 286 registered queries has at least one driver CORRECTNESS

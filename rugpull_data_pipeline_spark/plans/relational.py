@@ -373,7 +373,7 @@ def _rollup(d: str) -> str:
 _pair(
     "agg_rollup_region_nation",
     _rollup,
-    tags=("agg",),
+    tags=("agg", "sweep:rollup-empty"),
     doc="Hierarchical ROLLUP totals (capability uplift over the reference, "
     "SURVEY.md §2.4 note).",
 )
@@ -390,7 +390,8 @@ def _cube(d: str) -> str:
     """
 
 
-_pair("agg_cube_flag_status", _cube, tags=("agg",), doc="CUBE grouping sets.")
+_pair("agg_cube_flag_status", _cube, tags=("agg", "sweep:rollup-empty"),
+      doc="CUBE grouping sets.")
 
 
 # ---------------------------------------------------------------------------

@@ -10,8 +10,11 @@ reproducible and keeps the carry-over cap visible:
     python tools/rotation_plan.py            # backlog + staleness report
     python tools/rotation_plan.py --emit 50  # print a ready-to-paste window
 
-The carry-over cap lives in tests/test_correctness_oracle.py
-(test_driver_window_rotation): never-driver-checked carry must stay <= 90.
+The gate lives in tests/test_correctness_oracle.py
+(test_driver_window_rotation): every window slot must be backlog
+(never driver-green before the latest grade) or on the committed
+registry.REPROOF list (<= 25 names); never-driver-checked carry-over
+must stay <= 50 (one extra window).
 """
 
 from __future__ import annotations
