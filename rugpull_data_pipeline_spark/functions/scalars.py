@@ -192,9 +192,16 @@ def arr_sort(expr: str, d: str = SPARK) -> str:
 
 
 def arr_join(expr: str, sep: str = "' '", d: str = SPARK) -> str:
+    """Engine-identical array→string join. DuckDB's array_to_string returns
+    NULL for an EMPTY list where Spark's array_join returns '' (hit by the
+    empty-text sweep on zero-token documents); the CASE pins DuckDB to
+    Spark's semantics while keeping NULL-list → NULL."""
     if d == SPARK:
         return f"array_join({expr}, {sep})"
-    return f"array_to_string({expr}, {sep})"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"ELSE coalesce(array_to_string({expr}, {sep}), '') END)"
+    )
 
 
 def arr_slice(expr: str, start: str, length: str, d: str = SPARK) -> str:

@@ -326,3 +326,27 @@ def test_hits_edgeless_graph_null_scores_both_engines(hand_views):
     assert len(srows) == 3 and len(ddf) == 3
     assert all(r.authority is None and r.hub is None for r in srows)
     assert ddf["authority"].isna().all() and ddf["hub"].isna().all()
+
+
+def test_higher_order_funcs_empty_text_csv_empty_string_both_engines(hand_views):
+    """A zero-token document: `split('', ' ')` yields [''] on both engines,
+    the length>4 filter empties it, and the csv join of the EMPTY list must
+    be '' on both — DuckDB's bare array_to_string returns NULL there
+    (round-7 empty-text sweep catch); scalars.arr_join now pins the oracle
+    to Spark's '' semantics."""
+    import duckdb as _duckdb
+
+    from rugpull_data_pipeline_spark.plans.advanced import _higher_order
+
+    spark = hand_views
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["", "tiny words only"]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    srows = spark.sql(_higher_order(SPARK)).collect()
+
+    con = _duckdb.connect()
+    con.register("documents", pdf)
+    ddf = con.execute(_higher_order(DUCK)).fetchdf()
+    con.close()
+
+    assert [r.long_tokens_csv for r in srows] == ["", "words"]
+    assert list(ddf["long_tokens_csv"]) == ["", "words"]
