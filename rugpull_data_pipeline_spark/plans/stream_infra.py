@@ -1591,6 +1591,15 @@ def console_head10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maxFilesPerTrigger bounds per-trigger work (ST2).",
 )
 def stream_flagship_e2e_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flagship_e2e(spark, sf_dir, n_slices=4)
+
+
+def _flagship_e2e(spark: SparkSession, sf_dir: str, n_slices: int) -> DataFrame:
+    """Core of stream_flagship_e2e_replay, parameterized on the landing-zone
+    slice count so tests can prove batch-boundary independence: ANY
+    n_slices must converge to the identical sink state (the update-mode
+    aggregates are cumulative and the LWW merge keys on the
+    strictly-increasing n_moves)."""
     from ..sources.io import upsert_dimension
 
     lineitem = spark.table("lineitem").select(
@@ -1598,7 +1607,7 @@ def stream_flagship_e2e_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_shipdate",
     )
     src_dir = scratch_dir(prefix="rugpull_flag_src_")
-    _write_slices(lineitem, src_dir, 4, slice_col="l_orderkey")
+    _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey")
     dim_dir = os.path.join(scratch_dir(prefix="rugpull_flag_out_"), "report")
 
     # Watchlist: ASIA suppliers (the hot-address file, file_utils.cpp:3-36).

@@ -773,3 +773,24 @@ def test_late_drop_counter_counts_frontier_drops(spark, tmp_path):
         if "bollinger_guard" in p.get("observedMetrics", {})
     )
     assert rows_in == 14
+
+
+def test_flagship_e2e_batch_boundary_independence(spark, sf_dir):
+    """The composed streaming flagship must converge to the BATCH
+    flagship's answer for ANY landing-zone slicing — the update-mode
+    aggregates are cumulative and the sink's last-writer-wins merge keys
+    on the strictly increasing n_moves, so batch boundaries cannot leak
+    into the result. 2 and 7 slices (coprime with the registered 4) both
+    checked against the batch plan's rows."""
+    from rugpull_data_pipeline_spark.plans.registry import get
+    from rugpull_data_pipeline_spark.plans.stream_infra import _flagship_e2e
+
+    batch_rows = sorted(
+        tuple(r) for r in get("flagship_balance_report").builder(spark, sf_dir).collect()
+    )
+    assert batch_rows, "batch flagship returned no rows"
+    for n_slices in (2, 7):
+        got = sorted(
+            tuple(r) for r in _flagship_e2e(spark, sf_dir, n_slices).collect()
+        )
+        assert got == batch_rows, f"n_slices={n_slices} diverged from batch"
