@@ -83,10 +83,18 @@ def main() -> int:
           f"{len(never[:window])} backlog + {max(0, window - len(never))} stalest re-proof")
     if args.emit:
         plan = (never + stale)[: args.emit]
+        reproof = [n for n in plan if n in latest]
+        print("\n# Paste BOTH blocks: the re-proof slots must be declared in")
+        print("# registry.REPROOF or the rotation gate flags them as wasted.")
+        print("REPROOF: tuple[str, ...] = (")
+        for n in reproof:
+            print(f'    "{n}",  # last green r{latest[n]}')
+        print(")")
         print("\nDRIVER_PRIORITY: tuple[str, ...] = (")
         for n in plan:
-            print(f'    "{n}",')
-        print(")")
+            if n not in latest:
+                print(f'    "{n}",')
+        print(") + REPROOF")
     else:
         for n in plan[:10]:
             tag = "backlog" if n in set(never) else f"re-proof r{latest[n]}"
