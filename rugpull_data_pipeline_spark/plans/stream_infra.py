@@ -70,9 +70,18 @@ def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays instead of being silently bypassed by a direct parquet read
     (the round-6 sweeps classified these queries `rows-diff
     self-sourced`; this removes the artifact class entirely). Falls back
-    to the parquet loader for direct callers that never registered views."""
+    to the parquet loader for direct callers that never registered views.
+
+    View-first is gated on the registry's view cache, NOT on bare
+    `tableExists`: the test suite's convention is to register hand-data
+    temp views per test and tear down only the cache (`_VIEWS_FOR.pop`),
+    leaving the view dangling — keying on the catalog alone let 3-row
+    fixtures leak into later raw-builder tests (order-dependent failure
+    in test_streaming_windows, round 7)."""
     try:
-        if spark.catalog.tableExists("events"):
+        from .registry import _VIEWS_FOR
+
+        if _VIEWS_FOR.get(id(spark)) and spark.catalog.tableExists("events"):
             from ..session import tune_session
 
             tune_session(spark)

@@ -22,6 +22,16 @@ from rugpull_data_pipeline_spark.plans import registry
 @pytest.fixture
 def hand_views(spark):
     yield spark
+    # Drop the hand-data temp views, not just the registry's view cache:
+    # stream_infra._events_table is view-first since round 7, so a stale
+    # hand `events` view would otherwise leak 3-row fixtures into any
+    # later test that calls a raw builder directly (observed as an
+    # order-dependent failure in test_streaming_windows).
+    for v in ("events", "documents"):
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001
+            pass
     registry._VIEWS_FOR.pop(id(spark), None)
 
 

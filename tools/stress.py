@@ -37,7 +37,16 @@ _REPLICATED = {
     "events": "event_id",
     "embeddings": "vec_id",
     "customer": "c_custkey",
+    # l_orderkey offset per replica keeps (l_orderkey, l_linenumber) unique;
+    # suppkey/partkey domains untouched, so flagship aggregation state stays
+    # key-bounded while the scanned fact grows linearly (round 7, added to
+    # stress the composed streaming flagship).
+    "lineitem": "l_orderkey",
 }
+# Bump when _REPLICATED changes: the stress dir is content-keyed by name
+# and a stale _DONE marker would silently reuse a copy missing the newly
+# replicated table.
+_LAYOUT_V = 2
 _ALL_TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -47,7 +56,9 @@ _ALL_TABLES = (
 def build_stress_dir(sf_dir: str, factor: int) -> str:
     """Materialize the replicated copy (content-keyed, reused across runs)."""
     key = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), f"rugpull_stress_{key}_x{factor}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"rugpull_stress_{key}_x{factor}_v{_LAYOUT_V}"
+    )
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
