@@ -72,16 +72,19 @@ def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-sourced`; this removes the artifact class entirely). Falls back
     to the parquet loader for direct callers that never registered views.
 
-    View-first is gated on the registry's view cache, NOT on bare
-    `tableExists`: the test suite's convention is to register hand-data
-    temp views per test and tear down only the cache (`_VIEWS_FOR.pop`),
-    leaving the view dangling — keying on the catalog alone let 3-row
-    fixtures leak into later raw-builder tests (order-dependent failure
-    in test_streaming_windows, round 7)."""
+    View-first requires the registry's view cache to say the registered
+    views point at THIS sf_dir — not bare `tableExists`, and not a cache
+    hit for some other directory: tests register hand-data temp views
+    (tearing down only the cache) and also call raw builders against
+    private tmp dirs while the session still holds real views for the
+    fixture dir; either stale source leaked into later tests when the
+    gate was looser (order-dependent failures in test_streaming_windows,
+    round 7). The wrapper and sweep paths always set the cache to the
+    sf_dir they pass, so they keep the view-first behavior."""
     try:
         from .registry import _VIEWS_FOR
 
-        if _VIEWS_FOR.get(id(spark)) and spark.catalog.tableExists("events"):
+        if _VIEWS_FOR.get(id(spark)) == sf_dir and spark.catalog.tableExists("events"):
             from ..session import tune_session
 
             tune_session(spark)
