@@ -98,10 +98,18 @@ def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     return _events_table(spark, sf_dir).select(*cols)
 
 
-def _write_slices(df: DataFrame, path: str, n: int, slice_col: str = "event_id") -> None:
+def _write_slices(
+    df: DataFrame,
+    path: str,
+    n: int,
+    slice_col: str = "event_id",
+    indices: "range | None" = None,
+) -> None:
     """Write ``df`` as exactly ``n`` parquet files (one sequential append per
-    slice) so ``maxFilesPerTrigger=1`` paces the replay into ``n`` batches."""
-    for i in range(n):
+    slice) so ``maxFilesPerTrigger=1`` paces the replay into ``n`` batches.
+    ``indices`` restricts to a subset of the n slices, letting a caller
+    stage arrivals across stream restarts (file-stream landing semantics)."""
+    for i in indices if indices is not None else range(n):
         (
             df.where(F.col(slice_col) % n == i)
             .coalesce(1)
@@ -1606,12 +1614,21 @@ def stream_flagship_e2e_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flagship_e2e(spark, sf_dir, n_slices=4)
 
 
-def _flagship_e2e(spark: SparkSession, sf_dir: str, n_slices: int) -> DataFrame:
-    """Core of stream_flagship_e2e_replay, parameterized on the landing-zone
-    slice count so tests can prove batch-boundary independence: ANY
-    n_slices must converge to the identical sink state (the update-mode
-    aggregates are cumulative and the LWW merge keys on the
-    strictly-increasing n_moves)."""
+def _flagship_e2e(
+    spark: SparkSession, sf_dir: str, n_slices: int, restart_after: int | None = None
+) -> DataFrame:
+    """Core of stream_flagship_e2e_replay, parameterized so tests can prove
+    two composition-level guarantees:
+
+    - batch-boundary independence (``n_slices``): ANY slicing must converge
+      to the identical sink state — the update-mode aggregates are
+      cumulative and the LWW merge keys on the strictly-increasing n_moves;
+    - checkpointed recovery (``restart_after=k``, ST6 composed): only the
+      first k slices land, the stream runs to completion and STOPS; the
+      remaining slices land and a SECOND stream starts from the SAME
+      checkpoint — it must restore the keyed aggregation state and process
+      only the new files (any replay double-counts n_moves, any loss drops
+      it), converging to the same answer as the uninterrupted run."""
     from ..sources.io import upsert_dimension
 
     lineitem = spark.table("lineitem").select(
@@ -1619,8 +1636,11 @@ def _flagship_e2e(spark: SparkSession, sf_dir: str, n_slices: int) -> DataFrame:
         "l_quantity", "l_shipdate",
     )
     src_dir = scratch_dir(prefix="rugpull_flag_src_")
-    _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey")
+    first = n_slices if restart_after is None else restart_after
+    _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey",
+                  indices=range(first))
     dim_dir = os.path.join(scratch_dir(prefix="rugpull_flag_out_"), "report")
+    ckpt_dir = scratch_dir(prefix="rugpull_flag_ckpt_")
 
     # Watchlist: ASIA suppliers (the hot-address file, file_utils.cpp:3-36).
     watch = (
@@ -1642,24 +1662,33 @@ def _flagship_e2e(spark: SparkSession, sf_dir: str, n_slices: int) -> DataFrame:
         .localCheckpoint()
     )
 
-    stream = (
-        spark.readStream.schema(lineitem.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    # J1 inside the stream: stream-static broadcast semi-join, then the A1
-    # conditional aggregation as UPDATE-mode keyed state.
-    hot = stream.join(
-        F.broadcast(watch.select("s_suppkey")),
-        stream["l_suppkey"] == F.col("s_suppkey"),
-        "left_semi",
-    )
-    agg = hot.groupBy("l_suppkey", "l_partkey").agg(
-        F.expr(S.dsum("case when l_returnflag = 'R' then l_quantity end")).alias("pre_qty"),
-        F.expr(S.dsum("case when l_returnflag <> 'R' then l_quantity end")).alias("post_qty"),
-        F.count(F.lit(1)).alias("n_moves"),
-        F.max("l_shipdate").alias("last_ship_ts"),
-    )
+    def run_stream() -> None:
+        # Rebuilt per run: a restart constructs a FRESH query against the
+        # same checkpoint, exactly how a recovered production job does.
+        stream = (
+            spark.readStream.schema(lineitem.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        # J1 inside the stream: stream-static broadcast semi-join, then the
+        # A1 conditional aggregation as UPDATE-mode keyed state.
+        hot = stream.join(
+            F.broadcast(watch.select("s_suppkey")),
+            stream["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        agg = hot.groupBy("l_suppkey", "l_partkey").agg(
+            F.expr(S.dsum("case when l_returnflag = 'R' then l_quantity end")).alias("pre_qty"),
+            F.expr(S.dsum("case when l_returnflag <> 'R' then l_quantity end")).alias("post_qty"),
+            F.count(F.lit(1)).alias("n_moves"),
+            F.max("l_shipdate").alias("last_ship_ts"),
+        )
+        with _state_partitions(spark, 8):
+            _run_available_now(
+                agg.writeStream.outputMode("update")
+                .foreachBatch(apply)
+                .option("checkpointLocation", ckpt_dir)
+            )
 
     def apply(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
@@ -1685,12 +1714,13 @@ def _flagship_e2e(spark: SparkSession, sf_dir: str, n_slices: int) -> DataFrame:
             sp, enriched, dim_dir, ["suppkey", "partkey"], order_by=["n_moves"]
         )
 
-    with _state_partitions(spark, 8):
-        _run_available_now(
-            agg.writeStream.outputMode("update")
-            .foreachBatch(apply)
-            .option("checkpointLocation", scratch_dir(prefix="rugpull_flag_ckpt_"))
-        )
+    run_stream()
+    if restart_after is not None:
+        # The rest of the corpus lands while the job is DOWN; the restart
+        # must resume from checkpointed state, not from scratch.
+        _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey",
+                      indices=range(first, n_slices))
+        run_stream()
     return spark.read.parquet(dim_dir).select(
         "suppkey", "partkey", "supplier_name", "pre_qty", "post_qty",
         "n_moves", "last_ship_day", "usd_price",

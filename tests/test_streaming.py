@@ -794,3 +794,23 @@ def test_flagship_e2e_batch_boundary_independence(spark, sf_dir):
             tuple(r) for r in _flagship_e2e(spark, sf_dir, n_slices).collect()
         )
         assert got == batch_rows, f"n_slices={n_slices} diverged from batch"
+
+
+def test_flagship_e2e_checkpoint_recovery(spark, sf_dir):
+    """ST6 composed INTO the flagship stream: only 2 of 4 slices land, the
+    job runs to completion and stops; the other 2 slices land while it is
+    down; a fresh query restarts from the SAME checkpoint. It must restore
+    the keyed update-mode aggregation state and process ONLY the new files
+    — a replay would double-count n_moves/quantities, a loss would drop
+    them — and the final sink must equal the uninterrupted batch answer."""
+    from rugpull_data_pipeline_spark.plans.registry import get
+    from rugpull_data_pipeline_spark.plans.stream_infra import _flagship_e2e
+
+    batch_rows = sorted(
+        tuple(r) for r in get("flagship_balance_report").builder(spark, sf_dir).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in _flagship_e2e(spark, sf_dir, n_slices=4, restart_after=2).collect()
+    )
+    assert got == batch_rows
