@@ -31,6 +31,8 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --zero-vectors   # embeddings all-zero
     python tools/empty_sweep.py --empty-text     # documents.text all ''
     python tools/empty_sweep.py --single-row     # min-key row per table
+    python tools/empty_sweep.py --hot-key        # all events on ONE user
+    python tools/empty_sweep.py --single-type    # all events one type
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -84,6 +86,22 @@ def main() -> int:
         "arm ANSI divides: AUC, threshold sweep, Brier skill, ridge R2, "
         "KS, Simpson rates, 1-centroid kmeans least())",
     )
+    ap.add_argument(
+        "--hot-key",
+        action="store_true",
+        help="instead of empty tables: real tables but every event on ONE "
+        "user_id (the maximal-skew surface: a single giant per-user "
+        "window partition, one group in user-keyed aggs, one graph node "
+        "fan-in; durable form of the round-6 hot-key probes)",
+    )
+    ap.add_argument(
+        "--single-type",
+        action="store_true",
+        help="instead of empty tables: real tables but every event_type "
+        "'click' (single-category surface: no transition diversity for "
+        "Markov/graph edges, one stratum for samplers, one class for "
+        "evals; durable form of the round-6 single-type probes)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -100,7 +118,27 @@ def main() -> int:
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
     con = duckdb.connect()
-    if args.null_values:
+    if args.hot_key or args.single_type:
+        col, lit_spark, lit_duck = (
+            ("user_id", F.lit(1).cast("long"), "cast(1 as bigint) AS user_id")
+            if args.hot_key
+            else ("event_type", F.lit("click"), "'click' AS event_type")
+        )
+        spark.table("events").withColumn(col, lit_spark).createOrReplaceTempView(
+            "events"
+        )
+        for t in TABLES:
+            if t == "events":
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE ({lit_duck})"
+                    f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.null_values:
         spark.table("events").withColumn(
             "value", F.lit(None).cast("double")
         ).createOrReplaceTempView("events")
