@@ -355,15 +355,16 @@ _PRICE_CHANGE_ORACLE = """
 WITH RECURSIVE prices AS (
     SELECT 'pair-' || cast(user_id % 5 as varchar) AS pair,
         ts,
+        event_id,
         value + 1.0 AS base_price,
         value / 1.5 + 1.0 AS quote_price
     FROM events
 ),
 arr AS MATERIALIZED (
     SELECT pair,
-        list(base_price ORDER BY ts) AS bs,
-        list(quote_price ORDER BY ts) AS qs,
-        list(ts ORDER BY ts) AS tss,
+        list(base_price ORDER BY ts, event_id) AS bs,
+        list(quote_price ORDER BY ts, event_id) AS qs,
+        list(ts ORDER BY ts, event_id) AS tss,
         count(*) AS n
     FROM prices GROUP BY pair
 ),
@@ -417,6 +418,10 @@ def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = ev.select(
         F.concat(F.lit("pair-"), (F.col("user_id") % 5).cast("string")).alias("pair"),
         "ts",
+        # event_id rides along purely as the fold's duplicate-timestamp
+        # tiebreaker (streaming/pipelines._fold_keys) — the oracle walks
+        # ORDER BY ts, event_id.
+        "event_id",
         (F.col("value") + F.lit(1.0)).alias("base_price"),
         (F.col("value") / F.lit(1.5) + F.lit(1.0)).alias("quote_price"),
     )

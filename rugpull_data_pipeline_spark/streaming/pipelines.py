@@ -95,6 +95,16 @@ _PRICE_STATE = T.StructType(
 )
 
 
+def _fold_keys(pdf: pd.DataFrame) -> list:
+    """Deterministic fold order for the price-change kernels: event time,
+    tiebroken by event_id when the caller carries one. Duplicate timestamps
+    are GUARANTEED in a 100 TB corpus (and engineered by the sweep's
+    --constant-time mode) — sorting on ts alone left the emission chain
+    arrival-order dependent and divergent from the oracle's
+    `ORDER BY ts, event_id` walk."""
+    return ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+
+
 def _make_price_change_fn(ttl_ms: int | None):
     """Build the stateful kernel with the TTL captured in the closure
     (cloudpickle ships closures by value, so the executor-side function sees
@@ -124,7 +134,7 @@ def _make_price_change_fn(ttl_ms: int | None):
             pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         )
         if len(merged):
-            for r in merged.sort_values("ts").itertuples():
+            for r in merged.sort_values(_fold_keys(merged)).itertuples():
                 base, quote = float(r.base_price), float(r.quote_price)
                 if last_base is None:
                     emit, bc, qc = True, None, None
@@ -337,7 +347,7 @@ def price_change_events_tws(
                 else pd.DataFrame()
             )
             if len(merged):
-                for r in merged.sort_values("ts").itertuples():
+                for r in merged.sort_values(_fold_keys(merged)).itertuples():
                     base, quote = float(r.base_price), float(r.quote_price)
                     if last_base is None:
                         emit, bc, qc = True, None, None

@@ -33,6 +33,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --single-row     # min-key row per table
     python tools/empty_sweep.py --hot-key        # all events on ONE user
     python tools/empty_sweep.py --single-type    # all events one type
+    python tools/empty_sweep.py --constant-time  # all events.ts identical
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -102,6 +103,14 @@ def main() -> int:
         "Markov/graph edges, one stratum for samplers, one class for "
         "evals; durable form of the round-6 single-type probes)",
     )
+    ap.add_argument(
+        "--constant-time",
+        action="store_true",
+        help="instead of empty tables: real tables but every events.ts the "
+        "SAME instant (zero time spread: every daily/hourly grid collapses "
+        "to one bucket, interarrival gaps are 0, window spans are a point "
+        "— the constant-TIME complement of the constant-value surfaces)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -118,12 +127,21 @@ def main() -> int:
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
     con = duckdb.connect()
-    if args.hot_key or args.single_type:
-        col, lit_spark, lit_duck = (
-            ("user_id", F.lit(1).cast("long"), "cast(1 as bigint) AS user_id")
-            if args.hot_key
-            else ("event_type", F.lit("click"), "'click' AS event_type")
-        )
+    if args.hot_key or args.single_type or args.constant_time:
+        if args.hot_key:
+            col, lit_spark, lit_duck = (
+                "user_id", F.lit(1).cast("long"), "cast(1 as bigint) AS user_id"
+            )
+        elif args.single_type:
+            col, lit_spark, lit_duck = (
+                "event_type", F.lit("click"), "'click' AS event_type"
+            )
+        else:
+            col, lit_spark, lit_duck = (
+                "ts",
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                "TIMESTAMP '2024-01-01 00:00:00' AS ts",
+            )
         spark.table("events").withColumn(col, lit_spark).createOrReplaceTempView(
             "events"
         )
