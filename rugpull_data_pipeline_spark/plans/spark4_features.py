@@ -369,8 +369,12 @@ WITH RECURSIVE grid AS (
 ),
 tot AS (SELECT cast(sum(c) as bigint) AS n_total FROM grid),
 walk(thr, n_above, n_iters) AS (
+    -- coalesce matches the builder's SET n_above: when NOTHING sits at or
+    -- above 1 cent (e.g. an all-negative value column) the count is 0 and
+    -- the walk terminates at thr=1 — a bare sum() is NULL and poisons both
+    -- the termination filter and the recursion (negative-values sweep, r7)
     SELECT cast(1 as bigint),
-        (SELECT cast(sum(c) as bigint) FROM grid WHERE s >= 1),
+        (SELECT coalesce(cast(sum(c) as bigint), 0) FROM grid WHERE s >= 1),
         cast(0 as int)
     UNION ALL
     SELECT w.thr * 2,

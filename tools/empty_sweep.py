@@ -34,6 +34,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --hot-key        # all events on ONE user
     python tools/empty_sweep.py --single-type    # all events one type
     python tools/empty_sweep.py --constant-time  # all events.ts identical
+    python tools/empty_sweep.py --negative-values # events.value all < 0
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -111,6 +112,15 @@ def main() -> int:
         "to one bucket, interarrival gaps are 0, window spans are a point "
         "— the constant-TIME complement of the constant-value surfaces)",
     )
+    ap.add_argument(
+        "--negative-values",
+        action="store_true",
+        help="instead of empty tables: real tables but every events.value "
+        "strictly negative (-abs(value)-1): drives every signed-division, "
+        "sqrt-of-sum and ln(value) path corpus-wide — DuckDB THROWS on "
+        "sqrt/ln of negatives where Spark yields NaN/NULL, the r6 "
+        "divergence matrix's other half)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -127,7 +137,8 @@ def main() -> int:
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
     con = duckdb.connect()
-    if args.hot_key or args.single_type or args.constant_time:
+    if (args.hot_key or args.single_type or args.constant_time
+            or args.negative_values):
         if args.hot_key:
             col, lit_spark, lit_duck = (
                 "user_id", F.lit(1).cast("long"), "cast(1 as bigint) AS user_id"
@@ -135,6 +146,12 @@ def main() -> int:
         elif args.single_type:
             col, lit_spark, lit_duck = (
                 "event_type", F.lit("click"), "'click' AS event_type"
+            )
+        elif args.negative_values:
+            col, lit_spark, lit_duck = (
+                "value",
+                -F.abs(F.col("value")) - F.lit(1.0),
+                "-abs(value) - 1.0 AS value",
             )
         else:
             col, lit_spark, lit_duck = (
