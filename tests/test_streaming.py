@@ -814,3 +814,46 @@ def test_flagship_e2e_checkpoint_recovery(spark, sf_dir):
         for r in _flagship_e2e(spark, sf_dir, n_slices=4, restart_after=2).collect()
     )
     assert got == batch_rows
+
+
+def test_price_change_fold_deterministic_under_tied_timestamps(spark, tmp_path):
+    """Duplicate event times are guaranteed in a large corpus (and in any
+    backfill stamped with one ingest time). The fold must tiebreak on
+    event_id, not arrival order: four same-ts prices whose emission chain
+    DIFFERS depending on visit order must produce the event_id-ordered
+    chain on every run. event_id order: 100 -> emit; 89 (-11%) -> emit;
+    101 (+13.5%) -> emit; 100 (-1%) -> suppressed. Any other visit order
+    yields a different emitted set (e.g. 100,101,89,100 emits 89 twice)."""
+    import pyspark.sql.functions as F
+
+    from rugpull_data_pipeline_spark.streaming.pipelines import price_change_events
+
+    src = str(tmp_path / "prices_tied")
+    rows = [
+        ("P1", 1, 100.0), ("P1", 2, 89.0), ("P1", 3, 101.0), ("P1", 4, 100.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "pair string, event_id long, base_price double")
+        .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("quote_price", F.lit(1.0))
+        .select("pair", "ts", "event_id", "base_price", "quote_price")
+    )
+    df.coalesce(1).write.parquet(src)
+
+    for attempt in range(2):  # twice: same answer run-to-run, not just once
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = price_change_events(stream)
+        name = f"tied_out_{attempt}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        emitted = [
+            r.base_price
+            for r in spark.sql(
+                f"select * from {name} order by base_price"
+            ).collect()
+        ]
+        assert emitted == [89.0, 100.0, 101.0], emitted
