@@ -119,50 +119,54 @@ def test_driver_window_rotation():
 
 
 def test_driver_window_rotation_survives_fresh_grade():
-    """Simulate the exact event that reddened rounds 5 and 6: the driver
-    grades the CURRENT window and drops a fresh all-green CORRECTNESS
-    file. The wasted-slot predicate must stay empty both before and after
-    that artifact lands — and must fire if the same window were graded a
-    SECOND time without rotation."""
-    import glob as _glob
-    import json as _json
-    import os as _os
+    """Simulate the exact event that reddened rounds 5 and 6 (and, via this
+    very test, round 7): the driver grades the current window and drops a
+    fresh all-green CORRECTNESS file. The wasted-slot predicate must stay
+    empty both before and after that artifact lands — and must fire if the
+    same window were graded a SECOND time without rotation.
 
-    names = list(registry.all_queries())
-    window = set(names[:50])
-    reproof = set(registry.REPROOF)
-
-    base = _os.path.join(_os.path.dirname(__file__), "..")
-    files = {}
-    for path in sorted(_glob.glob(_os.path.join(base, "CORRECTNESS_r*.json"))):
-        with open(path) as fh:
-            files[_os.path.basename(path)] = _json.load(fh)
-    latest = max(
-        int(f.split("_r")[1].split(".")[0]) for f in files
-    ) if files else 0
-
+    The simulation runs on PURELY SYNTHETIC fixtures with its own round
+    numbering — it never reads the live CORRECTNESS_r*.json artifacts.
+    Rounds 5–7 each reddened because some variant of this scenario derived
+    its "pre-grade" baseline from the on-disk files, so the moment the real
+    driver artifact landed the simulated next grade silently became a
+    second grade of an unrotated window (VERDICT r7 §What's wrong #1). The
+    predicate's behavior is a pure function of (window, greens, reproof);
+    synthetic fixtures exercise it completely, and the LIVE on-disk state
+    is asserted separately by test_driver_window_rotation, which by design
+    stays green across exactly one grade of the committed window."""
+    window = {f"q{i:02d}" for i in range(50)}
+    reproof = {f"q{i:02d}" for i in range(10)}  # deliberate re-proof slots
     green_row = {"rows_match": True, "schema_match": True, "hash_match": True,
                  "spark_rows": 1, "oracle_rows": 1, "err": None}
-    fresh = {n: dict(green_row) for n in window}
+    # Round 1 graded the re-proof slots (that is what makes them re-proofs:
+    # a prior green row); the other 40 slots are backlog, never graded.
+    files = {
+        "CORRECTNESS_r01.json": {n: dict(green_row) for n in reproof},
+    }
 
-    # Pre-grade: legal.
+    # Pre-grade: legal (backlog never green; re-proofs green only at the
+    # latest recorded round).
     assert not _wasted_window_slots(window, _green_rounds(files), reproof)
-    # Post-grade (CORRECTNESS_r{latest+1} lands, window untouched): legal.
+    # The driver grades the whole window (CORRECTNESS_r02 lands, window
+    # untouched): still legal — every slot is green AT the latest round.
     files_after = dict(files)
-    files_after[f"CORRECTNESS_r{latest + 1:02d}.json"] = fresh
+    files_after["CORRECTNESS_r02.json"] = {n: dict(green_row) for n in window}
     assert not _wasted_window_slots(window, _green_rounds(files_after), reproof), (
         "rotation gate would redden the moment the driver grades this window"
     )
     # Two grades without rotation: the gate MUST fire (backlog slots are
     # now green before the latest round and are not re-proofs).
     files_twice = dict(files_after)
-    files_twice[f"CORRECTNESS_r{latest + 2:02d}.json"] = {
-        n: dict(green_row) for n in window
-    }
+    files_twice["CORRECTNESS_r03.json"] = {n: dict(green_row) for n in window}
     stale = _wasted_window_slots(window, _green_rounds(files_twice), reproof)
     assert stale == window - reproof, (
         "gate failed to flag an unrotated window after a second grade"
     )
+    # A rotated round-3 window (fresh backlog + the same re-proof slots)
+    # must be legal again even though the old window went stale.
+    window3 = {f"r{i:02d}" for i in range(40)} | reproof
+    assert not _wasted_window_slots(window3, _green_rounds(files_twice), reproof)
 
 
 def test_every_oracle_runs_standalone_in_duckdb(sf_dir):
