@@ -81,17 +81,29 @@ def _events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate was looser (order-dependent failures in test_streaming_windows,
     round 7). The wrapper and sweep paths always set the cache to the
     sf_dir they pass, so they keep the view-first behavior."""
+    return _static_table(spark, sf_dir, "events")
+
+
+def _static_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The ``_events_table`` view-first contract generalized to any fixture
+    table the composed streaming jobs read (lineitem/supplier/part/...):
+    the registered temp view is used ONLY when the registry's view cache
+    says the session's views point at THIS sf_dir; otherwise load the
+    table straight from the requested directory. Keeps direct callers
+    whose session holds views for a different directory from silently
+    computing against the wrong fixture (round-7 ADVICE on
+    _flagship_e2e's unconditional spark.table reads)."""
     try:
         from .registry import _VIEWS_FOR
 
-        if _VIEWS_FOR.get(id(spark)) == sf_dir and spark.catalog.tableExists("events"):
+        if _VIEWS_FOR.get(id(spark)) == sf_dir and spark.catalog.tableExists(name):
             from ..session import tune_session
 
             tune_session(spark)
-            return spark.table("events")
+            return spark.table(name)
     except Exception:  # noqa: BLE001 - catalog probe must never mask the load
         pass
-    return load_tables(spark, sf_dir, ("events",))["events"]
+    return load_tables(spark, sf_dir, (name,))[name]
 
 
 def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
@@ -1631,7 +1643,7 @@ def _flagship_e2e(
       it), converging to the same answer as the uninterrupted run."""
     from ..sources.io import upsert_dimension
 
-    lineitem = spark.table("lineitem").select(
+    lineitem = _static_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey", "l_returnflag",
         "l_quantity", "l_shipdate",
     )
@@ -1644,13 +1656,15 @@ def _flagship_e2e(
 
     # Watchlist: ASIA suppliers (the hot-address file, file_utils.cpp:3-36).
     watch = (
-        spark.table("supplier")
+        _static_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
-                spark.table("nation")
+                _static_table(spark, sf_dir, "nation")
                 .join(
                     F.broadcast(
-                        spark.table("region").where(F.col("r_name") == "ASIA")
+                        _static_table(spark, sf_dir, "region").where(
+                            F.col("r_name") == "ASIA"
+                        )
                     ),
                     F.col("n_regionkey") == F.col("r_regionkey"),
                 )
@@ -1696,7 +1710,11 @@ def _flagship_e2e(
         # per request); enrichment rides the updated keys only.
         enriched = (
             batch.join(
-                F.broadcast(sp.table("part").select("p_partkey", "p_retailprice")),
+                F.broadcast(
+                    _static_table(sp, sf_dir, "part").select(
+                        "p_partkey", "p_retailprice"
+                    )
+                ),
                 batch["l_partkey"] == F.col("p_partkey"),
                 "left",
             )
