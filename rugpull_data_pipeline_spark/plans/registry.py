@@ -227,5 +227,6 @@ def _load_plan_modules() -> None:
     from . import traindata_ops  # noqa: F401
     from . import stats_eval  # noqa: F401
     from . import feature_ops  # noqa: F401
+    from . import mining_ops  # noqa: F401
 
     _LOADED = True
