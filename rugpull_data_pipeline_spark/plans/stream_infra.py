@@ -1755,4 +1755,483 @@ def _set_flagship_stream_oracle() -> None:
 
 from .registry import _REGISTRY  # noqa: E402
 
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming compositions of §3.2 (pool detection), §3.3 (price
+# maintenance), the ST7 fan-out of both pipelines off ONE landing zone, and
+# the §3.2→§3.1 watchlist feedback loop — the reference's full runtime
+# topology (round-7 verdict items 3 and 4).
+# ---------------------------------------------------------------------------
+
+
+def _tx_stream(spark: SparkSession, src_glob: str) -> DataFrame:
+    """Streaming per-transaction rows from a block-JSON landing zone: the
+    in-stream twin of domain._read_blocks + the P3/P4/P5 projections —
+    schema-pruned from_json, transaction explode, continuous key indexing
+    (accountKeys ‖ readonly ‖ writable), log join. Shared by the composed
+    §3.2 / fan-out / feedback jobs."""
+    from ..operators.balance import parse_blocks
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src_glob)
+    )
+    blocks = parse_blocks(raw, "value")
+    return blocks.select(
+        F.col("blockTime").alias("block_time"),
+        F.explode("transactions").alias("t"),
+    ).select(
+        F.col("t.transaction.signatures")[0].alias("signature"),
+        F.col("block_time"),
+        F.concat(
+            F.coalesce(F.col("t.transaction.message.accountKeys"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.readonly"), F.array()),
+            F.coalesce(F.col("t.meta.loadedAddresses.writable"), F.array()),
+        ).alias("all_keys"),
+        F.array_join(F.col("t.meta.logMessages"), " ").alias("logs"),
+    )
+
+
+def _pool_rows(tx: DataFrame, min_bt: int, hot_arr) -> DataFrame:
+    """P8 instruction-log regex + P9 recency + key-stat projection — the
+    pool-detection predicate chain (SERVER/combined_subscriber.py:120-147,
+    62-65) applied INSIDE the stream."""
+    return tx.where(
+        F.col("logs").rlike(r"Instruction: initialize2\b")
+        & (F.col("block_time") >= F.lit(min_bt))
+    ).select(
+        "signature",
+        F.col("block_time").cast("long").alias("ts_epoch"),
+        F.size("all_keys").cast("long").alias("n_keys"),
+        F.size(F.array_intersect(F.col("all_keys"), hot_arr))
+        .cast("long")
+        .alias("n_hot_keys"),
+    )
+
+
+def _pool_e2e_oracle() -> str:
+    from .domain import _N_BLOCKS, _duck_tx_cte, _hot_literal
+
+    min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
+    return f"""
+    WITH {_duck_tx_cte()}
+    SELECT signature,
+        cast(block_time as bigint) AS ts_epoch,
+        len(all_keys) AS n_keys,
+        len(list_intersect(all_keys, {_hot_literal(DUCK)})) AS n_hot_keys,
+        cast(cast(('0x' || substring(md5(signature), 1, 15)) as bigint)
+            % 10000 as double) / 100.0 AS pool_price
+    FROM keyed
+    WHERE regexp_matches(logs, 'Instruction: initialize2\\b')
+      AND block_time >= {min_bt}
+    ORDER BY signature
+    """
+
+
+@register(
+    "stream_pool_detect_e2e",
+    oracle=_pool_e2e_oracle(),
+    tags=("streaming", "e2e", "domain"),
+    doc="The reference's WHOLE §3.2 pool-detection chain as ONE "
+    "checkpointed streaming job: paced block-JSON replay "
+    "(maxFilesPerTrigger=1, the subscriber poll cadence) -> in-stream P8 "
+    "initialize2 log filter + P9 recency predicate "
+    "(SERVER/combined_subscriber.py:120-147,62-65) -> S8 batched "
+    "external lookup inside foreachBatch (mapInPandas, deterministic "
+    "md5-derived price the oracle recomputes in SQL, :46-118) -> S9 "
+    "keyed last-writer-wins upsert into the pools dimension (:86-98). "
+    "Graded by the batch solana_pool_detection oracle extended with the "
+    "lookup column — batch/stream unification on the §3.2 path. The "
+    "signature-keyed upsert is batch-boundary independent; at 100 TB "
+    "the landing zone is the object-store prefix and the dim is the "
+    "lakehouse MERGE target.",
+)
+def stream_pool_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import lookup_enrich
+    from ..sources.io import upsert_dimension
+    from .domain import _N_BLOCKS, _ensure_blocks, _hot_literal
+
+    path = _ensure_blocks()
+    min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
+    pools = _pool_rows(
+        _tx_stream(spark, f"{path}/blocks_*.json"), min_bt, F.expr(_hot_literal(SPARK))
+    )
+    dim_dir = os.path.join(scratch_dir(prefix="rugpull_poold_out_"), "pools")
+    ckpt = scratch_dir(prefix="rugpull_poold_ckpt_")
+
+    def apply(batch: DataFrame, _bid: int) -> None:
+        def fetch(keys: list[str]) -> dict[str, dict]:
+            return {k: {"pool_price": _fake_pool_price(k)} for k in keys}
+
+        enriched = lookup_enrich(
+            batch, "signature", fetch, "pool_price double", batch_size=16
+        )
+        upsert_dimension(
+            batch.sparkSession, enriched, dim_dir, ["signature"],
+            order_by=["ts_epoch"],
+        )
+
+    _run_available_now(
+        pools.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+    )
+    return spark.read.parquet(dim_dir).select(
+        "signature", "ts_epoch", "n_keys", "n_hot_keys", "pool_price"
+    ).orderBy("signature")
+
+
+def _price_maint_oracle() -> str:
+    from .domain import _PRICE_CHANGE_ORACLE
+
+    return f"""
+    WITH em AS (SELECT * FROM ({_PRICE_CHANGE_ORACLE}) t),
+    last AS (
+        SELECT pair, ts_epoch, base_price, quote_price,
+            row_number() OVER (PARTITION BY pair
+                ORDER BY ts_epoch DESC, base_price DESC, quote_price DESC) AS rn
+        FROM em
+    )
+    SELECT 'vault-' || substring(md5(pair), 1, 8) AS vault,
+        pair, ts_epoch, base_price, quote_price
+    FROM last WHERE rn = 1 ORDER BY pair
+    """
+
+
+@register(
+    "stream_price_maint_e2e",
+    oracle=_price_maint_oracle(),
+    tags=("streaming", "e2e", "stateful"),
+    doc="The reference's WHOLE §3.3 price-maintenance chain as ONE "
+    "checkpointed streaming job: a time-sliced paced price replay (S7, "
+    "SERVER/priceAPIfiller.py:25-98) -> P11 10%%-vs-last-EMITTED "
+    "threshold fold as keyed state (applyInPandasWithState, "
+    "ingest_prices.py:42-55) -> J4 pair->vault broadcast equi-join "
+    "(redis_map_editor.py:51-72, deterministic md5-derived dim) -> A4 "
+    "last-value-per-key LWW upsert into the price dimension (the Redis "
+    "HSET, priceAPIfiller.py:77-82). Slices are contiguous TIME ranges "
+    "paced one file per trigger, so the cross-batch fold order equals "
+    "the oracle's global (ts, event_id) walk; the LWW merge orders by "
+    "the full (ts, base, quote) tuple, making tied-timestamp emissions "
+    "batch-boundary safe. Graded by the recursive-CTE fold walk + "
+    "arg-max-per-key oracle — batch/stream unification on the §3.3 path.",
+)
+def stream_price_maint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import upsert_dimension
+    from ..streaming.pipelines import price_change_events
+
+    ev = _events_table(spark, sf_dir)
+    prices = ev.select(
+        F.concat(F.lit("pair-"), (F.col("user_id") % 5).cast("string")).alias("pair"),
+        "ts",
+        "event_id",
+        (F.col("value") + F.lit(1.0)).alias("base_price"),
+        (F.col("value") / F.lit(1.5) + F.lit(1.0)).alias("quote_price"),
+    )
+    # Land the replay as 4 CONTIGUOUS TIME slices (the priceAPIfiller's
+    # chronological poll order): the stateful fold's cross-batch order
+    # must equal event-time order for the oracle's global walk to grade it.
+    src_dir = scratch_dir(prefix="rugpull_pmaint_src_")
+    bounds = prices.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).first()
+    lo, hi = (bounds["lo"] or 0), (bounds["hi"] or 0)
+    n_slices = 4
+    step = max(1, (hi - lo) // n_slices + 1)
+    slice_col = F.least(
+        F.lit(n_slices - 1), ((F.unix_timestamp("ts") - F.lit(lo)) / F.lit(step))
+        .cast("long"),
+    )
+    staged = prices.withColumn("slice", slice_col)
+    for i in range(n_slices):
+        (
+            staged.where(F.col("slice") == i)
+            .drop("slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+    stream = (
+        spark.readStream.schema(prices.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    emitted = price_change_events(stream)
+    vault_dim = (
+        prices.select("pair")
+        .distinct()
+        .select(
+            "pair",
+            F.concat(F.lit("vault-"), F.substring(F.md5("pair"), 1, 8)).alias("vault"),
+        )
+        .localCheckpoint()
+    )
+    dim_dir = os.path.join(scratch_dir(prefix="rugpull_pmaint_out_"), "prices")
+    ckpt = scratch_dir(prefix="rugpull_pmaint_ckpt_")
+
+    def apply(batch: DataFrame, _bid: int) -> None:
+        rows = (
+            batch.join(F.broadcast(vault_dim), "pair")
+            .select(
+                "vault", "pair",
+                F.unix_timestamp("ts").alias("ts_epoch"),
+                "base_price", "quote_price",
+            )
+        )
+        upsert_dimension(
+            batch.sparkSession, rows, dim_dir, ["vault"],
+            order_by=["ts_epoch", "base_price", "quote_price"],
+        )
+
+    with _state_partitions(spark, 8):
+        _run_available_now(
+            emitted.writeStream.outputMode("append")
+            .foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+        )
+    if not os.path.isdir(dim_dir):
+        return spark.createDataFrame(
+            [], "vault string, pair string, ts_epoch bigint, "
+            "base_price double, quote_price double",
+        )
+    return spark.read.parquet(dim_dir).select(
+        "vault", "pair", "ts_epoch", "base_price", "quote_price"
+    ).orderBy("pair")
+
+
+def _fanout_oracle() -> str:
+    from .domain import _balance_oracle
+
+    return f"""
+    WITH bal AS (SELECT * FROM ({_balance_oracle()}) t),
+    pool AS (SELECT * FROM ({_pool_e2e_oracle()}) t)
+    SELECT 'balance' AS sink, signature,
+        wallet || '|' || mint AS subkey, post_balance AS val, ts_epoch
+    FROM bal
+    UNION ALL
+    SELECT 'pool' AS sink, signature, '' AS subkey,
+        cast(n_keys as varchar) || '/' || cast(n_hot_keys as varchar) AS val,
+        ts_epoch
+    FROM pool
+    ORDER BY sink, signature, subkey
+    """
+
+
+@register(
+    "stream_fanout_composed",
+    oracle=_fanout_oracle(),
+    tags=("streaming", "e2e", "fanout"),
+    doc="ST7 fan-out of the TWO composed pipelines off ONE landing zone "
+    "(SERVER/combined_subscriber.py:200-227: each fetched block feeds "
+    "BOTH the §3.1 balance extraction and the §3.2 pool detector): two "
+    "concurrent checkpointed streaming queries consume the same block "
+    "prefix — the §3.1 chain (per-batch watchlist refresh -> balance "
+    "extraction -> append sink) and the §3.2 chain (P8/P9 in-stream -> "
+    "S9 keyed upsert) — started together and drained together. Both "
+    "sinks are graded at once against the UNION of the two batch "
+    "oracles, proving neither subscriber starves or double-reads the "
+    "shared feed.",
+)
+def stream_fanout_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import upsert_dimension
+    from ..streaming.pipelines import stream_balance_pipeline
+    from .domain import _N_BLOCKS, _ensure_blocks, _hot_literal
+    from ..sources.solana import hot_addresses
+
+    blocks_dir = _ensure_blocks()
+    watch_dir = os.path.join(blocks_dir, "watch_dim")
+    if not os.path.isdir(watch_dir):
+        spark.createDataFrame(
+            [(a,) for a in hot_addresses()], "address string"
+        ).write.mode("overwrite").parquet(watch_dir)
+
+    bal_dir = scratch_dir(prefix="rugpull_fan_bal_")
+    pool_dir = os.path.join(scratch_dir(prefix="rugpull_fan_pool_"), "pools")
+
+    def bal_sink(df: DataFrame, _epoch: int) -> None:
+        df.write.mode("append").parquet(bal_dir)
+
+    # Subscriber 1: the §3.1 balance pipeline (stream-static watch refresh
+    # per micro-batch, ST5).
+    q1 = stream_balance_pipeline(
+        spark,
+        blocks_dir,
+        watch_dir,
+        bal_sink,
+        max_files_per_trigger=1,
+        checkpoint_dir=scratch_dir(prefix="rugpull_fan_ckpt1_"),
+    )
+    # Subscriber 2: the §3.2 pool detector over the SAME landing zone,
+    # its own checkpoint — started while subscriber 1 is running.
+    min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
+    pools = _pool_rows(
+        _tx_stream(spark, f"{blocks_dir}/blocks_*.json"),
+        min_bt,
+        F.expr(_hot_literal(SPARK)),
+    )
+
+    def pool_apply(batch: DataFrame, _bid: int) -> None:
+        upsert_dimension(
+            batch.sparkSession, batch, pool_dir, ["signature"],
+            order_by=["ts_epoch"],
+        )
+
+    q2 = (
+        pools.writeStream.outputMode("append")
+        .foreachBatch(pool_apply)
+        .option("checkpointLocation", scratch_dir(prefix="rugpull_fan_ckpt2_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    q2.awaitTermination(300)
+
+    bal = spark.read.parquet(bal_dir).select(
+        F.lit("balance").alias("sink"),
+        "signature",
+        F.concat(F.col("wallet"), F.lit("|"), F.col("mint")).alias("subkey"),
+        F.col("post_balance").alias("val"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+    poo = spark.read.parquet(pool_dir).select(
+        F.lit("pool").alias("sink"),
+        "signature",
+        F.lit("").alias("subkey"),
+        F.concat(
+            F.col("n_keys").cast("string"), F.lit("/"),
+            F.col("n_hot_keys").cast("string"),
+        ).alias("val"),
+        "ts_epoch",
+    )
+    return bal.unionByName(poo).orderBy("sink", "signature", "subkey")
+
+
+_FEEDBACK_SLICES = 4
+
+
+def _feedback_oracle() -> str:
+    from .domain import _N_BLOCKS, _duck_tx_cte
+
+    per_slice = _N_BLOCKS // _FEEDBACK_SLICES
+    return f"""
+    WITH {_duck_tx_cte()},
+    sl AS (
+        SELECT signature, cast(block_time as bigint) AS ts_epoch, all_keys, logs,
+            (cast(block_time as bigint) - 1700000000) // 400 // {per_slice} AS slice
+        FROM keyed
+    ),
+    pool_keys AS (
+        SELECT k, min(slice) AS first_slice
+        FROM (SELECT slice, unnest(all_keys) AS k FROM sl
+              WHERE regexp_matches(logs, 'Instruction: initialize2\\b')) t
+        GROUP BY k
+    ),
+    tx_keys AS (SELECT signature, slice, unnest(all_keys) AS k FROM sl),
+    hits AS (
+        SELECT DISTINCT t.signature
+        FROM tx_keys t JOIN pool_keys p
+            ON p.k = t.k AND p.first_slice < t.slice
+    )
+    SELECT s.signature, s.ts_epoch, cast(s.slice as bigint) AS slice,
+        CASE WHEN h.signature IS NOT NULL THEN 1 ELSE 0 END AS tagged
+    FROM sl s LEFT JOIN hits h ON h.signature = s.signature
+    ORDER BY s.signature
+    """
+
+
+@register(
+    "stream_watchlist_feedback",
+    oracle=_feedback_oracle(),
+    tags=("streaming", "e2e", "feedback"),
+    doc="The §3.2→§3.1 feedback loop: the pool detector WRITES the "
+    "watchlist the flagship READS (combined_subscriber.py:86-98 -> "
+    "flightWithRedis.py:81-84). One checkpointed streaming job over a "
+    "TIME-CHUNKED block landing zone (slice i = blocks [10i,10i+10), "
+    "paced one file per trigger): each micro-batch first TAGS its "
+    "transactions against the watchlist dimension as of batch start "
+    "(the ST5 per-batch dim re-read), then upserts the keys of pools it "
+    "discovered — so a pool discovered in micro-batch N tags "
+    "transactions from micro-batch N+1 on, never its own batch. The "
+    "oracle restates that visibility rule in EVENT TIME (a key tags "
+    "strictly-later slices), which the time-aligned pacing makes "
+    "equivalent — the update-visibility contract, previously tested "
+    "only with hand-written dims, now graded end-to-end.",
+)
+def stream_watchlist_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources.io import upsert_dimension
+    from ..sources.solana import generate_blocks
+    from .domain import _N_BLOCKS, _SEED
+
+    per_slice = _N_BLOCKS // _FEEDBACK_SLICES
+    # Time-chunked landing zone: slice i holds blocks [i*k, (i+1)*k), files
+    # written in slice order so the paced file stream replays event time.
+    src_dir = scratch_dir(prefix="rugpull_fb_src_")
+    blocks = generate_blocks(_N_BLOCKS, _SEED)
+    for i in range(_FEEDBACK_SLICES):
+        with open(os.path.join(src_dir, f"blocks_{i:02d}.json"), "w") as fh:
+            for blk in blocks[i * per_slice:(i + 1) * per_slice]:
+                fh.write(_json.dumps(blk, separators=(",", ":")) + "\n")
+    tx = _tx_stream(spark, f"{src_dir}/blocks_*.json").select(
+        "signature",
+        F.col("block_time").cast("long").alias("ts_epoch"),
+        "all_keys",
+        "logs",
+        (
+            ((F.col("block_time").cast("long") - F.lit(1_700_000_000)) / F.lit(400))
+            .cast("long")
+            / F.lit(per_slice)
+        ).cast("long").alias("slice"),
+    )
+    dim_dir = os.path.join(scratch_dir(prefix="rugpull_fb_dim_"), "watch")
+    out_dir = scratch_dir(prefix="rugpull_fb_out_")
+    ckpt = scratch_dir(prefix="rugpull_fb_ckpt_")
+
+    def apply(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        batch = batch.localCheckpoint()
+        # 1) TAG against the watchlist as of batch START (pools found in
+        # THIS batch must not tag it — batch-N+1 visibility).
+        if os.path.isdir(dim_dir):
+            watch = F.broadcast(sp.read.parquet(dim_dir).select("k"))
+            hits = (
+                batch.select("signature", F.explode("all_keys").alias("k"))
+                .join(watch, "k")
+                .select("signature")
+                .distinct()
+                .withColumn("hit", F.lit(1))
+            )
+            tagged = batch.join(hits, "signature", "left").select(
+                "signature", "ts_epoch", "slice",
+                F.coalesce(F.col("hit"), F.lit(0)).alias("tagged"),
+            )
+        else:
+            tagged = batch.select(
+                "signature", "ts_epoch", "slice", F.lit(0).alias("tagged")
+            )
+        tagged.write.mode("append").parquet(out_dir)
+        # 2) DETECT pools in this batch and upsert their key set into the
+        # watchlist dimension (SADD semantics; first_slice kept via the
+        # negated-order LWW so re-discovery never advances it).
+        pool_keys = (
+            batch.where(F.col("logs").rlike(r"Instruction: initialize2\b"))
+            .select(F.explode("all_keys").alias("k"), "slice")
+            .groupBy("k")
+            .agg(F.min("slice").alias("first_slice"))
+            .withColumn("neg_slice", -F.col("first_slice"))
+        )
+        upsert_dimension(sp, pool_keys, dim_dir, ["k"], order_by=["neg_slice"])
+
+    _run_available_now(
+        tx.writeStream.outputMode("append")
+        .foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+    )
+    return spark.read.parquet(out_dir).select(
+        "signature", "ts_epoch", "slice", "tagged"
+    ).orderBy("signature")
+
 _set_flagship_stream_oracle()

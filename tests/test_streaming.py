@@ -857,3 +857,77 @@ def test_price_change_fold_deterministic_under_tied_timestamps(spark, tmp_path):
             ).collect()
         ]
         assert emitted == [89.0, 100.0, 101.0], emitted
+
+
+def test_watchlist_feedback_batch_n_plus_1_visibility(spark, sf_dir):
+    """The §3.2→§3.1 feedback composition must honor the ST5 update-
+    visibility contract END TO END: a pool key discovered in micro-batch N
+    tags transactions from micro-batch N+1 on — never its own batch. The
+    pin compares the streamed result against BOTH event-time rules
+    (strictly-earlier slice vs same-or-earlier slice) recomputed
+    independently in DuckDB: it must equal the strict rule and differ from
+    the inclusive one, proving same-batch pools really were invisible (the
+    contract bites on this corpus, the check is not vacuous)."""
+    import duckdb
+
+    from rugpull_data_pipeline_spark.plans.domain import (
+        _N_BLOCKS,
+        _duck_tx_cte,
+        _ensure_blocks,
+    )
+    from rugpull_data_pipeline_spark.plans.registry import get
+    from rugpull_data_pipeline_spark.plans.stream_infra import _FEEDBACK_SLICES
+
+    _ensure_blocks()
+    got = sorted(
+        tuple(r)
+        for r in get("stream_watchlist_feedback").builder(spark, sf_dir).collect()
+    )
+    assert any(r[3] == 1 for r in got), "no transaction was ever tagged"
+    assert any(r[3] == 0 for r in got), "every transaction tagged (vacuous)"
+
+    per_slice = _N_BLOCKS // _FEEDBACK_SLICES
+
+    def rule(op: str) -> list[tuple]:
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                f"""
+                WITH {_duck_tx_cte()},
+                sl AS (
+                    SELECT signature, cast(block_time as bigint) AS ts_epoch,
+                        all_keys, logs,
+                        (cast(block_time as bigint) - 1700000000) // 400
+                            // {per_slice} AS slice
+                    FROM keyed
+                ),
+                pool_keys AS (
+                    SELECT k, min(slice) AS first_slice
+                    FROM (SELECT slice, unnest(all_keys) AS k FROM sl
+                          WHERE regexp_matches(logs,
+                              'Instruction: initialize2\\b')) t
+                    GROUP BY k
+                ),
+                tx_keys AS (
+                    SELECT signature, slice, unnest(all_keys) AS k FROM sl
+                ),
+                hits AS (
+                    SELECT DISTINCT t.signature
+                    FROM tx_keys t JOIN pool_keys p
+                        ON p.k = t.k AND p.first_slice {op} t.slice
+                )
+                SELECT s.signature, s.ts_epoch, cast(s.slice as bigint),
+                    CASE WHEN h.signature IS NOT NULL THEN 1 ELSE 0 END
+                FROM sl s LEFT JOIN hits h ON h.signature = s.signature
+                ORDER BY s.signature
+                """
+            ).fetchall()
+        finally:
+            con.close()
+        return sorted(tuple(r) for r in rows)
+
+    assert got == rule("<"), "stream diverged from the strictly-earlier rule"
+    assert got != rule("<="), (
+        "strict and inclusive rules agree on this corpus — the visibility "
+        "assertion is vacuous; regenerate the fixture"
+    )
