@@ -896,7 +896,7 @@ def _bloom_advisor(d: str) -> str:
         cast(ceil(cast(n_keys as double) * {_BLOOM_BITS_PER_KEY}) as bigint)
             AS m_bits,
         cast(floor(cast(ceil(cast(n_keys as double) * {_BLOOM_BITS_PER_KEY})
-                as double) / cast(n_keys as double) * {_LN2}
+                as double) / cast(nullif(n_keys, 0) as double) * {_LN2}
             + cast(0.5 as double)) as bigint) AS k_hashes,
         round(cast(ceil(cast(n_keys as double) * {_BLOOM_BITS_PER_KEY})
             as double) / cast(8388608 as double), 6) AS size_mib

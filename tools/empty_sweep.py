@@ -35,6 +35,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --single-type    # all events one type
     python tools/empty_sweep.py --constant-time  # all events.ts identical
     python tools/empty_sweep.py --negative-values # events.value all < 0
+    python tools/empty_sweep.py --skewed-duplicates # Zipf keys x tied ts x tied values
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -121,6 +122,19 @@ def main() -> int:
         "sqrt/ln of negatives where Spark yields NaN/NULL, the r6 "
         "divergence matrix's other half)",
     )
+    ap.add_argument(
+        "--skewed-duplicates",
+        action="store_true",
+        help="instead of empty tables: Zipf-distributed duplicate KEYS with "
+        "tied timestamps AND tied values — hot-key x constant-time x "
+        "constant-value combined (user_id = 1000 // (1 + event_id %% "
+        "1000): key 1 carries ~half the rows, harmonic tail; one shared "
+        "ts instant; one shared value). Targets order-dependent "
+        "tie-breaks in top-k/rank/argmax/fold queries: with every "
+        "ordering column tied, any nondeterministic winner diverges "
+        "between engines (the surface class that caught the r7 "
+        "price-fold emission bug)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -137,7 +151,32 @@ def main() -> int:
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
     con = duckdb.connect()
-    if (args.hot_key or args.single_type or args.constant_time
+    if args.skewed_duplicates:
+        # All three tie surfaces at once: Zipf-skewed duplicate keys,
+        # one shared timestamp, one shared value. Integer-only key math so
+        # both engines derive the identical distribution.
+        spark.table("events").withColumns(
+            {
+                "user_id": F.expr("1000 div (1 + (event_id % 1000))"),
+                "ts": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                "value": F.lit(7.5),
+            }
+        ).createOrReplaceTempView("events")
+        for t in TABLES:
+            if t == "events":
+                con.execute(
+                    "CREATE VIEW events AS SELECT * REPLACE ("
+                    "1000 // (1 + (event_id % 1000)) AS user_id, "
+                    "TIMESTAMP '2024-01-01 00:00:00' AS ts, "
+                    "7.5 AS value)"
+                    f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif (args.hot_key or args.single_type or args.constant_time
             or args.negative_values):
         if args.hot_key:
             col, lit_spark, lit_duck = (
