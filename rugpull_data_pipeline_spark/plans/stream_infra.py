@@ -106,6 +106,27 @@ def _static_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_tables(spark, sf_dir, (name,))[name]
 
 
+def _views_valid(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True iff the session's registered temp views point at ``sf_dir`` —
+    the _static_table gate, exposed so STREAMING code can decide the source
+    ONCE at stream-build time on the OUTER session. foreachBatch bodies
+    must NOT call _static_table on the batch session: its parquet fallback
+    runs load_tables -> tune_session on the micro-batch-cloned session,
+    and re-setting spark.sql.adaptive.enabled there re-enables AQE inside
+    a stateful micro-batch plan (the engine disables it), which breaks
+    state-store commit accounting (STATE_STORE_COMMIT_VALIDATION_FAILED,
+    'Expected 8 commits but got 0' — found by the empty-input sweep on
+    the composed flagship)."""
+    try:
+        from .registry import _VIEWS_FOR
+
+        return _VIEWS_FOR.get(id(spark)) == sf_dir and spark.catalog.tableExists(
+            name
+        )
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     return _events_table(spark, sf_dir).select(*cols)
 
@@ -1704,6 +1725,18 @@ def _flagship_e2e(
                 .option("checkpointLocation", ckpt_dir)
             )
 
+    # Decide the per-batch part source ONCE, on the OUTER session (see
+    # _views_valid: calling _static_table on the batch session corrupts
+    # stateful micro-batch execution). View-first keeps the sweep's input
+    # substitution reaching the stream; the fallback DataFrame is built
+    # here but re-reads its parquet at every batch action, so ST5's
+    # per-batch re-resolution holds either way.
+    part_dim = (
+        None
+        if _views_valid(spark, sf_dir, "part")
+        else load_tables(spark, sf_dir, ("part",))["part"]
+    )
+
     def apply(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
         # ST5: dims re-resolved per micro-batch (the server re-reads Redis
@@ -1711,7 +1744,7 @@ def _flagship_e2e(
         enriched = (
             batch.join(
                 F.broadcast(
-                    _static_table(sp, sf_dir, "part").select(
+                    (sp.table("part") if part_dim is None else part_dim).select(
                         "p_partkey", "p_retailprice"
                     )
                 ),
