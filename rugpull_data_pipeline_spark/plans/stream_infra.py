@@ -1950,6 +1950,21 @@ def _price_maint_oracle() -> str:
     "arg-max-per-key oracle — batch/stream unification on the §3.3 path.",
 )
 def stream_price_maint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _price_maint_e2e(spark, sf_dir)
+
+
+def _price_maint_e2e(
+    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+) -> DataFrame:
+    """Core of stream_price_maint_e2e, parameterized so tests can prove the
+    composed ST6 recovery contract for KEYED CUSTOM STATE: with
+    ``restart_after=k`` only the first k time slices land, the stream runs
+    to completion and stops; the later slices land while the job is down;
+    a fresh query restarts from the SAME checkpoint and must restore every
+    pair's last-EMITTED (base, quote) fold state — a lost state re-anchors
+    the 10%% threshold chain and emits a different event set, a replayed
+    slice emits duplicates — converging to the identical price dimension
+    as the uninterrupted run."""
     from ..sources.io import upsert_dimension
     from ..streaming.pipelines import price_change_events
 
@@ -1977,20 +1992,19 @@ def stream_price_maint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     staged = prices.withColumn("slice", slice_col)
-    for i in range(n_slices):
-        (
-            staged.where(F.col("slice") == i)
-            .drop("slice")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_dir)
-        )
-    stream = (
-        spark.readStream.schema(prices.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    emitted = price_change_events(stream)
+
+    def land(indices: range) -> None:
+        for i in indices:
+            (
+                staged.where(F.col("slice") == i)
+                .drop("slice")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+
+    first = n_slices if restart_after is None else restart_after
+    land(range(first))
     vault_dim = (
         prices.select("pair")
         .distinct()
@@ -2017,12 +2031,28 @@ def stream_price_maint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_by=["ts_epoch", "base_price", "quote_price"],
         )
 
-    with _state_partitions(spark, 8):
-        _run_available_now(
-            emitted.writeStream.outputMode("append")
-            .foreachBatch(apply)
-            .option("checkpointLocation", ckpt)
+    def run_stream() -> None:
+        # Rebuilt per run: a restart constructs a FRESH query against the
+        # same checkpoint, exactly how a recovered production job does.
+        stream = (
+            spark.readStream.schema(prices.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
         )
+        emitted = price_change_events(stream)
+        with _state_partitions(spark, 8):
+            _run_available_now(
+                emitted.writeStream.outputMode("append")
+                .foreachBatch(apply)
+                .option("checkpointLocation", ckpt)
+            )
+
+    run_stream()
+    if restart_after is not None:
+        # The rest of the price history lands while the job is DOWN; the
+        # restart must resume from the checkpointed per-pair fold state.
+        land(range(first, n_slices))
+        run_stream()
     if not os.path.isdir(dim_dir):
         return spark.createDataFrame(
             [], "vault string, pair string, ts_epoch bigint, "

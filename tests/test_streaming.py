@@ -931,3 +931,25 @@ def test_watchlist_feedback_batch_n_plus_1_visibility(spark, sf_dir):
         "strict and inclusive rules agree on this corpus — the visibility "
         "assertion is vacuous; regenerate the fixture"
     )
+
+
+def test_price_maint_e2e_checkpoint_recovery(spark, sf_dir):
+    """ST6 composed INTO the §3.3 price-maintenance stream: only 2 of 4
+    time slices land, the job runs to completion and stops; the rest of
+    the price history lands while it is down; a fresh query restarts from
+    the SAME checkpoint. It must restore every pair's last-EMITTED
+    (base, quote) custom keyed state — a lost state re-anchors the 10%
+    threshold chain and emits a different event set, a replayed slice
+    emits duplicates — and the final price dimension must equal the
+    uninterrupted run's."""
+    from rugpull_data_pipeline_spark.plans.stream_infra import _price_maint_e2e
+
+    uninterrupted = sorted(
+        tuple(r) for r in _price_maint_e2e(spark, sf_dir).collect()
+    )
+    assert uninterrupted, "price-maintenance sink is empty"
+    recovered = sorted(
+        tuple(r)
+        for r in _price_maint_e2e(spark, sf_dir, restart_after=2).collect()
+    )
+    assert recovered == uninterrupted
