@@ -115,8 +115,8 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _cooccurrence(d: str) -> str:
-    return f"""
+def _cooccurrence_oracle() -> str:
+    return """
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
     n AS (SELECT cast(count(DISTINCT user_id) as bigint) AS n_users FROM events),
     ta AS (SELECT event_type, cast(count(*) as bigint) AS c FROM ut GROUP BY event_type),
@@ -139,15 +139,60 @@ def _cooccurrence(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_cooccurrence_lift",
-    _cooccurrence,
+    oracle=_cooccurrence_oracle(),
     tags=("events", "mining"),
     doc="Market-basket association: per-user distinct event-type sets, "
-    "pair support and lift. The pair build self-equi-joins on user_id "
-    "over the distinct (user, type) table — fan-out bounded by the type "
-    "domain (5), never rows; the 1-row user total is a broadcast.",
+    "pair support and lift. DataFrame builder, not CTE SQL: Spark does "
+    "not materialize CTEs, so the SQL form scanned events FIVE times "
+    "(pairs twice + per-type + the user total) — localCheckpointing the "
+    "distinct (user, type) table makes it ONE fact scan, with the pair "
+    "self-equi-join (fan-out bounded by the type domain) and both count "
+    "shapes reusing the materialized distinct set. The 1-row user total "
+    "is a broadcast.",
 )
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ut = (
+        spark.table("events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_users = ut.select("user_id").distinct().count()  # O(1) scalar to driver
+    ta = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = F.broadcast(ta.select(F.col("event_type").alias("type_a"), F.col("c").alias("n_a")))
+    cb = F.broadcast(ta.select(F.col("event_type").alias("type_b"), F.col("c").alias("n_b")))
+    nu = F.lit(float(n_users))
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.round(F.col("n_both").cast("double") / nu, 6).alias("support"),
+            F.round(
+                F.col("n_both").cast("double") * nu
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
 
 
 # ---------------------------------------------------------------------------

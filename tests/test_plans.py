@@ -87,7 +87,6 @@ _NLJ_ALLOWED = {
     "audit_multiprobe_recall",  # composes the brute-force + LSH probes
     "sample_bootstrap_hash",  # 1-row point-estimate broadcast
     "sim_whiten_rerank",  # 1-row norm broadcast + 64-row loading table
-    "events_cooccurrence_lift",  # 1-row user-total broadcast onto the pair grid
     "mlprep_isotonic_pava",  # 20-bin score-grid triangle join (minimax PAVA)
     "sim_range_search_radius",  # broadcast fixed query set, exact linear scan
 }

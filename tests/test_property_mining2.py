@@ -198,7 +198,9 @@ def test_bitmap_distinct_matches_sets(hand_views, evs):
 )
 def test_cooccurrence_lift_matches_bruteforce(hand_views, evs):
     spark = hand_views
-    from rugpull_data_pipeline_spark.plans.mining_ops import _cooccurrence
+    from rugpull_data_pipeline_spark.plans.mining_ops import (
+        events_cooccurrence_lift,
+    )
 
     rows = [
         (i, 1_700_000_000 + i, u, t, 1.0) for i, (u, t) in enumerate(evs)
@@ -208,7 +210,10 @@ def test_cooccurrence_lift_matches_bruteforce(hand_views, evs):
     ).selectExpr(
         "event_id", "cast(t as timestamp) AS ts", "user_id", "event_type", "value"
     ).createOrReplaceTempView("events")
-    got = {(r.type_a, r.type_b): r for r in spark.sql(_cooccurrence(SPARK)).collect()}
+    got = {
+        (r.type_a, r.type_b): r
+        for r in events_cooccurrence_lift(spark, "unused").collect()
+    }
 
     users = {u for u, _ in evs}
     by_type: dict[str, set[int]] = {}
