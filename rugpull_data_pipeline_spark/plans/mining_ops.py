@@ -384,15 +384,77 @@ def _assortativity(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_degree_assortativity",
-    _assortativity,
+    oracle=_assortativity(DUCK),
     tags=("graph", "stats"),
     doc="Degree assortativity of the co-purchase graph: Pearson r of "
     "endpoint degrees over directed-symmetric edges. Every moment is an "
     "exact integer sum (degrees are ints); one sqrt + division at the "
-    "end — order- and engine-independent.",
+    "end — order- and engine-independent. DataFrame builder, not CTE "
+    "SQL: the edge CTE is referenced three times (two degree joins + "
+    "the edge scan), and Spark's non-materialized CTEs recomputed the "
+    "pair self-join six-fold (12 fact scans at sf0.1); localCheckpointing "
+    "the symmetric edge set makes it one pair build, with the bounded "
+    "degree table broadcast onto both endpoints.",
 )
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import functions as F
+
+    op = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.countDistinct("dst").alias("deg")
+    )
+    ed = (
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))),
+            "dst",
+        )
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    ).first()
+    n = int(m["n"])
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None)], "n_directed_edges bigint, assortativity double"
+        )
+    num = float(n) * float(m["sxy"]) - float(m["sx"]) * float(m["sy"])
+    den = math.sqrt(
+        (float(n) * float(m["sxx"]) - float(m["sx"]) * float(m["sx"]))
+        * (float(n) * float(m["syy"]) - float(m["sy"]) * float(m["sy"]))
+    )
+    r = None if den == 0.0 else num / den
+    out = spark.createDataFrame(
+        [(n, r)], "n_directed_edges bigint, assortativity double"
+    )
+    return out.select(
+        "n_directed_edges", F.round("assortativity", 6).alias("assortativity")
+    )
 
 
 _BFS_SEED = "SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 1"

@@ -76,10 +76,12 @@ def _copurchase_sym(pairs):
 )
 def test_assortativity_matches_bruteforce(hand_views, pairs):
     spark = hand_views
-    from rugpull_data_pipeline_spark.plans.mining_ops import _assortativity
+    from rugpull_data_pipeline_spark.plans.mining_ops import (
+        graph_degree_assortativity,
+    )
 
     _mk_lineitem(spark, pairs)
-    row = spark.sql(_assortativity(SPARK)).collect()[0]
+    row = graph_degree_assortativity(spark, "unused").collect()[0]
 
     edges = _copurchase_sym(pairs)
     deg: dict[int, int] = {}
