@@ -522,8 +522,11 @@ def graph_bfs_frontier3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(0, reached.count())]
     for hop in (1, 2, 3):
+        # Broadcast the reached set (bounded by the node domain) so each
+        # expansion is a map-side semi-probe of the big edge table — the
+        # edge set never shuffles across hops.
         reached = (
-            sym.join(reached, sym.src == reached.node)
+            sym.join(F.broadcast(reached), sym.src == reached.node)
             .select(F.col("dst").alias("node"))
             .unionByName(reached.select("node"))
             .distinct()
