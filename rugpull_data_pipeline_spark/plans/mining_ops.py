@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
 from .llm_ops import _cosine
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -156,7 +156,7 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ut = (
-        spark.table("events")
+        static_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
         .localCheckpoint()
@@ -403,7 +403,11 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    op = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    op = (
+        static_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = op.alias("a"), op.alias("b")
     pe = (
         a.join(
@@ -499,7 +503,11 @@ def _bfs_oracle(d: str) -> str:
 def graph_bfs_frontier3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    op = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    op = (
+        static_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a, b = op.alias("a"), op.alias("b")
     pe = (
         a.join(
@@ -514,7 +522,7 @@ def graph_bfs_frontier3(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     reached = (
-        spark.table("part")
+        static_table(spark, sf_dir, "part")
         .where(F.col("p_size") == 1)
         .select(F.col("p_partkey").alias("node"))
         .distinct()
@@ -867,13 +875,20 @@ _pair(
 
 
 def _weighted_median(d: str) -> str:
+    # Cents via a decimal(18,2) cast, NOT floor(double*100): the float
+    # product lands one cent low for non-representable 2-dp prices
+    # (2.51*100 = 250.999... -> 250), so the emitted median was a cent off
+    # the true price (round-9 ADVICE). The decimal cast rounds the double
+    # to its nearest 2-dp value — exact for any 2-dp source price — and
+    # both engines share the expression.
+    cents = "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
     return f"""
     WITH g AS (
         SELECT l_returnflag AS flag,
-            cast(floor(l_extendedprice * cast(100 as double)) as bigint) AS pc,
+            {cents} AS pc,
             sum(cast(l_quantity as decimal(38,6))) AS w
         FROM lineitem GROUP BY l_returnflag,
-            cast(floor(l_extendedprice * cast(100 as double)) as bigint)
+            {cents}
     ),
     c AS (
         SELECT flag, pc,
@@ -1121,10 +1136,14 @@ _pair(
 # Skyline (Pareto frontier)
 # ---------------------------------------------------------------------------
 
+# Cents via decimal(18,2) cast for the same reason as agg_weighted_median:
+# floor(double*100) misbins non-representable 2-dp prices one cent low
+# (0.29 -> 28), which both corrupted the emitted price AND made the
+# brute-force dominance property flaky (round-9 ADVICE).
 _SKYLINE_ORACLE = """
 WITH p AS (
     SELECT p_partkey,
-        cast(floor(p_retailprice * cast(100 as double)) as bigint) AS price_c,
+        cast(cast(p_retailprice as decimal(18,2)) * 100 as bigint) AS price_c,
         cast(p_size as bigint) AS size
     FROM part
 )
@@ -1156,9 +1175,11 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    pp = spark.table("part").select(
+    pp = static_table(spark, sf_dir, "part").select(
         "p_partkey",
-        F.floor(F.col("p_retailprice") * F.lit(100.0)).cast("long").alias("price_c"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * F.lit(100))
+        .cast("long")
+        .alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
     )
     grid = pp.groupBy("price_c").agg(F.max("size").alias("max_sz"))

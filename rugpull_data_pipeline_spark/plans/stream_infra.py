@@ -131,17 +131,44 @@ def _events_src(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     return _events_table(spark, sf_dir).select(*cols)
 
 
+# Epoch base for slice mtime stamping; any fixed past instant works (the
+# file source only compares mtimes relative to each other).
+_SLICE_MTIME_BASE = 1_700_000_000
+
+
+def _stamp_slice_mtimes(path: str, seen: set[str], slice_idx: int) -> None:
+    """Pin every file the slice just landed to a DISTINCT, strictly
+    increasing mtime (base + slice index, whole seconds). FileStreamSource
+    orders the files of one listing by modification time and breaks ties
+    arbitrarily — two slices appended within the filesystem's mtime
+    granularity could replay out of order and diverge a stateful fold from
+    its event-time oracle (round-9 ADVICE on _price_maint_e2e). ``seen``
+    carries across calls so a later slice never re-stamps an earlier one."""
+    t = _SLICE_MTIME_BASE + slice_idx
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name)
+        if p in seen or not os.path.isfile(p):
+            continue
+        os.utime(p, (t, t))
+        seen.add(p)
+
+
 def _write_slices(
     df: DataFrame,
     path: str,
     n: int,
     slice_col: str = "event_id",
     indices: "range | None" = None,
+    seen_files: "set[str] | None" = None,
 ) -> None:
     """Write ``df`` as exactly ``n`` parquet files (one sequential append per
-    slice) so ``maxFilesPerTrigger=1`` paces the replay into ``n`` batches.
-    ``indices`` restricts to a subset of the n slices, letting a caller
-    stage arrivals across stream restarts (file-stream landing semantics)."""
+    slice) so ``maxFilesPerTrigger=1`` paces the replay into ``n`` batches,
+    each slice mtime-stamped so the file source replays them in landing
+    order even on coarse-granularity filesystems. ``indices`` restricts to
+    a subset of the n slices, letting a caller stage arrivals across stream
+    restarts (file-stream landing semantics); such callers pass one
+    ``seen_files`` set across calls so re-staged slices keep later stamps."""
+    seen = seen_files if seen_files is not None else set()
     for i in indices if indices is not None else range(n):
         (
             df.where(F.col(slice_col) % n == i)
@@ -149,11 +176,20 @@ def _write_slices(
             .write.mode("append")
             .parquet(path)
         )
+        _stamp_slice_mtimes(path, seen, i)
 
 
 def _run_available_now(writer) -> None:
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING at the deadline — ignoring that silently truncated the
+    # result (round-9 ADVICE). A hung replay must fail loudly, not grade
+    # a partial sink.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming replay still running after 300 s (availableNow)"
+        )
 
 
 @contextmanager
@@ -1670,8 +1706,9 @@ def _flagship_e2e(
     )
     src_dir = scratch_dir(prefix="rugpull_flag_src_")
     first = n_slices if restart_after is None else restart_after
+    landed: set[str] = set()
     _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey",
-                  indices=range(first))
+                  indices=range(first), seen_files=landed)
     dim_dir = os.path.join(scratch_dir(prefix="rugpull_flag_out_"), "report")
     ckpt_dir = scratch_dir(prefix="rugpull_flag_ckpt_")
 
@@ -1770,7 +1807,7 @@ def _flagship_e2e(
         # The rest of the corpus lands while the job is DOWN; the restart
         # must resume from checkpointed state, not from scratch.
         _write_slices(lineitem, src_dir, n_slices, slice_col="l_orderkey",
-                      indices=range(first, n_slices))
+                      indices=range(first, n_slices), seen_files=landed)
         run_stream()
     return spark.read.parquet(dim_dir).select(
         "suppkey", "partkey", "supplier_name", "pre_qty", "post_qty",
@@ -1909,6 +1946,14 @@ def stream_pool_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .foreachBatch(apply)
         .option("checkpointLocation", ckpt)
     )
+    if not os.path.isdir(dim_dir):
+        # Zero matching blocks -> no upsert ever ran -> no dim directory;
+        # an unguarded read raised AnalysisException (round-9 ADVICE).
+        return spark.createDataFrame(
+            [],
+            "signature string, ts_epoch bigint, n_keys bigint, "
+            "n_hot_keys bigint, pool_price double",
+        )
     return spark.read.parquet(dim_dir).select(
         "signature", "ts_epoch", "n_keys", "n_hot_keys", "pool_price"
     ).orderBy("signature")
@@ -1993,6 +2038,8 @@ def _price_maint_e2e(
     )
     staged = prices.withColumn("slice", slice_col)
 
+    landed: set[str] = set()
+
     def land(indices: range) -> None:
         for i in indices:
             (
@@ -2002,6 +2049,10 @@ def _price_maint_e2e(
                 .write.mode("append")
                 .parquet(src_dir)
             )
+            # Distinct increasing mtimes per slice: the fold's cross-batch
+            # order must equal event-time order, and FileStreamSource
+            # breaks mtime ties arbitrarily (round-9 ADVICE).
+            _stamp_slice_mtimes(src_dir, landed, i)
 
     first = n_slices if restart_after is None else restart_after
     land(range(first))

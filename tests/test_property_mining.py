@@ -25,6 +25,11 @@ PROP = dict(
 
 @pytest.fixture
 def hand_views(spark):
+    # Mark the session's view cache as pointing at the hand fixtures so the
+    # gated registry.static_table reads the temp views the test registers
+    # (otherwise the gate would fall back to loading parquet from the
+    # literal "unused" sf_dir the direct builder calls pass).
+    registry._VIEWS_FOR[id(spark)] = "unused"
     yield spark
     registry._VIEWS_FOR.pop(id(spark), None)
 
