@@ -110,84 +110,91 @@ def get(name: str) -> QuerySpec:
 
 
 # Queries deliberately RE-verified this round despite an existing green
-# driver row — the oldest-first re-proof cadence. Round 8 takes the 25
-# stalest rows, all from the round-2 relational/TPC-H/scalar tier
-# (staleness order computed by tools/rotation_plan.py from the recorded
-# CORRECTNESS artifacts). The rotation test treats window slots as legal
-# iff they are either never-driver-green or named here, so a freshly
-# graded CORRECTNESS file can never redden the suite; the 25-entry cap
+# driver row — the oldest-first re-proof cadence. Round 9 takes the 25
+# stalest rows: the 13 remaining round-2 relational/window/setop queries
+# plus the 12 stalest round-3 rows (staleness order computed by
+# tools/rotation_plan.py from the recorded CORRECTNESS artifacts). The
+# rotation test treats window slots as legal iff they are either
+# never-driver-green or named here, so a freshly graded CORRECTNESS file
+# can never redden the suite; the 25-entry cap
 # (tests/test_correctness_oracle.py) binds exactly, which is why the
-# registry grew by 25 genuinely new queries this round (round-7 verdict
-# item 2: the window arithmetic is unsatisfiable on a frozen registry).
+# registry again grew by 25 genuinely new queries this round (the
+# standing window arithmetic: backlog 0 + 50 slots + REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
-    "join_tag_enrichment",  # last green r2
-    "join_watchlist_semi_events",  # last green r2
-    "lateral_top2_per_nation",  # last green r2
-    "pivot_status_quantity",  # last green r2
-    "q01_pricing_summary",  # last green r2
-    "q02_min_cost_supplier",  # last green r2
-    "q03_shipping_priority",  # last green r2
-    "q05_local_supplier_volume",  # last green r2
-    "q06_forecast_revenue",  # last green r2
-    "q07_nation_volume_shipping",  # last green r2
-    "q08_market_share",  # last green r2
-    "q09_product_profit",  # last green r2
-    "q11_important_stock",  # last green r2
-    "q12_priority_class",  # last green r2
-    "q16_supplier_part_variety",  # last green r2
-    "q17_small_quantity_revenue",  # last green r2
-    "q18_large_volume_customers",  # last green r2
-    "q19_disjunctive_predicates",  # last green r2
-    "q21_sole_problem_supplier",  # last green r2
-    "q22_inactive_customers",  # last green r2
-    "recursive_cte_month_spine",  # last green r2
-    "scalar_amm_price_math",  # last green r2
-    "scalar_date_bucketing",  # last green r2
-    "scalar_string_regex",  # last green r2
-    "scalar_try_safe_ops",  # last green r2
+    "setop_except_inactive",  # last green r2
+    "setop_intersect_buyers",  # last green r2
+    "setop_union_watchlists",  # last green r2
+    "sort_global_topn",  # last green r2
+    "subquery_correlated_above_avg",  # last green r2
+    "udtf_token_explode_topk",  # last green r2
+    "unpivot_status_quantity",  # last green r2
+    "variant_shred_events",  # last green r2
+    "window_price_change_10pct",  # last green r2
+    "window_rank_ntile",  # last green r2
+    "window_running_sum",  # last green r2
+    "window_sessionize_1h",  # last green r2
+    "window_topk_per_group",  # last green r2
+    "agg_approx_sketches",  # last green r3
+    "dedup_cluster_neardup",  # last green r3
+    "dedup_embedding_cosine",  # last green r3
+    "dedup_exact_docs",  # last green r3
+    "dedup_levenshtein_blocked",  # last green r3
+    "dedup_minhash_lsh",  # last green r3
+    "dedup_ngram_jaccard",  # last green r3
+    "dedup_simhash_blocked",  # last green r3
+    "dedup_simhash_neardup",  # last green r3
+    "dedup_simhash_signature",  # last green r3
+    "join_asof_last_view",  # last green r3
+    "join_cross_region_bands",  # last green r3
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
-# round 7: 287 distinct queries verified, 287 green, 0 standing red,
-# backlog 0 (CORRECTNESS_r02..r07). The round-8 window = the 25 queries
+# round 8: 312 distinct queries verified, 312 green, 0 standing red,
+# backlog 0 (CORRECTNESS_r02..r08). The round-9 window = the 25 queries
 # that DEBUT this round (registered inside their debut window, so the
-# never-checked set stays empty: the four composed streaming pipelines of
-# the reference's full runtime topology + the 21-query mining/privacy/
-# analytics tier, plans/mining_ops.py) + the 25 oldest-first RE-PROOFS
-# above. After a green r8 grade the r2 tier has 13 rows left, then r3's
-# 49 — the standing cadence continues. Everything NOT listed keeps
-# registration order behind these, so already-green queries still run
-# when the driver checks more than 50.
+# never-checked set stays empty: the analytics/privacy/graph tier,
+# plans/analytics_ops.py) + the 25 oldest-first RE-PROOFS above (the last
+# 13 r2 rows + the 12 stalest r3 rows). After a green r9 grade the r2
+# tier is exhausted and the r3 tier has 37 rows left — the standing
+# cadence continues. Everything NOT listed keeps registration order
+# behind these, so already-green queries still run when the driver
+# checks more than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 debuts: composed streaming topology (§3.2/§3.3 e2e,
-    # ST7 fan-out, §3.2→§3.1 feedback) ----
-    "stream_pool_detect_e2e",
-    "stream_price_maint_e2e",
-    "stream_fanout_composed",
-    "stream_watchlist_feedback",
-    # ---- round-8 debuts: mining/privacy/analytics tier ----
-    "window_gaps_islands",
-    "events_cooccurrence_lift",
-    "eval_lift_gains_decile",
-    "mlprep_woe_iv",
-    "graph_bipartite_project",
-    "graph_degree_assortativity",
-    "graph_bfs_frontier3",
-    "agg_bitmap_distinct",
-    "text_ttr_diversity",
-    "text_oov_rate",
-    "quality_l_diversity",
-    "window_stl_decompose",
-    "window_sax_symbolic",
-    "window_ma_crossover",
-    "agg_weighted_median",
-    "sample_systematic_every_k",
-    "profile_distinct_ratio_advisor",
-    "layout_bloom_advisor",
-    "mlprep_isotonic_pava",
-    "sim_range_search_radius",
-    "skyline_pareto_parts",
+    # ---- round-9 debuts: privacy trio completion ----
+    "quality_t_closeness",
+    "quality_k_suppression_plan",
+    "quality_dp_sensitivity",
+    # ---- round-9 debuts: graph completion ----
+    "graph_sssp_bellman3",
+    "graph_neighbor_jaccard",
+    "graph_local_clustering",
+    "graph_degree_powerlaw",
+    # ---- round-9 debuts: mlprep / eval ----
+    "mlprep_kfold_assign",
+    "mlprep_boosted_stumps2",
+    "eval_pr_auc_trapezoid",
+    "eval_ks_separation",
+    # ---- round-9 debuts: events / sequence / engagement ----
+    "events_sequential_support",
+    "events_dau_wau_mau",
+    # ---- round-9 debuts: layout advisors ----
+    "layout_join_skew_advisor",
+    "layout_encoding_advisor",
+    # ---- round-9 debuts: aggregates / stats ----
+    "agg_geo_harmonic_mean",
+    "agg_mode_peak_hour",
+    "agg_column_covariance",
+    # ---- round-9 debuts: time series ----
+    "window_seasonal_strength",
+    "window_realized_vol",
+    # ---- round-9 debuts: text / corpus ----
+    "text_sentence_length_stats",
+    "text_vocab_coverage",
+    "profile_source_vocab_overlap",
+    # ---- round-9 debuts: sampling / joins ----
+    "sample_contrastive_pairs",
+    "join_nearest_value_1d",
 ) + REPROOF
 
 
@@ -237,5 +244,6 @@ def _load_plan_modules() -> None:
     from . import stats_eval  # noqa: F401
     from . import feature_ops  # noqa: F401
     from . import mining_ops  # noqa: F401
+    from . import analytics_ops  # noqa: F401
 
     _LOADED = True

@@ -89,6 +89,15 @@ _NLJ_ALLOWED = {
     "sim_whiten_rerank",  # 1-row norm broadcast + 64-row loading table
     "mlprep_isotonic_pava",  # 20-bin score-grid triangle join (minimax PAVA)
     "sim_range_search_radius",  # broadcast fixed query set, exact linear scan
+    # round-9 metadata-scale broadcasts: the QI-group grid x the ~20-row
+    # acctbal band grid (t-closeness EMD expansion — the constant-key
+    # equi-join folds to a broadcast of the band aggregate), the 1-row
+    # stage-1 stump model broadcast onto the 24-row hour grid (the
+    # mlprep_decision_stump shape, boosted), and the 5-row source-pair
+    # self-cross of the vocabulary-overlap report.
+    "quality_t_closeness",
+    "mlprep_boosted_stumps2",
+    "profile_source_vocab_overlap",
 }
 
 
