@@ -99,6 +99,22 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def plan_fp(df) -> str:
+    """12-hex-char hash of the executed plan's operator-count fingerprint
+    (tools/plan_fingerprint.py). Recorded per headline query so every BENCH
+    artifact self-certifies whether its plans changed vs the prior round —
+    the round-8 +21% driver-bench drift was provably environmental only
+    because the diff happened to touch zero headline files; the fingerprint
+    makes that proof automatic (round-8 verdict item 3)."""
+    import hashlib
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from plan_fingerprint import fingerprint
+
+    fp = fingerprint(df)
+    return hashlib.md5(json.dumps(fp, sort_keys=True).encode()).hexdigest()[:12]
+
+
 def main() -> None:
     # --smoke: two queries, one repeat, no warmups — exercises the full
     # harness contract (JSON shape, fault isolation) in seconds so a test
@@ -160,10 +176,15 @@ def main() -> None:
     # single AnalysisException).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    fps: dict[str, str] = {}
     for name in (HEADLINE[:2] if smoke else HEADLINE):
         if name not in qs:
             errors[name] = "not registered"
             continue
+        try:
+            fps[name] = plan_fp(qs[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — fp failure must not void the timing
+            pass
         # The XL throughput entry is the headline number vs the reference
         # anchor AND the longest-running query, which makes it the most
         # exposed to co-tenant CPU-steal spikes (measured: the same run
@@ -192,6 +213,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "plan_fp": fps,
     }
     if errors:
         out["errors"] = errors

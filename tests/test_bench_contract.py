@@ -37,3 +37,9 @@ def test_bench_smoke_prints_contract_json():
     }
     assert all(v > 0 for v in out["queries"].values())
     assert "errors" not in out
+    # Every measured query must carry its executed-plan fingerprint so the
+    # BENCH artifact self-certifies plan stability across rounds.
+    assert set(out["plan_fp"]) == set(out["queries"])
+    assert all(
+        isinstance(v, str) and len(v) == 12 for v in out["plan_fp"].values()
+    )
