@@ -76,7 +76,10 @@ def _windows(d: str) -> str:
               FROM documents) t
         LATERAL VIEW explode({seq}) w AS i
         """
-    win = f"array_to_string(toks[i:i+{_WIN - 1}], ' ')"
+    # element access, not toks[i:i+k] slicing: DuckDB list slices cost
+    # O(len(list)) each -> per-token windows were O(tokens^2) per row
+    # (hung on the giant-payload sweep's 150k-token doc; round 9)
+    win = " || ' ' || ".join(["toks[i]"] + [f"toks[i+{j}]" for j in range(1, _WIN)])
     return f"""
     SELECT doc_id, i AS pos, {S.portable_hash64(win, d)} AS wh
     FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t,
@@ -120,7 +123,7 @@ _pair(
 def _grams(d: str) -> str:
     """(doc_id, source, gh) distinct word-5-gram hashes per doc."""
     gram_sp = "concat_ws(' ', slice(toks, i, 5))"
-    gram_dk = "array_to_string(toks[i:i+4], ' ')"
+    gram_dk = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]"
     if d == SPARK:
         seq = "CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4) ELSE array() END"
         return f"""

@@ -387,7 +387,10 @@ def _ngram_shingles(d: str) -> str:
     return f"""
     SELECT doc_id, unnest(list_distinct(list_transform(
         range(1, len(toks) - 1),
-        i -> array_to_string(toks[i:i+2], ' ')
+        -- element access, not toks[i:i+k] slicing: DuckDB list slices cost
+        -- O(len(list)) each, turning per-token windows O(tokens^2) per row
+        -- (hung on the giant-payload sweep's 150k-token doc; round 9)
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
     ))) AS sh
     FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
     WHERE len(toks) >= 3

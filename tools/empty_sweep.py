@@ -36,6 +36,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --constant-time  # all events.ts identical
     python tools/empty_sweep.py --negative-values # events.value all < 0
     python tools/empty_sweep.py --skewed-duplicates # Zipf keys x tied ts x tied values
+    python tools/empty_sweep.py --giant-payloads # 1 MB doc, 10^4-dim vectors, nested props
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -135,6 +136,20 @@ def main() -> int:
         "between engines (the surface class that caught the r7 "
         "price-fold emission bug)",
     )
+    ap.add_argument(
+        "--giant-payloads",
+        action="store_true",
+        help="instead of empty tables: pathological per-row PAYLOAD sizes — "
+        "doc_id 42's text inflated past 1 MB (token-preserving repeat; "
+        "exactly ONE giant so the length-bucketed Levenshtein block can "
+        "never meet two megabyte strings), EVERY embedding repeated to "
+        "10,048 elements (uniform dim — mixed dims would probe engine "
+        "zip padding, not a real corpus shape), and events.props wrapped "
+        "in 10 levels of JSON nesting. The ten prior surfaces stress "
+        "keys/values/time; none stressed per-row payload size — the "
+        "remaining 100 TB corpus hazard class (a giant-row OOM or a "
+        "quadratic per-row array op hides at sf0.01)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -169,6 +184,66 @@ def main() -> int:
                     "1000 // (1 + (event_id % 1000)) AS user_id, "
                     "TIMESTAMP '2024-01-01 00:00:00' AS ts, "
                     "7.5 AS value)"
+                    f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.giant_payloads:
+        # Token-preserving inflation: text || ' ' repeated until >= 1 MiB.
+        # Integer-only repeat-count math (div) so both engines build the
+        # byte-identical string; n_chars re-derived from the new text.
+        rep = "cast(1 + (1048576 div (length(text) + 1)) as int)"
+        spark.table("documents").withColumn(
+            "text",
+            F.expr(
+                "CASE WHEN doc_id = 42 AND length(text) > 0 "
+                f"THEN repeat(concat(text, ' '), {rep}) ELSE text END"
+            ),
+        ).withColumn("n_chars", F.length("text").cast("long")).localCheckpoint(
+        ).createOrReplaceTempView("documents")
+        spark.table("embeddings").withColumn(
+            "embedding", F.expr("flatten(array_repeat(embedding, 157))")
+        ).createOrReplaceTempView("embeddings")
+        # Keep the corpus's $.k contract intact (queries hard-cast it) and
+        # hang a 12-level subtree NEXT to it — the surface tests parser
+        # depth and row width, not a schema break.
+        spark.table("events").withColumn(
+            "props",
+            F.expr(
+                "concat('{\"k\": ',"
+                " coalesce(get_json_object(props, '$.k'), 'null'),"
+                " ', \"nest\": ', repeat('{\"a\":', 12), '1',"
+                " repeat('}', 12), '}')"
+            ),
+        ).createOrReplaceTempView("events")
+        for t in TABLES:
+            if t == "documents":
+                con.execute(
+                    "CREATE VIEW documents AS SELECT * REPLACE"
+                    " (cast(length(text) as bigint) AS n_chars) FROM ("
+                    "SELECT * REPLACE (CASE WHEN doc_id = 42 AND length(text) > 0"
+                    " THEN repeat(text || ' ',"
+                    " cast(1 + (1048576 // (length(text) + 1)) as int))"
+                    " ELSE text END AS text)"
+                    f" FROM read_parquet('{SF}/documents.parquet')) t"
+                )
+            elif t == "embeddings":
+                con.execute(
+                    "CREATE VIEW embeddings AS SELECT vec_id,"
+                    " flatten(list_transform(range(157), x -> embedding))"
+                    " AS embedding, label"
+                    f" FROM read_parquet('{SF}/embeddings.parquet')"
+                )
+            elif t == "events":
+                con.execute(
+                    "CREATE VIEW events AS SELECT * REPLACE"
+                    " ('{\"k\": ' ||"
+                    " coalesce(json_extract_string(props, '$.k'), 'null') ||"
+                    " ', \"nest\": ' || repeat('{\"a\":', 12) || '1' ||"
+                    " repeat('}', 12) || '}' AS props)"
                     f" FROM read_parquet('{SF}/events.parquet')"
                 )
             else:
