@@ -110,16 +110,19 @@ def get(name: str) -> QuerySpec:
 
 
 # Queries deliberately RE-verified this round despite an existing green
-# driver row — the oldest-first re-proof cadence. Round 9 takes the 25
+# driver row — the oldest-first re-proof cadence. Round 9 takes the 24
 # stalest rows: the 13 remaining round-2 relational/window/setop queries
-# plus the 12 stalest round-3 rows (staleness order computed by
-# tools/rotation_plan.py from the recorded CORRECTNESS artifacts). The
-# rotation test treats window slots as legal iff they are either
-# never-driver-green or named here, so a freshly graded CORRECTNESS file
-# can never redden the suite; the 25-entry cap
-# (tests/test_correctness_oracle.py) binds exactly, which is why the
-# registry again grew by 25 genuinely new queries this round (the
-# standing window arithmetic: backlog 0 + 50 slots + REPROOF <= 25).
+# plus the 11 stalest round-3 rows (staleness order computed by
+# tools/rotation_plan.py from the recorded CORRECTNESS artifacts; the
+# 25th-stalest, join_cross_region_bands, carries to round 10 because a
+# 26th debut — stream_price_maint_tws, the VERDICT-r8 item-4 close-out —
+# took the slot: coverage first, staleness second). The rotation test
+# treats window slots as legal iff they are either never-driver-green or
+# named here, so a freshly graded CORRECTNESS file can never redden the
+# suite; the 25-entry cap (tests/test_correctness_oracle.py) keeps the
+# re-proof fraction bounded, which is why the registry again grew by 26
+# genuinely new queries this round (the standing window arithmetic:
+# backlog 0 + 50 slots + REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
     "setop_except_inactive",  # last green r2
     "setop_intersect_buyers",  # last green r2
@@ -145,21 +148,21 @@ REPROOF: tuple[str, ...] = (
     "dedup_simhash_neardup",  # last green r3
     "dedup_simhash_signature",  # last green r3
     "join_asof_last_view",  # last green r3
-    "join_cross_region_bands",  # last green r3
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
 # round 8: 312 distinct queries verified, 312 green, 0 standing red,
-# backlog 0 (CORRECTNESS_r02..r08). The round-9 window = the 25 queries
+# backlog 0 (CORRECTNESS_r02..r08). The round-9 window = the 26 queries
 # that DEBUT this round (registered inside their debut window, so the
-# never-checked set stays empty: the analytics/privacy/graph tier,
-# plans/analytics_ops.py) + the 25 oldest-first RE-PROOFS above (the last
-# 13 r2 rows + the 12 stalest r3 rows). After a green r9 grade the r2
-# tier is exhausted and the r3 tier has 37 rows left — the standing
-# cadence continues. Everything NOT listed keeps registration order
-# behind these, so already-green queries still run when the driver
-# checks more than 50.
+# never-checked set stays empty: the analytics/privacy/graph tier of
+# plans/analytics_ops.py, plus stream_price_maint_tws — the §3.3 chain on
+# the modern transformWithStateInPandas API) + the 24 oldest-first
+# RE-PROOFS above (the last 13 r2 rows + the 11 stalest r3 rows). After a
+# green r9 grade the r2 tier is exhausted and the r3 tier has 38 rows
+# left — the standing cadence continues. Everything NOT listed keeps
+# registration order behind these, so already-green queries still run
+# when the driver checks more than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-9 debuts: privacy trio completion ----
     "quality_t_closeness",
@@ -195,6 +198,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- round-9 debuts: sampling / joins ----
     "sample_contrastive_pairs",
     "join_nearest_value_1d",
+    # ---- round-9 debut: §3.3 on the modern stateful API (VERDICT r8 #4) ----
+    "stream_price_maint_tws",
 ) + REPROOF
 
 

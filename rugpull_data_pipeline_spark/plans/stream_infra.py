@@ -45,7 +45,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1998,8 +1998,55 @@ def stream_price_maint_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _price_maint_e2e(spark, sf_dir)
 
 
+@register(
+    "stream_price_maint_tws",
+    oracle=_price_maint_oracle(),
+    tags=("streaming", "e2e", "stateful", "tws"),
+    doc="The SAME composed §3.3 price-maintenance chain as "
+    "stream_price_maint_e2e, with the P11 keyed fold running on the "
+    "modern Spark 4 StatefulProcessor API (transformWithStateInPandas + "
+    "RocksDB state store) instead of applyInPandasWithState — typed "
+    "ValueState holding the last-EMITTED (base, quote) per pair "
+    "(SERVER/ingest_prices.py:42-55). Graded by the IDENTICAL "
+    "recursive-CTE fold + arg-max-per-key oracle, so the two stateful "
+    "APIs are pinned to one semantics by the driver itself. Runs "
+    "without the real protobuf package: the TWS state-server protocol "
+    "is carried by the vendored pure-Python miniproto runtime "
+    "(_vendor/miniproto, public wire format only).",
+)
+def stream_price_maint_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _price_maint_e2e(spark, sf_dir, kernel="tws")
+
+
+@contextmanager
+def _rocksdb_state(spark: SparkSession):
+    """Scope the RocksDB state-store provider (required by
+    transformWithStateInPandas) to one streaming run, restoring the
+    session's previous provider afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset -> restore by unsetting
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _price_maint_e2e(
-    spark: SparkSession, sf_dir: str, restart_after: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    restart_after: int | None = None,
+    kernel: str = "apips",
 ) -> DataFrame:
     """Core of stream_price_maint_e2e, parameterized so tests can prove the
     composed ST6 recovery contract for KEYED CUSTOM STATE: with
@@ -2011,7 +2058,9 @@ def _price_maint_e2e(
     slice emits duplicates — converging to the identical price dimension
     as the uninterrupted run."""
     from ..sources.io import upsert_dimension
-    from ..streaming.pipelines import price_change_events
+    from ..streaming.pipelines import price_change_events, price_change_events_tws
+
+    fold = price_change_events if kernel == "apips" else price_change_events_tws
 
     ev = _events_table(spark, sf_dir)
     prices = ev.select(
@@ -2090,8 +2139,11 @@ def _price_maint_e2e(
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
-        emitted = price_change_events(stream)
-        with _state_partitions(spark, 8):
+        emitted = fold(stream)
+        with ExitStack() as scopes:
+            scopes.enter_context(_state_partitions(spark, 8))
+            if kernel == "tws":
+                scopes.enter_context(_rocksdb_state(spark))
             _run_available_now(
                 emitted.writeStream.outputMode("append")
                 .foreachBatch(apply)

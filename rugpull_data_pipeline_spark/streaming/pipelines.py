@@ -301,23 +301,26 @@ def price_change_events_tws(
     two APIs produce identical emissions on identical input, which pins the
     semantics independently of either API's quirks.
 
-    Requires ``protobuf`` (the TWS state-server protocol is protobuf-encoded:
-    ``pyspark/sql/streaming/proto/StateMessage_pb2.py``); raises
-    ``NotImplementedError`` up front when it's absent rather than crashing
-    the query's schema-validation worker mid-flight.
+    The TWS state-server protocol is protobuf-encoded
+    (``pyspark/sql/streaming/proto/StateMessage_pb2.py``). Where the real
+    ``protobuf`` package is absent this activates the vendored pure-Python
+    mini-runtime (``_vendor/miniproto`` — public wire format only) on the
+    driver, the task workers, and the TWS pre-init worker; it raises
+    ``NotImplementedError`` only if that activation itself fails, rather
+    than crashing the query's schema-validation worker mid-flight.
     """
-    import importlib.util
+    from .._vendor import ensure_protobuf
 
     try:
-        _has_pb = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no 'google' namespace package at all
-        _has_pb = False
-    if not _has_pb:
+        ensure_protobuf(prices.sparkSession)
+        import google.protobuf  # noqa: F401
+    except Exception as exc:  # pragma: no cover - activation failure path
         raise NotImplementedError(
-            "transformWithStateInPandas needs the 'protobuf' package "
-            "(pyspark.sql.streaming.proto); install protobuf or use "
-            "price_change_events (applyInPandasWithState) instead."
-        )
+            "transformWithStateInPandas needs a protobuf runtime "
+            "(pyspark.sql.streaming.proto) and the vendored miniproto shim "
+            f"could not be activated: {exc}; use price_change_events "
+            "(applyInPandasWithState) instead."
+        ) from exc
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -128,10 +128,10 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
     applyInPandasWithState implementation emits on the same input —
     pinning the P11 semantics independently of either API.
 
-    Skipped where protobuf is unavailable (the TWS state protocol needs it;
-    this container ships pyspark without it) — the guard in
-    price_change_events_tws is itself exercised below either way."""
-    pytest.importorskip("google.protobuf")
+    Runs WITHOUT the real protobuf package: price_change_events_tws
+    activates the vendored miniproto runtime (_vendor/miniproto, public
+    wire format only) on driver + workers, so the TWS state-server
+    protocol round-trips through the shim end-to-end here."""
     src = str(tmp_path / "prices_tws")
     rows = [
         ("P1", "2024-01-01 00:00:00", 100.0, 10.0),
@@ -186,19 +186,28 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path):
     }
 
 
-def test_tws_guard_without_protobuf(spark):
-    """In environments without protobuf the TWS builder must fail fast with
-    a clear message, not crash the query's schema-validation worker."""
-    try:
-        import google.protobuf  # noqa: F401
-        pytest.skip("protobuf installed — guard not reachable")
-    except ImportError:
-        pass
-    df = spark.createDataFrame(
-        [("P", 1.0, 1.0)], "pair string, base_price double, quote_price double"
-    ).withColumn("ts", F.current_timestamp())
-    with pytest.raises(NotImplementedError, match="protobuf"):
-        price_change_events_tws(df)
+def test_tws_protobuf_shim_activates(spark):
+    """Where the real protobuf package is missing, ensure_protobuf must
+    activate the vendored miniproto runtime so the TWS state protocol has a
+    wire codec everywhere it runs (driver sys.path, worker addPyFile zip,
+    pre-init worker PYTHONPATH)."""
+    from rugpull_data_pipeline_spark._vendor import ensure_protobuf
+
+    kind = ensure_protobuf(spark)
+    assert kind in ("real", "miniproto")
+    import google.protobuf  # noqa: F401
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    # The generated module must be functional whichever runtime backs it.
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    assert req.SerializeToString() == bytes.fromhex("12040a020802")
+    if kind == "miniproto":
+        env = spark.sparkContext.environment
+        assert "miniproto" in env.get("PYTHONPATH", "")
 
 
 def test_watermarked_dedup(spark, tmp_path):
@@ -951,5 +960,26 @@ def test_price_maint_e2e_checkpoint_recovery(spark, sf_dir):
     recovered = sorted(
         tuple(r)
         for r in _price_maint_e2e(spark, sf_dir, restart_after=2).collect()
+    )
+    assert recovered == uninterrupted
+
+
+def test_price_maint_tws_checkpoint_recovery(spark, sf_dir):
+    """The SAME composed ST6 recovery contract on the transformWithState
+    kernel: restarting mid-corpus from the checkpoint must restore the
+    typed ValueState (last-EMITTED base/quote per pair) held in the
+    RocksDB state store and converge to the uninterrupted run's dimension.
+    Runs through the vendored miniproto protobuf runtime end-to-end."""
+    from rugpull_data_pipeline_spark.plans.stream_infra import _price_maint_e2e
+
+    uninterrupted = sorted(
+        tuple(r) for r in _price_maint_e2e(spark, sf_dir, kernel="tws").collect()
+    )
+    assert uninterrupted, "price-maintenance sink is empty"
+    recovered = sorted(
+        tuple(r)
+        for r in _price_maint_e2e(
+            spark, sf_dir, restart_after=2, kernel="tws"
+        ).collect()
     )
     assert recovered == uninterrupted
