@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -69,7 +69,7 @@ ORDER BY p.event_id
     "DuckDB's native ASOF LEFT JOIN — two independent implementations.",
 )
 def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     views = ev.where(F.col("event_type") == "view").select(
         "user_id",
         "ts",
@@ -138,7 +138,7 @@ ORDER BY e.event_id
     "naive inequality join produces; oracle runs that naive join.",
 )
 def join_range_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     bucket = F.floor(us / F.lit(_RANGE_US))
 
@@ -258,10 +258,10 @@ _N_SALTS = 8
     "over 8 reducers. Result provably identical to the plain join (oracle).",
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.table("lineitem").withColumn(
+    li = static_table(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.col("l_linenumber"), F.lit(_N_SALTS)).cast("int")
     )
-    orders = spark.table("orders").withColumn(
+    orders = static_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)]))
     )
     # Both equi keys live in the join condition so Catalyst hashes on
@@ -405,7 +405,7 @@ ORDER BY user_id, event_id
 def udf_groupmap_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import groupwise_minmax_scale
 
-    ev = spark.table("events").where(F.col("event_type") == "purchase")
+    ev = static_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     return groupwise_minmax_scale(ev, "user_id", "value").orderBy(
         "user_id", "event_id"
     )
@@ -800,7 +800,7 @@ ORDER BY vec_id
 def udf_arrowmap_vecsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import arrow_vec_fixedpoint_sum
 
-    return arrow_vec_fixedpoint_sum(spark.table("embeddings")).orderBy("vec_id")
+    return arrow_vec_fixedpoint_sum(static_table(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -921,7 +921,7 @@ def _bloom_prefilter(d: str) -> str:
 )
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = "cast(floor(value * cast(100 as double)) as bigint)"
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     hot = (
         ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
         .groupBy("user_id")

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -717,7 +717,7 @@ def kmeans_lloyd_fit(spark, sf_dir):
     from pyspark.sql import functions as F
 
     k, iters = 8, 4
-    emb = spark.table("embeddings").select(
+    emb = static_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )

@@ -56,7 +56,7 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -826,7 +826,7 @@ def events_attribution_last_touch(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     touches = ev.where(F.col("event_type") != "purchase").select(
         "user_id",
         "ts",
@@ -956,7 +956,7 @@ def graph_pagerank_power3(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     prev = F.lag("event_type").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
     )
@@ -1089,7 +1089,7 @@ def graph_hits_power3(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     prev = F.lag("event_type").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
     )
@@ -1779,7 +1779,7 @@ def join_asof_next_view(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = spark.table("events")
+    ev = static_table(spark, sf_dir, "events")
     # kind 0 = purchase, 1 = view: at equal ts the purchase row precedes
     # the views, so the FOLLOWING frame includes same-instant views —
     # matching the oracle's v.ts >= p.ts.

@@ -26,7 +26,7 @@ from ..multimodal.columns import (
     extract_blob_metadata,
     sample_frames,
 )
-from .registry import register
+from .registry import register, static_table
 
 # --- blob + typed metadata (fully JVM-side) --------------------------------
 
@@ -50,7 +50,7 @@ ORDER BY doc_id
     "JVM-side (no UDF): the scan/partition layer of the multimodal pipeline.",
 )
 def multimodal_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     return extract_blob_metadata(attach_blob_column(docs)).orderBy("doc_id")
 
 
@@ -72,7 +72,7 @@ _FEAT_ORACLE = "SELECT doc_id,\n" + ",\n".join(
     "oracle checks the full UDF plumbing bit-for-bit).",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     feats = decode_image_features(attach_blob_column(docs))
     return feats.select(
         "doc_id", *[F.col("features")[i].alias(f"f{i}") for i in range(8)]
@@ -100,7 +100,7 @@ ORDER BY doc_id, frame_idx
     "oracle reproduces the chunking in SQL, verifying the fan-out exactly.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_blob_column(docs), every_n_bytes=64)
     return frames.orderBy("doc_id", "frame_idx")
 
@@ -230,7 +230,7 @@ ORDER BY k.doc_id
 def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import resize_blobs
 
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     return resize_blobs(
         attach_blob_column(docs), target_bytes=_RESIZE_TARGET
     ).orderBy("doc_id")
@@ -280,7 +280,7 @@ ORDER BY doc_id, win_idx
 def multimodal_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.columns import attach_blob_column, window_energy
 
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     return window_energy(attach_blob_column(docs), window_bytes=32).orderBy(
         "doc_id", "win_idx"
     )
@@ -373,7 +373,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..multimodal.columns import attach_blob_column, phash_words
 
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     words = phash_words(attach_blob_column(docs)).localCheckpoint()
     capped = (
         words.withColumn(
@@ -483,7 +483,7 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..multimodal.columns import attach_blob_column, window_energy
 
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     en = window_energy(attach_blob_column(docs), window_bytes=32)
     tot = en.groupBy("doc_id").agg(
         F.sum("energy").cast("bigint").alias("te"),

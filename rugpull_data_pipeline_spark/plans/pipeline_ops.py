@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -1285,7 +1285,7 @@ def _kcenter_coreset(d: str) -> str:
     "the traversal chain combinatorially — 45 scans at k=4.)",
 )
 def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    iv = spark.table("embeddings").selectExpr(
+    iv = static_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", f"{S.int_vec('embedding', SPARK)} AS v"
     )
     iv = iv.localCheckpoint()

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -66,11 +66,11 @@ GROUP BY l_suppkey, l_partkey
     "pre/post aggregation, broadcast dim enrichment.",
 )
 def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = spark.table("nation")
-    region = spark.table("region")
-    supplier = spark.table("supplier")
-    part = spark.table("part")
-    lineitem = spark.table("lineitem")
+    nation = static_table(spark, sf_dir, "nation")
+    region = static_table(spark, sf_dir, "region")
+    supplier = static_table(spark, sf_dir, "supplier")
+    part = static_table(spark, sf_dir, "part")
+    lineitem = static_table(spark, sf_dir, "lineitem")
 
     # Watchlist: suppliers in ASIA (stands in for the hot-address file,
     # RECEIVER/file_utils.cpp:3-36). Tiny → broadcast everywhere, like the
@@ -912,7 +912,7 @@ _pair(
     "published error hash-mismatches.",
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.table("lineitem")
+    li = static_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),

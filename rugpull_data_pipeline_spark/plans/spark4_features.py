@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import DUCK, SPARK
-from .registry import register, sql_pair
+from .registry import register, sql_pair, static_table
 
 
 def _pair(name, q, tags=(), doc=""):
@@ -340,7 +340,7 @@ ORDER BY lang_ci
 def spark4_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    docs = spark.table("documents")
+    docs = static_table(spark, sf_dir, "documents")
     ci = F.expr(
         "CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END "
         "COLLATE UTF8_LCASE"
@@ -409,7 +409,7 @@ ORDER BY w.thr LIMIT 1
 )
 def spark4_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
-        spark.table("events")
+        static_table(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
         .selectExpr("cast(floor(value * cast(100 as double)) as bigint) AS s")
         .groupBy("s")
