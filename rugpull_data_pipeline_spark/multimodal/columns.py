@@ -143,10 +143,21 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, use_stub: bool = True)
             out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 for i in range(0, max(len(blob), 1), every_n_bytes):
+                    # Hash the UPPERCASE-HEX rendering of the BYTE chunk, not
+                    # the raw bytes: chunking is genuinely byte-based (binary
+                    # payload semantics), but DuckDB's md5 only takes VARCHAR
+                    # and it has no blob substring — hex() is the one
+                    # byte-faithful rendering both engines can slice and
+                    # hash identically. Raw-byte md5 chunking diverged from
+                    # the char-based oracle the moment the corpus contained
+                    # a multibyte character (caught by the r9 unicode-text
+                    # sweep: frame COUNTS split on octet vs char length).
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i // every_n_bytes)
                     out["frame_hash"].append(
-                        hashlib.md5(blob[i : i + every_n_bytes]).hexdigest()
+                        hashlib.md5(
+                            blob[i : i + every_n_bytes].hex().upper().encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(out)
 

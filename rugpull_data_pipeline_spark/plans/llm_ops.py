@@ -131,7 +131,14 @@ _pair(
 
 def _fingerprint(d: str) -> str:
     toks = _toks(d)
-    canon = S.arr_join(S.arr_sort(S.arr_distinct(f"{S.split_ws('lower(text)', d)}", d), d), "' '", d)
+    # Portable lowercase: U+0130 (Turkish dotted capital I) is the one code
+    # point whose lowercase MAPPING differs between the engines — Java/Spark
+    # applies the full Unicode mapping ('i' + U+0307 combining dot), DuckDB's
+    # utf8proc applies the simple mapping (bare 'i'). Pre-folding it to 'i'
+    # on BOTH sides pins one deterministic canon (caught by the r9
+    # unicode-text sweep; every other lower() mapping agrees).
+    lowered = "lower(replace(text, 'İ', 'i'))"
+    canon = S.arr_join(S.arr_sort(S.arr_distinct(f"{S.split_ws(lowered, d)}", d), d), "' '", d)
     return f"""
     SELECT doc_id,
         md5({canon}) AS fingerprint,

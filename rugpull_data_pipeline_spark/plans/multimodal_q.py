@@ -84,9 +84,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_ORACLE = """
 SELECT doc_id,
     cast(i as int) AS frame_idx,
-    md5(substring(text, i * 64 + 1, 64)) AS frame_hash
+    md5(substring(hex(encode(text)), i * 128 + 1, 128)) AS frame_hash
 FROM documents,
-    unnest(range(0, cast(ceil(greatest(length(text), 1) / 64.0) as bigint))) AS t(i)
+    unnest(range(0, cast(ceil(greatest(octet_length(encode(text)), 1) / 64.0) as bigint))) AS t(i)
 ORDER BY doc_id, frame_idx
 """
 
@@ -96,8 +96,10 @@ ORDER BY doc_id, frame_idx
     oracle=_FRAME_ORACLE,
     tags=("multimodal", "udf"),
     doc="Frame sampling: one input row fans out to K frame rows inside "
-    "mapInPandas (flatMap shape). Stub kernel hashes 64-byte chunks; the "
-    "oracle reproduces the chunking in SQL, verifying the fan-out exactly.",
+    "mapInPandas (flatMap shape). Stub kernel hashes each 64-BYTE chunk "
+    "via its uppercase-hex rendering (DuckDB md5 is VARCHAR-only); the "
+    "oracle reproduces the byte chunking over hex(encode(text)), "
+    "verifying the fan-out exactly even on multibyte corpora.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = static_table(spark, sf_dir, "documents")

@@ -107,6 +107,21 @@ def ship_package(spark: SparkSession) -> None:
         for p in sorted(pkg_dir.rglob("*.py")):
             z.write(p, arcname=str(pathlib.Path(pkg_dir.name) / p.relative_to(pkg_dir)))
     spark.sparkContext.addPyFile(zip_path)
+    # addPyFile covers TASK workers (python includes land on their sys.path)
+    # but NOT StreamingPythonRunner workers — the transformWithState
+    # PRE-INIT driver worker unpickles the StatefulProcessor closure in a
+    # separate process whose sys.path comes only from the merged PYTHONPATH
+    # env. Inject the repo root there too (driver-host-local path: the
+    # pre-init worker always runs on the driver host, executors keep using
+    # the shipped zip). Found by a fresh-process driver simulation run from
+    # outside the repo root, where the JVM's cwd no longer masked it.
+    env = spark.sparkContext.environment
+    repo_root = str(pkg_dir.parent)
+    prev = env.get("PYTHONPATH", "")
+    if repo_root not in prev.split(os.pathsep):
+        env["PYTHONPATH"] = repo_root if not prev else (
+            repo_root + os.pathsep + prev
+        )
     _SHIPPED.add(key)
 
 

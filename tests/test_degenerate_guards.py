@@ -21,6 +21,11 @@ from rugpull_data_pipeline_spark.plans import registry
 
 @pytest.fixture
 def hand_views(spark):
+    # Pin the registry's view cache to the sentinel sf_dir these tests pass
+    # (""), so static_table-routed builders read the hand-crafted temp views
+    # instead of falling back to a parquet load (the gate's whole purpose:
+    # direct callers must OPT IN to view substitution, which this is).
+    registry._VIEWS_FOR[id(spark)] = ""
     yield spark
     # Drop the hand-data temp views, not just the registry's view cache:
     # stream_infra._events_table is view-first since round 7, so a stale

@@ -37,6 +37,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --negative-values # events.value all < 0
     python tools/empty_sweep.py --skewed-duplicates # Zipf keys x tied ts x tied values
     python tools/empty_sweep.py --giant-payloads # 1 MB doc, 10^4-dim vectors, nested props
+    python tools/empty_sweep.py --unicode-text   # multilingual gauntlet on every doc
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -150,6 +151,20 @@ def main() -> int:
         "remaining 100 TB corpus hazard class (a giant-row OOM or a "
         "quadratic per-row array op hides at sf0.01)",
     )
+    ap.add_argument(
+        "--unicode-text",
+        action="store_true",
+        help="instead of empty tables: every documents.text prefixed with a "
+        "fixed multilingual gauntlet — combining marks vs precomposed "
+        "(cafe\\u0301 vs caf\\u00e9), 4-byte non-BMP emoji (surrogate "
+        "pairs in UTF-16 engines), CJK, Greek, Cyrillic, RTL Hebrew, "
+        "Turkish dotted-I and German eszett (the classic case-mapping "
+        "traps), full-width digits — the eleven prior surfaces stress "
+        "keys/values/time/payload-SIZE; none stressed payload CONTENT "
+        "encoding, where code-point vs byte vs grapheme length, case "
+        "mapping, and regex word-class semantics can silently diverge "
+        "between engines over a real multilingual 100 TB corpus",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -245,6 +260,42 @@ def main() -> int:
                     " ', \"nest\": ' || repeat('{\"a\":', 12) || '1' ||"
                     " repeat('}', 12) || '}' AS props)"
                     f" FROM read_parquet('{SF}/events.parquet')"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.unicode_text:
+        # One fixed gauntlet prefixed to EVERY document, built from python
+        # escapes so the exact code points are pinned in source; passed to
+        # both engines as a parameter/UTF-8 literal so the bytes are
+        # identical by construction. ASCII-space separated so tokenizers
+        # see it as ordinary tokens. No NULs or lone surrogates: those are
+        # not valid parquet/UTF-8 payloads, not an engine-divergence class.
+        gauntlet = (
+            "caf\u00e9 cafe\u0301 "  # precomposed vs combining acute
+            "\U0001f9ea\U0001f600 "  # non-BMP emoji (4-byte UTF-8)
+            "漢字 "  # CJK
+            "Στίγμας "  # Greek, final sigma
+            "слово "  # Cyrillic
+            "שלום "  # RTL Hebrew
+            "İstanbul ß "  # dotted-I + eszett case traps
+            "１２３"  # full-width digits
+        )
+        spark.table("documents").withColumn(
+            "text", F.concat(F.lit(gauntlet + " "), F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long")).localCheckpoint(
+        ).createOrReplaceTempView("documents")
+        for t in TABLES:
+            if t == "documents":
+                # Inline literal (DuckDB forbids bound params in CREATE
+                # VIEW); the gauntlet contains no quotes by construction.
+                con.execute(
+                    "CREATE VIEW documents AS SELECT * REPLACE"
+                    " (cast(length(text) as bigint) AS n_chars) FROM ("
+                    f"SELECT * REPLACE ('{gauntlet} ' || text AS text)"
+                    f" FROM read_parquet('{SF}/documents.parquet')) t"
                 )
             else:
                 con.execute(
