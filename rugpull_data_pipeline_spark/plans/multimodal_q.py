@@ -81,12 +81,26 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- video-style frame sampling (flatMap-shaped mapInPandas) ----------------
 
+# One-pass byte-chunk extraction: regexp_extract_all splits the hex stream
+# into 128-hex-char (= 64-byte) cells in a single O(n) scan, and the two
+# parallel unnests zip. Per-chunk substring(h, i*128+1, 128) is O(position)
+# in DuckDB, which turns a megabyte-scale document into an O(n^2/64) oracle
+# — 55 s per giant row, found by the --giant-payloads sweep.
 _FRAME_ORACLE = """
-SELECT doc_id,
-    cast(i as int) AS frame_idx,
-    md5(substring(hex(encode(text)), i * 128 + 1, 128)) AS frame_hash
-FROM documents,
-    unnest(range(0, cast(ceil(greatest(octet_length(encode(text)), 1) / 64.0) as bigint))) AS t(i)
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+        octet_length(encode(text)) AS nb
+    FROM documents
+)
+SELECT doc_id, cast(i as int) AS frame_idx, md5(hx) AS frame_hash
+FROM (
+    SELECT doc_id,
+        unnest(range(0, cast(ceil(nb / 64.0) as bigint))) AS i,
+        unnest(regexp_extract_all(h, '.{1,128}')) AS hx
+    FROM b WHERE nb > 0
+) c
+UNION ALL
+SELECT doc_id, 0, md5('') FROM b WHERE nb = 0
 ORDER BY doc_id, frame_idx
 """
 
@@ -245,24 +259,31 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex(encode(text)) — ord()-of-character would diverge on any non-ASCII
 # text (multi-byte codepoints shift both the window boundaries and the
 # folded values).
+# One-pass byte stream: the hex is split into 2-char cells in a single
+# O(n) regexp scan, the parallel unnests zip (byte index, byte value), and
+# window aggregation is a GROUP BY on i // 32 — replacing the per-byte
+# substring(h, ...) reads whose O(position) cost made the oracle
+# O(n^2) on megabyte rows (found by the --giant-payloads sweep: the old
+# shape was still computing one giant doc after 12 minutes).
 _ENERGY_ORACLE = """
 WITH b AS (
     SELECT doc_id, hex(encode(text)) AS h,
         octet_length(encode(text)) AS nb
     FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+        unnest(range(0, nb)) AS i,
+        unnest(list_transform(regexp_extract_all(h, '..'),
+                              x -> cast(('0x' || x) as bigint))) AS v
+    FROM b
 )
-SELECT doc_id,
-    cast(i as int) AS win_idx,
-    cast(least(32, nb - i * 32) as int) AS win_len,
-    cast(coalesce(list_sum(list_transform(
-        range(0, least(32, nb - i * 32)),
-        j -> cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
-                as bigint)
-             * cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
-                as bigint))), 0) as bigint)
-        AS energy
-FROM b,
-    unnest(range(0, cast(ceil(greatest(nb, 1) / 32.0) as bigint))) AS t(i)
+SELECT doc_id, cast(i // 32 as int) AS win_idx,
+    cast(count(*) as int) AS win_len,
+    cast(sum(v * v) as bigint) AS energy
+FROM bytes GROUP BY doc_id, i // 32
+UNION ALL
+SELECT doc_id, 0, 0, 0 FROM b WHERE nb = 0
 ORDER BY doc_id, win_idx
 """
 
@@ -302,12 +323,17 @@ WITH b AS (
         octet_length(encode(text)) AS nb
     FROM documents
 ),
+raw AS (
+    -- one-pass zipped byte stream (see _ENERGY_ORACLE: the per-byte
+    -- substring read was O(n^2) on megabyte rows)
+    SELECT doc_id, nb,
+        unnest(range(0, nb)) AS i,
+        unnest(list_transform(regexp_extract_all(h, '..'),
+                              x -> cast(('0x' || x) as bigint))) AS v
+    FROM b
+),
 bytes AS (
-    SELECT doc_id, nb, i,
-        cast(('0x' || substring(h, cast(2 * i + 1 as int), 2)) as bigint) AS v,
-        cast((i * 64) // nb as int) AS blk
-    FROM b, unnest(range(0, nb)) AS t(i)
-    WHERE nb > 0
+    SELECT doc_id, nb, i, v, cast((i * 64) // nb as int) AS blk FROM raw
 ),
 blocks AS (
     SELECT doc_id, nb, blk, sum(v) AS bs, count(*) AS bl
@@ -421,27 +447,30 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- VAD-style voiced-segment extraction (islands over frame energy) --------
 
 # The oracle recomputes the 32-byte frame energies exactly like
-# _ENERGY_ORACLE, then applies the same integer threshold (strictly above
-# the per-doc mean, cross-multiplied so no division happens) and the
-# classic gaps-and-islands grouping win_idx - row_number().
+# _ENERGY_ORACLE (same one-pass zipped byte stream; the old per-byte
+# substring shape was O(n^2) on megabyte rows), then applies the same
+# integer threshold (strictly above the per-doc mean, cross-multiplied so
+# no division happens) and the classic gaps-and-islands grouping
+# win_idx - row_number().
 _VAD_ORACLE = """
 WITH b AS (
     SELECT doc_id, hex(encode(text)) AS h,
         octet_length(encode(text)) AS nb
     FROM documents
 ),
-en AS (
+bytes AS (
     SELECT doc_id,
-        cast(i as int) AS win_idx,
-        cast(coalesce(list_sum(list_transform(
-            range(0, least(32, nb - i * 32)),
-            j -> cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
-                    as bigint)
-                 * cast(('0x' || substring(h, cast(2 * (i * 32 + j) + 1 as int), 2))
-                    as bigint))), 0) as bigint)
-            AS energy
-    FROM b,
-        unnest(range(0, cast(ceil(greatest(nb, 1) / 32.0) as bigint))) AS t(i)
+        unnest(range(0, nb)) AS i,
+        unnest(list_transform(regexp_extract_all(h, '..'),
+                              x -> cast(('0x' || x) as bigint))) AS v
+    FROM b
+),
+en AS (
+    SELECT doc_id, cast(i // 32 as int) AS win_idx,
+        cast(sum(v * v) as bigint) AS energy
+    FROM bytes GROUP BY doc_id, i // 32
+    UNION ALL
+    SELECT doc_id, 0, 0 FROM b WHERE nb = 0
 ),
 tot AS (
     SELECT doc_id, cast(sum(energy) as bigint) AS te,
