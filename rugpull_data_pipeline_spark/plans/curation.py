@@ -307,30 +307,32 @@ _pair(
 
 
 def _embedding_quantize(d: str) -> str:
+    # min/max are HOISTED into their own projection: referencing
+    # array_min(v)/list_min(v) inside the transform lambda re-evaluates the
+    # O(n) reduction PER ELEMENT — O(n^2) per vector, invisible at 32 dims
+    # and hours at the giant-payload surface's 10,048 dims (caught by the
+    # r9 --giant-payloads sweep, on BOTH engines).
     iv = S.int_vec("embedding", d)
     if d == SPARK:
-        mn, mx = "array_min(v)", "array_max(v)"
-        codes = (
-            "transform(v, x -> ((x - array_min(v)) * 254) "
-            "div greatest(array_max(v) - array_min(v), cast(1 as bigint)))"
-        )
+        codes = "transform(v, x -> ((x - mn) * 254) div rng)"
         code_sum = f"aggregate({codes}, cast(0 as bigint), (acc, x) -> acc + x)"
         code_0 = f"element_at({codes}, 1)"
+        rng = "greatest(array_max(v) - array_min(v), cast(1 as bigint))"
+        mnmx = "array_min(v) AS mn, array_max(v) AS mx"
     else:
-        mn, mx = "list_min(v)", "list_max(v)"
-        codes = (
-            "list_transform(v, x -> ((x - list_min(v)) * 254) "
-            "// greatest(list_max(v) - list_min(v), 1))"
-        )
+        codes = "list_transform(v, x -> ((x - mn) * 254) // rng)"
         code_sum = f"cast(list_sum({codes}) as bigint)"
         code_0 = f"cast({codes}[1] as bigint)"
+        rng = "greatest(list_max(v) - list_min(v), 1)"
+        mnmx = "list_min(v) AS mn, list_max(v) AS mx"
     return f"""
-    WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings)
+    WITH iv AS (SELECT vec_id, {iv} AS v FROM embeddings),
+    stats AS (SELECT vec_id, v, {mnmx}, {rng} AS rng FROM iv)
     SELECT vec_id,
-        {mn} AS min_q, {mx} AS max_q,
+        mn AS min_q, mx AS max_q,
         {code_sum} AS code_sum,
         {code_0} AS code_0
-    FROM iv
+    FROM stats
     ORDER BY vec_id
     """
 
