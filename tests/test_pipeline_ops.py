@@ -23,6 +23,10 @@ from rugpull_data_pipeline_spark.plans.pipeline_ops import (
 def hand_views(spark):
     """Let a test overwrite the registry's temp views with hand data; drop
     the registry's view cache afterwards so later tests re-register."""
+    # Pin the view cache to the sentinel sf_dir ("unused") the direct
+    # builder calls pass, so registry.static_table reads the hand views
+    # (test_property_mining2 convention).
+    registry._VIEWS_FOR[id(spark)] = "unused"
     yield spark
     registry._VIEWS_FOR.pop(id(spark), None)
 
@@ -437,6 +441,7 @@ def _kcenter_property(spark_session):
             [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)],
             "vec_id long, embedding array<float>",
         ).createOrReplaceTempView("embeddings")
+        registry._VIEWS_FOR[id(spark)] = "unused"  # static_table reads the view
         try:
             rows = sample_kcenter_coreset(spark, "unused").collect()
         finally:

@@ -25,6 +25,10 @@ PROP = dict(
 
 @pytest.fixture
 def hand_views(spark):
+    # Pin the view cache to the sentinel sf_dir ("unused") the direct
+    # builder calls pass, so registry.static_table reads the hand views
+    # (test_property_mining2 convention).
+    registry._VIEWS_FOR[id(spark)] = "unused"
     yield spark
     registry._VIEWS_FOR.pop(id(spark), None)
 

@@ -78,6 +78,9 @@ def _asof(spark, purchases, views):
         rows, "event_id long, user_id long, ts timestamp, event_type string, value double, props string"
     )
     df.createOrReplaceTempView("events")
+    from rugpull_data_pipeline_spark.plans import registry
+
+    registry._VIEWS_FOR[id(spark)] = "unused"  # static_table reads the view
     out = join_asof_last_view(spark, "unused")
     return {r.event_id: r.last_view_value for r in out.collect()}
 

@@ -194,6 +194,7 @@ def test_phash_neardup_finds_clone_pairs(spark):
         [(1, t1), (2, t1), (3, "zzz qqq xxx completely different text payload")],
         "doc_id long, text string",
     ).createOrReplaceTempView("documents")
+    registry._VIEWS_FOR[id(spark)] = "unused"  # static_table reads the view
     try:
         got = [
             (r.doc_a, r.doc_b, r.hamming_bits)
@@ -282,6 +283,7 @@ def test_vad_segments_islands_and_threshold(spark):
         [(1, "z" * 32 + " " * 32 + "z" * 32), (2, "z" * 64 + " " * 32)],
         "doc_id long, text string",
     ).createOrReplaceTempView("documents")
+    registry._VIEWS_FOR[id(spark)] = "unused"  # static_table reads the view
     try:
         rows = multimodal_vad_segments(spark, "unused").collect()
     finally:
