@@ -76,15 +76,29 @@ def _windows(d: str) -> str:
               FROM documents) t
         LATERAL VIEW explode({seq}) w AS i
         """
-    # element access, not toks[i:i+k] slicing: DuckDB list slices cost
-    # O(len(list)) each -> per-token windows were O(tokens^2) per row
-    # (hung on the giant-payload sweep's 150k-token doc; round 9)
-    win = " || ' ' || ".join(["toks[i]"] + [f"toks[i+{j}]" for j in range(1, _WIN)])
+    # lead()-composed windows over a zipped (pos, tok) unnest: the earlier
+    # element-access form still CARRIED the full toks list through the
+    # lateral fan-out, which copies a 150k-element list per window row —
+    # effectively unbounded on the giant-payload surface (this was the
+    # r9 sweep's second hang here, after the original O(len) list-slice
+    # form). One window-function pass is O(tokens) total and keeps only
+    # (doc_id, pos, tok) scalars in flight.
+    win = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _WIN)]
+    )
     return f"""
-    SELECT doc_id, i AS pos, {S.portable_hash64(win, d)} AS wh
-    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t,
-         unnest(range(1, len(toks) - {_WIN - 2}, {_STRIDE})) w(i)
-    WHERE len(toks) >= {_WIN}
+    SELECT doc_id, pos, wh FROM (
+        SELECT doc_id, pos, n, {S.portable_hash64(win, d)} AS wh
+        FROM (
+            SELECT doc_id, len(toks) AS n,
+                unnest(range(1, len(toks) + 1)) AS pos,
+                unnest(toks) AS tok
+            FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+        ) tok_rows
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) z
+    WHERE n >= {_WIN} AND pos <= n - {_WIN - 1}
+        AND (pos - 1) % {_STRIDE} = 0
     """
 
 
