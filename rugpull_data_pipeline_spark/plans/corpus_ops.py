@@ -651,12 +651,19 @@ def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
     argmin margins >= 7e-6 relative and inertia sits >= 7e-6 from any 4dp
     rounding boundary, while cross-engine float-order noise is <= ~1e-12 —
     no flip is possible."""
+    # AS MATERIALIZED on every re-referenced CTE: DuckDB inlines plain
+    # CTEs, and the unrolled round chain references xv 9 times and each
+    # c{r} twice — inlining re-expands the whole prefix per reference
+    # (exponential in rounds), which detonated at the giant-payload
+    # surface's 10,048 dims (r9 sweep). Materialization makes each round
+    # compute once, restoring the intended O(rounds * n * k * d).
     parts = [
-        "WITH xv AS (",
+        "WITH xv AS MATERIALIZED (",
         "    SELECT vec_id, i - 1 AS d, cast(embedding[i] as double) AS x",
         "    FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)",
         "),",
-        f"c0 AS (SELECT vec_id AS cid, d, x AS m FROM xv WHERE vec_id < {k}),",
+        "c0 AS MATERIALIZED (",
+        f"    SELECT vec_id AS cid, d, x AS m FROM xv WHERE vec_id < {k}),",
     ]
     for r in range(1, iters + 1):
         parts += [
@@ -681,7 +688,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
             f"    FROM a{r} a JOIN xv ON xv.vec_id = a.vec_id",
             "    GROUP BY a.cid, xv.d",
             "),",
-            f"c{r} AS (",
+            f"c{r} AS MATERIALIZED (",
             "    SELECT p.cid, p.d, coalesce(n.m, p.m) AS m",
             f"    FROM c{r - 1} p LEFT JOIN n{r} n",
             "        ON n.cid = p.cid AND n.d = p.d",
@@ -748,20 +755,47 @@ def kmeans_lloyd_fit(spark, sf_dir):
         )
 
     def assign(df, centroids):
-        # Distance to each centroid as a literal column; argmin via least()
-        # over (dist, cid) structs — all JVM-side, no Python in the loop.
-        dcols = []
-        for cid, cv in enumerate(centroids):
-            lit_c = F.array(*[F.lit(float(x)) for x in cv])
-            dist = F.aggregate(
-                F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
+        # Centroids travel as a BROADCAST TABLE, not as plan literals: the
+        # earlier literal-per-centroid form embedded k x d constants into
+        # the expression tree, which blew past codegen limits into
+        # interpreted fallback at the giant-payload surface's 10,048 dims
+        # (~45 s per iteration; r9 sweep). The broadcast nested-loop join
+        # against the k-row table is the shape a real cluster wants anyway
+        # — centroids are data, not plan. Argmin via min(struct(d2, cid,
+        # v)): all candidates for a vector sit in one partition (NLJ
+        # preserves the probe side), so the partial agg collapses k rows
+        # to 1 map-side and the struct min's (d2, cid) lexicographic order
+        # reproduces the old least() tie-break exactly.
+        spark_ = df.sparkSession
+        cent_df = spark_.createDataFrame(
+            [(cid, [float(x) for x in cv]) for cid, cv in enumerate(centroids)],
+            "cid int, cv array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        return (
+            df.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2c", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("d2c").alias("d2"),
+                        F.col("cid").alias("cid"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("b")
             )
-            dcols.append(F.struct(dist.alias("d2"), F.lit(cid).alias("cid")))
-        # least() needs >= 2 columns; a 1-vector corpus has one centroid
-        best = F.least(*dcols) if len(dcols) > 1 else dcols[0]
-        return df.withColumn("cluster", best["cid"]).withColumn("d2", best["d2"])
+            .select(
+                "vec_id",
+                F.col("b.v").alias("v"),
+                F.col("b.cid").alias("cluster"),
+                F.col("b.d2").alias("d2"),
+            )
+        )
 
     for _ in range(iters):
         assigned = assign(emb, centroids)

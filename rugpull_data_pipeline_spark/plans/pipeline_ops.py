@@ -1291,7 +1291,10 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = iv.localCheckpoint()
 
     def lit_vec(vals):
-        return F.array(*[F.lit(int(x)) for x in vals])
+        # ONE array-literal node (see corpus_ops.kmeans_lloyd_fit): the
+        # per-element F.array(*[F.lit ...]) form froze Catalyst at the
+        # giant-payload surface's 10,048 dims (r9 sweep).
+        return F.lit([int(x) for x in vals])
 
     def d2(col, center):
         return F.aggregate(

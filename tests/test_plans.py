@@ -98,6 +98,10 @@ _NLJ_ALLOWED = {
     "quality_t_closeness",
     "mlprep_boosted_stumps2",
     "profile_source_vocab_overlap",
+    # k-row centroid table broadcast onto every vector (Lloyd assignment):
+    # centroids moved from plan literals to a broadcast dim in round 9
+    # (codegen blew into interpreted fallback at 10k dims).
+    "kmeans_lloyd_fit",
 }
 
 
