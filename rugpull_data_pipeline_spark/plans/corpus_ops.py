@@ -270,12 +270,25 @@ def _chunks(d: str) -> str:
         LATERAL VIEW explode(
             sequence(1, cast(ceil(size(toks) / {_CHUNK}.0) as int))) c AS i
         """
-    ctext = f"array_to_string(toks[(i - 1) * {_CHUNK} + 1 : i * {_CHUNK}], ' ')"
+    # Grouped zipped unnest, not list slices in a lateral fan-out: the
+    # slice form paid O(len(list)) per chunk AND carried the full token
+    # list through the fan-out — unbounded on the giant-payload surface's
+    # 150k-token doc (r9 sweep). One (pos, tok) pass + GROUP BY chunk
+    # index is O(tokens), and string_agg ORDER BY pos reproduces
+    # array_to_string byte-for-byte.
     return f"""
-    SELECT doc_id, i AS cidx, {ctext} AS ctext,
-        {S.portable_hash64(ctext, d)} AS ch
-    FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t,
-         unnest(range(1, ceil(len(toks) / {_CHUNK}.0)::BIGINT + 1)) c(i)
+    SELECT doc_id, cidx, ctext, {S.portable_hash64('ctext', d)} AS ch
+    FROM (
+        SELECT doc_id, ((pos - 1) // {_CHUNK}) + 1 AS cidx,
+            string_agg(tok, ' ' ORDER BY pos) AS ctext
+        FROM (
+            SELECT doc_id,
+                unnest(range(1, len(toks) + 1)) AS pos,
+                unnest(toks) AS tok
+            FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+        ) z
+        GROUP BY doc_id, ((pos - 1) // {_CHUNK}) + 1
+    ) g
     """
 
 

@@ -716,9 +716,12 @@ def _filter_gate(d: str) -> str:
         n = "len(toks)"
         stopc = f"len(list_filter(toks, t -> t IN {stops}))"
         dstc = "len(list_distinct(toks))"
+        # element access, not toks[i:i+2] slicing: DuckDB list slices cost
+        # O(len(list)) each -> O(tokens^2) per row on megabyte docs (r9
+        # giant-payload sweep)
         g3 = (
             "list_transform(range(1, len(toks) - 1), "
-            "i -> array_to_string(toks[i:i+2], ' '))"
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
         )
         g3d = f"len(list_distinct({g3}))"
     return f"""

@@ -52,7 +52,10 @@ def _rep_grams(d: str) -> str:
     """(doc_id, gh) — ALL word-3-gram hashes per doc, duplicates kept
     (the whole point is counting repeats)."""
     gram_sp = "concat_ws(' ', slice(toks, i, 3))"
-    gram_dk = "array_to_string(toks[i:i+2], ' ')"
+    # element access, not toks[i:i+2] slicing: DuckDB list slices cost
+    # O(len(list)) each -> O(tokens^2) per row on the giant-payload
+    # surface's 150k-token doc (r9 sweep)
+    gram_dk = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
     if d == SPARK:
         seq = "CASE WHEN size(toks) >= 3 THEN sequence(1, size(toks) - 2) ELSE array() END"
         return f"""

@@ -424,20 +424,43 @@ def main() -> int:
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from oracle_harness import compare as _value_compare
 
+    # Per-engine watchdog: a query that hangs (the quadratic/inlining
+    # classes the degenerate surfaces hunt) must surface as an ERROR row,
+    # not block the whole sweep. DuckDB honors con.interrupt() from
+    # another thread; Spark honors cancelJobGroup.
+    import threading
+
+    deadline_s = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "420"))
+
+    def _with_deadline(run, cancel):
+        timer = threading.Timer(deadline_s, cancel)
+        timer.start()
+        try:
+            return run(), None
+        except Exception as ex:  # noqa: BLE001
+            return None, f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+        finally:
+            timer.cancel()
+
     tallies: dict[str, list] = {}
     for i, name in enumerate(names):
         t0 = time.time()
-        s_pdf = s_err = None
-        try:
-            s_pdf = qs[name](spark, SF).toPandas()
-        except Exception as ex:  # noqa: BLE001
-            s_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+        group = f"sweep-{name}"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
+        s_pdf, s_err = _with_deadline(
+            lambda: qs[name](spark, SF).toPandas(),
+            lambda: spark.sparkContext.cancelJobGroup(group),
+        )
+        if s_err is not None and "cancel" in s_err.lower():
+            s_err = f"TIMEOUT>{deadline_s}s: " + s_err
         d_pdf = d_err = None
         if name in osql:
-            try:
-                d_pdf = con.execute(osql[name]).fetchdf()
-            except Exception as ex:  # noqa: BLE001
-                d_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+            d_pdf, d_err = _with_deadline(
+                lambda: con.execute(osql[name]).fetchdf(),
+                con.interrupt,
+            )
+            if d_err is not None and "INTERRUPT" in d_err.upper():
+                d_err = f"TIMEOUT>{deadline_s}s: " + d_err
         s_rows = None if s_pdf is None else len(s_pdf)
         d_rows = None if d_pdf is None else len(d_pdf)
         val_note = ""
