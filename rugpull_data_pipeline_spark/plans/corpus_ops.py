@@ -871,11 +871,18 @@ def _bigram_kn(d: str) -> str:
             "WHERE size(w) >= 2"
         )
     else:
+        # lead()-composed bigrams over a zipped (pos, tok) unnest: the
+        # lateral w[i] form carried the full token list through the
+        # fan-out (a 150k-element copy per bigram row) — unbounded on the
+        # giant-payload surface (r9 sweep). Tokens are never NULL, so
+        # lead IS NULL exactly marks each doc's last position.
         bg_src = (
-            "SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 "
-            "FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) b, "
-            "unnest(range(1, cast(len(w) as bigint))) t(i) "
-            "WHERE len(w) >= 2"
+            "SELECT doc_id, tok AS w1, lead(tok, 1) OVER ("
+            "PARTITION BY doc_id ORDER BY pos) AS w2 "
+            "FROM (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, "
+            "unnest(w) AS tok "
+            "FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) b) z "
+            "QUALIFY w2 IS NOT NULL"
         )
     # Interpolated KN with absolute discount D = 0.75 (exact in binary):
     #   P(w2|w1) = (c12 - D)/c1 + D * N1p_w1 / c1 * (N1f_w2 / T)
@@ -888,9 +895,10 @@ def _bigram_kn(d: str) -> str:
         " + 0.75 * cast(n1p as double) / cast(c1 as double)"
         " * (cast(n1f as double) / cast(tt as double))), 7)"
     )
+    mat = "MATERIALIZED " if d == DUCK else ""
     return f"""
-    WITH split_bg AS ({bg_src}),
-    cb AS (
+    WITH split_bg AS {mat}({bg_src}),
+    cb AS {mat}(
         SELECT w1, w2, cast(count(*) as bigint) AS c12
         FROM split_bg GROUP BY w1, w2
     ),

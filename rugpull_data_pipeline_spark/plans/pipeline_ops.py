@@ -423,14 +423,15 @@ def _chunk_decontaminate(d: str) -> str:
     # contain a train-grid chunk, and every such window exists on the eval
     # side.
     tk = S.split_ws("text", d)
-    hint = "/*+ REPARTITION */ " if d == SPARK else ""
-    n_tr = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_DC_STRIDE), d)
-    lat_tr = S.explode_seq("i", "0", n_tr, d)
-    ck_tr = S.arr_slice("tk", f"i * {_DC_STRIDE} + 1", str(_DC_CHUNK), d)
-    lat_ev = S.explode_seq("i", "0", f"{S.arr_len('tk', d)} - 1", d)
-    ck_ev = S.arr_slice("tk", "i + 1", str(_DC_CHUNK), d)
     h = S.portable_hash64(S.arr_join("ck", "' '", d), d)
-    return f"""
+    if d == SPARK:
+        hint = "/*+ REPARTITION */ "
+        n_tr = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_DC_STRIDE), d)
+        lat_tr = S.explode_seq("i", "0", n_tr, d)
+        ck_tr = S.arr_slice("tk", f"i * {_DC_STRIDE} + 1", str(_DC_CHUNK), d)
+        lat_ev = S.explode_seq("i", "0", f"{S.arr_len('tk', d)} - 1", d)
+        ck_ev = S.arr_slice("tk", "i + 1", str(_DC_CHUNK), d)
+        srcs = f"""
     WITH toks AS (
         SELECT {hint}doc_id, {tk} AS tk FROM documents
     ),
@@ -444,7 +445,40 @@ def _chunk_decontaminate(d: str) -> str:
         FROM (SELECT {ck_ev} AS ck FROM toks {lat_ev}
               WHERE doc_id < {_EVAL_MAX_DOC}) e
         WHERE {S.arr_len('ck', d)} = {_DC_CHUNK}
-    )
+    )"""
+    else:
+        # lead()-composed chunks over a zipped (pos, tok) unnest (the
+        # lateral arr_slice form was O(len(list)) per chunk and copied
+        # the token list per chunk row — unbounded on the giant-payload
+        # surface; r9 sweep). concat_ws SKIPS the NULL leads past each
+        # doc's end, reproducing the short TAIL chunks the train grid
+        # hashes; the eval side keeps only full windows via pos <= n-7.
+        leads = ", ".join(
+            ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _DC_CHUNK)]
+        )
+        hc = S.portable_hash64("ck", d)
+        srcs = f"""
+    WITH grams AS MATERIALIZED (
+        SELECT doc_id, pos, n, concat_ws(' ', {leads}) AS ck
+        FROM (
+            SELECT doc_id, len(tk) AS n,
+                unnest(range(1, len(tk) + 1)) AS pos,
+                unnest(tk) AS tok
+            FROM (SELECT doc_id, {tk} AS tk FROM documents) t
+        ) z
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunks AS (
+        SELECT doc_id, {hc} AS ck_hash
+        FROM grams
+        WHERE doc_id >= {_EVAL_MAX_DOC} AND (pos - 1) % {_DC_STRIDE} = 0
+    ),
+    ev AS (
+        SELECT DISTINCT {hc} AS ck_hash
+        FROM grams
+        WHERE doc_id < {_EVAL_MAX_DOC} AND pos <= n - {_DC_CHUNK - 1}
+    )"""
+    return f"""{srcs}
     SELECT doc_id,
         cast(count(*) as bigint) AS n_chunks,
         {S.isum('hit', d)} AS n_contaminated,
@@ -724,21 +758,47 @@ _WIN_W = 4  # k-gram hashes per winnowing window
 
 def _winnow_cte(d: str) -> str:
     """Shared winnowing CTE chain: toks -> rolling k-gram hashes -> window
-    minima (fp) with the per-doc gram count for the boundary filter."""
-    tk = S.split_ws("text", d)
-    hint = "/*+ REPARTITION */ " if d == SPARK else ""
-    n_grams = f"{S.arr_len('tk', d)} - {_WIN_K - 1}"
-    lateral = S.explode_seq("p", "1", n_grams, d)
-    gram = S.arr_join(S.arr_slice("tk", "p", str(_WIN_K), d), "' '", d)
+    minima (fp) with the per-doc gram count for the boundary filter.
+
+    DuckDB branch: lead()-composed k-grams over a zipped (pos, tok)
+    unnest, MATERIALIZED — the lateral arr_slice form paid O(len(list))
+    per gram AND copied the token list per gram row, unbounded on the
+    giant-payload surface's 150k-token doc (r9 sweep)."""
     gh = S.portable_hash64("g", d)
-    return f"""toks AS (
-        SELECT {hint}doc_id, {tk} AS tk FROM documents
-        WHERE {S.arr_len(tk, d)} >= {_WIN_K + _WIN_W - 1}
-    ),
-    grams AS (
+    if d == SPARK:
+        tk = S.split_ws("text", d)
+        n_grams = f"{S.arr_len('tk', d)} - {_WIN_K - 1}"
+        lateral = S.explode_seq("p", "1", n_grams, d)
+        gram = S.arr_join(S.arr_slice("tk", "p", str(_WIN_K), d), "' '", d)
+        grams = f"""grams AS (
         SELECT doc_id, p, {gh} AS gh
-        FROM (SELECT doc_id, p, {gram} AS g FROM toks {lateral}) raw
-    ),
+        FROM (SELECT doc_id, p, {gram} AS g
+              FROM (SELECT /*+ REPARTITION */ doc_id, {tk} AS tk
+                    FROM documents
+                    WHERE {S.arr_len(tk, d)} >= {_WIN_K + _WIN_W - 1}) toks
+              {lateral}) raw
+    )"""
+    else:
+        tk = S.split_ws("text", DUCK)
+        gram = " || ' ' || ".join(
+            ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _WIN_K)]
+        )
+        grams = f"""grams AS MATERIALIZED (
+        SELECT doc_id, p, gh FROM (
+            SELECT doc_id, pos AS p, n, {gh} AS gh FROM (
+                SELECT doc_id, pos, n, {gram} AS g
+                FROM (
+                    SELECT doc_id, len(tk) AS n,
+                        unnest(range(1, len(tk) + 1)) AS pos,
+                        unnest(tk) AS tok
+                    FROM (SELECT doc_id, {tk} AS tk FROM documents
+                          WHERE len({tk}) >= {_WIN_K + _WIN_W - 1}) toks
+                ) z
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) gr
+        ) gg WHERE p <= n - {_WIN_K - 1}
+    )"""
+    return f"""{grams},
     winmin AS (
         SELECT doc_id, p,
             min(gh) OVER (
@@ -788,13 +848,12 @@ _PMI_TOPK = 20
 
 def _pmi_collocations(d: str) -> str:
     tk = S.split_ws("text", d)
-    hint = "/*+ REPARTITION */ " if d == SPARK else ""
-    el = (lambda i: f"element_at(tk, {i})") if d == SPARK else (
-        lambda i: f"tk[{i}]"
-    )
-    lat_all = S.explode_seq("p", "1", S.arr_len("tk", d), d)
-    lat_big = S.explode_seq("p", "1", f"{S.arr_len('tk', d)} - 1", d)
-    return f"""
+    if d == SPARK:
+        hint = "/*+ REPARTITION */ "
+        el = lambda i: f"element_at(tk, {i})"  # noqa: E731
+        lat_all = S.explode_seq("p", "1", S.arr_len("tk", d), d)
+        lat_big = S.explode_seq("p", "1", f"{S.arr_len('tk', d)} - 1", d)
+        srcs = f"""
     WITH toks AS (
         SELECT {hint}doc_id, {tk} AS tk FROM documents
     ),
@@ -824,7 +883,43 @@ def _pmi_collocations(d: str) -> str:
         SELECT cast(sum(c) as bigint) AS n_big
         FROM (SELECT {el('p')} AS a, {el('p + 1')} AS b, count(*) AS c
               FROM toks2 {lat_big} GROUP BY {el('p')}, {el('p + 1')}) all_b
-    )
+    )"""
+    else:
+        # Zipped (pos, tok) unnest + lead() bigrams, every re-referenced
+        # CTE MATERIALIZED: the lateral tk[p] form copied the token list
+        # per output row AND plain-CTE inlining re-ran the unigram fan-out
+        # once per reference — unbounded on the giant-payload surface's
+        # 150k-token doc (r9 sweep). Tokens are never NULL, so lead IS
+        # NULL exactly marks each doc's last position (the toks2 filter).
+        srcs = f"""
+    WITH tok_rows AS MATERIALIZED (
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                unnest(range(1, len(tk) + 1)) AS pos,
+                unnest(tk) AS tok
+            FROM (SELECT doc_id, {tk} AS tk FROM documents) t
+        ) z
+    ),
+    uni AS MATERIALIZED (
+        SELECT tok AS w, count(*) AS c FROM tok_rows GROUP BY tok
+    ),
+    big_all AS MATERIALIZED (
+        SELECT a, b, count(*) AS c FROM (
+            SELECT tok AS a, lead(tok, 1) OVER (
+                PARTITION BY doc_id ORDER BY pos) AS b
+            FROM tok_rows
+        ) bg WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    big AS (
+        SELECT a, b, c FROM big_all WHERE c >= {_PMI_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT cast(sum(c) as bigint) AS n_uni FROM uni
+    ),
+    tot_b AS (
+        SELECT cast(sum(c) as bigint) AS n_big FROM big_all
+    )"""
+    return f"""{srcs}
     SELECT a, b, cast(big.c as bigint) AS n_ab,
         round(cast(big.c as double) * (SELECT n_uni FROM tot)
               * (SELECT n_uni FROM tot)
@@ -857,9 +952,12 @@ _pair(
 
 
 def _winnow_pairs(d: str) -> str:
+    # fps self-joins: materialize it on DuckDB so the winmin window pass
+    # runs once, not once per join side (plain CTEs inline; r9 sweep).
+    mat = "MATERIALIZED " if d == DUCK else ""
     return f"""
     WITH {_winnow_cte(d)},
-    fps AS (
+    fps AS {mat}(
         SELECT DISTINCT doc_id, fp FROM winmin
         WHERE p <= n_g - {_WIN_W - 1}
     )

@@ -489,7 +489,6 @@ _pair(
 # ---------------------------------------------------------------------------
 
 _PCA_ROUNDS = 2
-_PCA_DIMS = 64
 
 
 def _pca_xv(d: str) -> str:
@@ -513,7 +512,11 @@ def _pca_cte_chain() -> str:
     # Spark builder's collect → round → literal-rebroadcast exactly.
     # Ends with a ``loading`` CTE (dm, l) so compositions (the whitened
     # re-rank) can extend the chain.
-    parts = [f"WITH xv AS ({_pca_xv(DUCK)})"]
+    # AS MATERIALIZED on every re-referenced CTE: DuckDB inlines plain
+    # CTEs, and xv is referenced by every round (see the kmeans oracle's
+    # r9 fix — inlining re-expands the chain and detonated at the
+    # giant-payload surface's 10,048 dims).
+    parts = [f"WITH xv AS MATERIALIZED ({_pca_xv(DUCK)})"]
     prev_v = None  # CTE name holding (dm, m)
     for r in range(1, _PCA_ROUNDS + 1):
         if prev_v is None:
@@ -527,9 +530,9 @@ def _pca_cte_chain() -> str:
                 f"SELECT xv.vec_id, {S.dsum('xv.x * v.m', DUCK)} AS y "
                 f"FROM xv JOIN {prev_v} v ON xv.dm = v.dm GROUP BY xv.vec_id"
             )
-        parts.append(f"y{r} AS ({y_src})")
+        parts.append(f"y{r} AS MATERIALIZED ({y_src})")
         parts.append(
-            f"c{r} AS (SELECT xv.dm, "
+            f"c{r} AS MATERIALIZED (SELECT xv.dm, "
             f"round({S.dsum('y{r}.y * xv.x'.format(r=r), DUCK)}, 6) AS m "
             f"FROM xv JOIN y{r} ON xv.vec_id = y{r}.vec_id GROUP BY xv.dm)"
         )
@@ -541,7 +544,7 @@ def _pca_cte_chain() -> str:
     nrm AS (
         SELECT sqrt({S.dsum('m * m', DUCK)}) AS nr FROM {last}
     ),
-    loading AS (
+    loading AS MATERIALIZED (
         SELECT {last}.dm, round({last}.m / nrm.nr, 6) AS l
         FROM {last}, nrm
     )"""
@@ -569,15 +572,26 @@ def _round_half_up6(x: float) -> float:
 
 
 def _pca_power_components(spark) -> list[float]:
-    """Run the 2-round power iteration; return the 6-dp-quantized 64-float
+    """Run the 2-round power iteration; return the 6-dp-quantized
     UNnormalized second-round component vector (matches the oracle's c2),
-    or None when the embedding table is empty (no component rows)."""
+    or None when the embedding table is empty (no component rows).
+
+    The dimension count is DERIVED from the table (max dim + 1), never
+    hardcoded: a fixed 64 crashed with IndexError the moment the
+    giant-payload sweep inflated the embeddings to 10,048 dims (r9). The
+    fixed 0.125 init stays — power iteration only needs a nonzero start,
+    and both engines share the constant so the 6-dp quantization chain
+    stays bit-identical at any dimensionality."""
     xv = spark.sql(_pca_xv(SPARK)).localCheckpoint()
     xv.createOrReplaceTempView("pca_xv")
-    v = [0.125] * _PCA_DIMS
+    ndims_row = spark.sql("SELECT max(dm) + 1 AS n FROM pca_xv").first()
+    ndims = ndims_row["n"] if ndims_row else None
+    if not ndims:
+        return None  # empty input: no component rows at all
+    v = [0.125] * ndims
     for _ in range(_PCA_ROUNDS):
         vals = ", ".join(
-            f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS)
+            f"({i}, cast({v[i]!r} as double))" for i in range(ndims)
         )
         comp = spark.sql(
             f"""
@@ -592,7 +606,7 @@ def _pca_power_components(spark) -> list[float]:
         ).collect()
         if not comp:
             return None  # empty input: no component rows at all
-        nxt = [0.0] * _PCA_DIMS
+        nxt = [0.0] * ndims
         for row in comp:
             nxt[row["dm"]] = _round_half_up6(row["m"])
         v = nxt
@@ -620,7 +634,7 @@ def sim_pca_power1(spark, sf_dir):
     if v is None:
         # empty slice: mirror the oracle's 0-row answer
         return spark.createDataFrame([], "dim int, loading double")
-    vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(_PCA_DIMS))
+    vals = ", ".join(f"({i}, cast({v[i]!r} as double))" for i in range(len(v)))
     # nullif: all-zero embeddings give a 0-norm component — the oracle's
     # division returns NULL loadings on its 64-row grid, not an ANSI error
     return spark.sql(
@@ -1202,19 +1216,23 @@ def _whiten_body(d: str) -> str:
     """From CTEs ``xv`` (vec_id, dm, x) and ``loading`` (dm, l): deflate
     every vector by its top-PC projection and rank cosine top-5 for the
     5 query vectors. Appended after the PCA chain (oracle) or literal
-    loading CTEs (Spark builder)."""
+    loading CTEs (Spark builder). On the DuckDB side the re-referenced
+    CTEs are MATERIALIZED (defl is read three times; plain-CTE inlining
+    re-expanded the whole xv-join prefix per reference and timed out on
+    the giant-payload surface's 10k dims, r9)."""
+    mat = "MATERIALIZED " if d == DUCK else ""
     return f"""
-    proj AS (
+    proj AS {mat}(
         SELECT xv.vec_id, round({S.dsum('xv.x * ld.l', d)}, 9) AS p
         FROM xv JOIN loading ld ON xv.dm = ld.dm GROUP BY xv.vec_id
     ),
-    defl AS (
+    defl AS {mat}(
         SELECT xv.vec_id, xv.dm, xv.x - proj.p * ld.l AS xd
         FROM xv
         JOIN proj ON proj.vec_id = xv.vec_id
         JOIN loading ld ON ld.dm = xv.dm
     ),
-    nv AS (
+    nv AS {mat}(
         SELECT vec_id, sqrt({S.dsum('xd * xd', d)}) AS nrm2
         FROM defl GROUP BY vec_id
     ),
@@ -1272,7 +1290,7 @@ def sim_whiten_rerank(spark, sf_dir):
             [], "query_id long, vec_id long, cosine double, rnk int"
         )
     vals = ", ".join(
-        f"({i}, cast({comp[i]!r} as double))" for i in range(_PCA_DIMS)
+        f"({i}, cast({comp[i]!r} as double))" for i in range(len(comp))
     )
     # nullif: all-zero embeddings give a 0-norm direction — loadings go
     # NULL, the deflated norms go NULL, and the nrm2 > 0 filter drops

@@ -65,21 +65,41 @@ _BOILER_DF = 5  # segments appearing in >= this many distinct docs are boilerpla
 
 
 def _boilerplate(d: str) -> str:
-    stext = S.arr_join(S.arr_slice("toks", f"(i - 1) * {_SEG} + 1", str(_SEG), d), "' '", d)
-    nseg = f"ceil({S.arr_len('toks', d)} / {_SEG}.0)"
     if d == SPARK:
+        stext = S.arr_join(
+            S.arr_slice("toks", f"(i - 1) * {_SEG} + 1", str(_SEG), d), "' '", d
+        )
+        nseg = f"ceil({S.arr_len('toks', d)} / {_SEG}.0)"
         lateral = f"LATERAL VIEW explode(sequence(1, cast({nseg} as int))) t_i AS i"
         tok_src = f"SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks FROM documents"
-    else:
-        lateral = f", unnest(range(1, cast({nseg} as bigint) + 1)) AS t_i(i)"
-        tok_src = f"SELECT doc_id, {_toks(d)} AS toks FROM documents"
-    return f"""
-    WITH segs AS (
+        segs = f"""segs AS (
         SELECT doc_id, i AS sidx,
             {S.portable_hash64(stext, d)} AS sh
         FROM ({tok_src}) t
         {lateral}
-    ),
+    )"""
+    else:
+        # Grouped zipped unnest, not arr_slice in a lateral fan-out (the
+        # slice paid O(len(list)) per segment and copied the token list
+        # per segment row — unbounded on the giant-payload surface's
+        # 150k-token doc; r9 sweep). MATERIALIZED: segs is read by freq
+        # AND the final join.
+        segs = f"""segs AS MATERIALIZED (
+        SELECT doc_id, cidx AS sidx, {S.portable_hash64('stext', d)} AS sh
+        FROM (
+            SELECT doc_id, ((pos - 1) // {_SEG}) + 1 AS cidx,
+                string_agg(tok, ' ' ORDER BY pos) AS stext
+            FROM (
+                SELECT doc_id,
+                    unnest(range(1, len(toks) + 1)) AS pos,
+                    unnest(toks) AS tok
+                FROM (SELECT doc_id, {_toks(d)} AS toks FROM documents) t
+            ) z
+            GROUP BY doc_id, ((pos - 1) // {_SEG}) + 1
+        ) g
+    )"""
+    return f"""
+    WITH {segs},
     freq AS (
         SELECT sh, count(DISTINCT doc_id) AS df FROM segs GROUP BY sh
     )
