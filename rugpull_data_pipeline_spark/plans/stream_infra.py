@@ -2252,7 +2252,15 @@ def stream_fanout_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q1.processAllAvailable()
     q1.stop()
-    q2.awaitTermination(300)
+    # awaitTermination(timeout) returns False while the query is STILL
+    # RUNNING — a hung pool branch must fail loudly, not grade a
+    # truncated fanout result (round-9 verdict residue; the same guard
+    # _run_available_now grew in commit 422b4ea).
+    if not q2.awaitTermination(300):
+        q2.stop()
+        raise TimeoutError(
+            "fanout pool branch still running after 300 s (availableNow)"
+        )
 
     bal = spark.read.parquet(bal_dir).select(
         F.lit("balance").alias("sink"),

@@ -120,6 +120,29 @@ def test_repeated_message_field():
     assert back.statusCode == 0 and back.errorMessage == ""
 
 
+def test_singular_message_repeated_on_wire_merges():
+    # Spec: a non-repeated embedded message appearing twice on the wire
+    # MERGES occurrences (round-9 ADVICE — replace semantics dropped the
+    # first fragment's scalars). Two ValueStateCall fragments, one
+    # carrying stateName, the other carrying the get sub-message: the
+    # merged parse must keep BOTH.
+    frag1 = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(stateName="prices")
+        )
+    ).SerializeToString()
+    frag2 = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(get=sm.Get())
+        )
+    ).SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(frag1 + frag2)
+    call = back.stateVariableRequest.valueStateCall
+    assert call.stateName == "prices"
+    assert call.HasField("get")
+
+
 def test_unknown_fields_are_skipped():
     # Field 15 (varint) does not exist on StateResponse; parser must skip it
     # and still read the known fields after it.

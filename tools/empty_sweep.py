@@ -432,15 +432,48 @@ def main() -> int:
 
     deadline_s = int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "420"))
 
-    def _with_deadline(run, cancel):
-        timer = threading.Timer(deadline_s, cancel)
+    def _with_deadline(run, cancel, drain=None):
+        # Round-9 ADVICE race fix: the timer callback checks a done flag
+        # UNDER A LOCK and holds the lock THROUGH cancel(), while the
+        # finally path takes the same lock before marking done — so a
+        # cancel can never land after run() completed without us knowing
+        # (state["fired"]), and a cancel that did land post-completion is
+        # drained (stale DuckDB interrupt flag) before the next query.
+        # Timeout classification uses the fired flag, never
+        # exception-text substring matching.
+        lock = threading.Lock()
+        state = {"done": False, "fired": False}
+
+        def _cancel():
+            with lock:
+                if state["done"]:
+                    return
+                state["fired"] = True
+                try:
+                    cancel()
+                except Exception:  # noqa: BLE001 - watchdog must not raise
+                    pass
+
+        timer = threading.Timer(deadline_s, _cancel)
         timer.start()
         try:
-            return run(), None
+            result, err = run(), None
         except Exception as ex:  # noqa: BLE001
-            return None, f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
+            result = None
+            err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:110]}"
         finally:
+            with lock:
+                state["done"] = True
             timer.cancel()
+        if state["fired"]:
+            if drain is not None:
+                try:
+                    drain()
+                except Exception:  # noqa: BLE001 - swallowing the poison
+                    pass
+            err = f"TIMEOUT>{deadline_s}s: " + (err or "cancelled")
+            result = None
+        return result, err
 
     tallies: dict[str, list] = {}
     for i, name in enumerate(names):
@@ -451,16 +484,13 @@ def main() -> int:
             lambda: qs[name](spark, SF).toPandas(),
             lambda: spark.sparkContext.cancelJobGroup(group),
         )
-        if s_err is not None and "cancel" in s_err.lower():
-            s_err = f"TIMEOUT>{deadline_s}s: " + s_err
         d_pdf = d_err = None
         if name in osql:
             d_pdf, d_err = _with_deadline(
                 lambda: con.execute(osql[name]).fetchdf(),
                 con.interrupt,
+                drain=lambda: con.execute("SELECT 1").fetchall(),
             )
-            if d_err is not None and "INTERRUPT" in d_err.upper():
-                d_err = f"TIMEOUT>{deadline_s}s: " + d_err
         s_rows = None if s_pdf is None else len(s_pdf)
         d_rows = None if d_pdf is None else len(d_pdf)
         val_note = ""
