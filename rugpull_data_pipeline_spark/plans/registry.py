@@ -110,96 +110,92 @@ def get(name: str) -> QuerySpec:
 
 
 # Queries deliberately RE-verified this round despite an existing green
-# driver row — the oldest-first re-proof cadence. Round 9 takes the 24
-# stalest rows: the 13 remaining round-2 relational/window/setop queries
-# plus the 11 stalest round-3 rows (staleness order computed by
-# tools/rotation_plan.py from the recorded CORRECTNESS artifacts; the
-# 25th-stalest, join_cross_region_bands, carries to round 10 because a
-# 26th debut — stream_price_maint_tws, the VERDICT-r8 item-4 close-out —
-# took the slot: coverage first, staleness second). The rotation test
-# treats window slots as legal iff they are either never-driver-green or
-# named here, so a freshly graded CORRECTNESS file can never redden the
-# suite; the 25-entry cap (tests/test_correctness_oracle.py) keeps the
-# re-proof fraction bounded, which is why the registry again grew by 26
-# genuinely new queries this round (the standing window arithmetic:
-# backlog 0 + 50 slots + REPROOF <= 25).
+# driver row — the oldest-first re-proof cadence. Round 10 takes the 25
+# stalest rows: join_cross_region_bands (the r9 carry — its slot went to
+# the stream_price_maint_tws debut: coverage first, staleness second)
+# plus the 24 next-stalest round-3 rows (staleness order computed by
+# tools/rotation_plan.py from the recorded CORRECTNESS artifacts; 13 r3
+# rows remain for round 11). The rotation test treats window slots as
+# legal iff they are either never-driver-green or named here, so a
+# freshly graded CORRECTNESS file can never redden the suite; the
+# 25-entry cap (tests/test_correctness_oracle.py) keeps the re-proof
+# fraction bounded, which is why the registry again grew by 25 genuinely
+# new queries this round (the standing window arithmetic: backlog 0 +
+# 50 slots + REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
-    "setop_except_inactive",  # last green r2
-    "setop_intersect_buyers",  # last green r2
-    "setop_union_watchlists",  # last green r2
-    "sort_global_topn",  # last green r2
-    "subquery_correlated_above_avg",  # last green r2
-    "udtf_token_explode_topk",  # last green r2
-    "unpivot_status_quantity",  # last green r2
-    "variant_shred_events",  # last green r2
-    "window_price_change_10pct",  # last green r2
-    "window_rank_ntile",  # last green r2
-    "window_running_sum",  # last green r2
-    "window_sessionize_1h",  # last green r2
-    "window_topk_per_group",  # last green r2
-    "agg_approx_sketches",  # last green r3
-    "dedup_cluster_neardup",  # last green r3
-    "dedup_embedding_cosine",  # last green r3
-    "dedup_exact_docs",  # last green r3
-    "dedup_levenshtein_blocked",  # last green r3
-    "dedup_minhash_lsh",  # last green r3
-    "dedup_ngram_jaccard",  # last green r3
-    "dedup_simhash_blocked",  # last green r3
-    "dedup_simhash_neardup",  # last green r3
-    "dedup_simhash_signature",  # last green r3
-    "join_asof_last_view",  # last green r3
+    "join_cross_region_bands",  # last green r3 (deferred from r9)
+    "join_right_outer_customers",  # last green r3
+    "join_salted_skew",  # last green r3
+    "join_theta_nation_pairs",  # last green r3
+    "json_extract_agg",  # last green r3
+    "json_prefilter_then_parse",  # last green r3
+    "json_struct_parse_bucket",  # last green r3
+    "multimodal_binary_ingest",  # last green r3
+    "multimodal_blob_metadata",  # last green r3
+    "multimodal_decode_features",  # last green r3
+    "multimodal_frame_sample",  # last green r3
+    "price_change_stateful_stream",  # last green r3
+    "sim_centroid_assign",  # last green r3
+    "sim_cosine_ivf_bucketed",  # last green r3
+    "sim_cosine_topk_bruteforce",  # last green r3
+    "sim_embedding_quantize",  # last green r3
+    "sim_lsh_hyperplane_ann",  # last green r3
+    "solana_balance_extract",  # last green r3
+    "solana_balance_extract_xl",  # last green r3
+    "solana_balance_from_datasource",  # last green r3
+    "solana_balance_stream",  # last green r3
+    "solana_enriched_report",  # last green r3
+    "solana_hot_tx_count",  # last green r3
+    "solana_pool_detection",  # last green r3
+    "solana_rugpull_score",  # last green r3
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
-# round 8: 312 distinct queries verified, 312 green, 0 standing red,
-# backlog 0 (CORRECTNESS_r02..r08). The round-9 window = the 26 queries
+# round 9: 338 distinct queries verified, 338 green, 0 standing red,
+# backlog 0 (CORRECTNESS_r02..r09). The round-10 window = the 25 queries
 # that DEBUT this round (registered inside their debut window, so the
-# never-checked set stays empty: the analytics/privacy/graph tier of
-# plans/analytics_ops.py, plus stream_price_maint_tws — the §3.3 chain on
-# the modern transformWithStateInPandas API) + the 24 oldest-first
-# RE-PROOFS above (the last 13 r2 rows + the 11 stalest r3 rows). After a
-# green r9 grade the r2 tier is exhausted and the r3 tier has 38 rows
-# left — the standing cadence continues. Everything NOT listed keeps
+# never-checked set stays empty: the time-series / calibration /
+# recommender / robust-profiling tier of plans/diagnostics_ops.py) + the
+# 25 oldest-first RE-PROOFS above (the r9-deferred join_cross_region_bands
+# + the 24 stalest r3 rows). After a green r10 grade the r3 tier has 13
+# rows left — the standing cadence continues. Everything NOT listed keeps
 # registration order behind these, so already-green queries still run
 # when the driver checks more than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-9 debuts: privacy trio completion ----
-    "quality_t_closeness",
-    "quality_k_suppression_plan",
-    "quality_dp_sensitivity",
-    # ---- round-9 debuts: graph completion ----
-    "graph_sssp_bellman3",
-    "graph_neighbor_jaccard",
-    "graph_local_clustering",
-    "graph_degree_powerlaw",
-    # ---- round-9 debuts: mlprep / eval ----
-    "mlprep_kfold_assign",
-    "mlprep_boosted_stumps2",
-    "eval_pr_auc_trapezoid",
-    "eval_ks_separation",
-    # ---- round-9 debuts: events / sequence / engagement ----
-    "events_sequential_support",
-    "events_dau_wau_mau",
-    # ---- round-9 debuts: layout advisors ----
-    "layout_join_skew_advisor",
-    "layout_encoding_advisor",
-    # ---- round-9 debuts: aggregates / stats ----
-    "agg_geo_harmonic_mean",
-    "agg_mode_peak_hour",
-    "agg_column_covariance",
-    # ---- round-9 debuts: time series ----
-    "window_seasonal_strength",
-    "window_realized_vol",
-    # ---- round-9 debuts: text / corpus ----
-    "text_sentence_length_stats",
-    "text_vocab_coverage",
-    "profile_source_vocab_overlap",
-    # ---- round-9 debuts: sampling / joins ----
-    "sample_contrastive_pairs",
-    "join_nearest_value_1d",
-    # ---- round-9 debut: §3.3 on the modern stateful API (VERDICT r8 #4) ----
-    "stream_price_maint_tws",
+    # ---- round-10 debuts: time-series diagnostics (batch twins of the
+    # streaming kernels) ----
+    "window_ar1_fit",
+    "window_cusum_changepoint",
+    "window_variance_ratio",
+    "window_donchian_breakout",
+    "window_atr_true_range",
+    "window_runs_test",
+    # ---- round-10 debuts: calibration / association evaluation ----
+    "eval_brier_decomposition",
+    "eval_kendall_tau",
+    "eval_matthews_corr",
+    "eval_log_loss",
+    "eval_regression_diagnostics",
+    # ---- round-10 debuts: recommender baselines ----
+    "rec_item_item_topk",
+    "rec_user_bias_baseline",
+    # ---- round-10 debuts: corpus diagnostics ----
+    "text_readability_indices",
+    "text_burstiness_dispersion",
+    "text_simpson_diversity",
+    # ---- round-10 debuts: robust profiling / drift ----
+    "profile_mad_screen",
+    "profile_schema_drift",
+    # ---- round-10 debuts: inequality / association / concentration ----
+    "agg_theil_inequality",
+    "agg_cramers_v",
+    "agg_hhi_concentration",
+    # ---- round-10 debuts: layout / events / mlprep / sim ----
+    "layout_prune_simulator",
+    "events_hour_uniformity_gof",
+    "mlprep_robust_scaler",
+    "sim_norm_anisotropy",
 ) + REPROOF
 
 
@@ -250,5 +246,6 @@ def _load_plan_modules() -> None:
     from . import feature_ops  # noqa: F401
     from . import mining_ops  # noqa: F401
     from . import analytics_ops  # noqa: F401
+    from . import diagnostics_ops  # noqa: F401
 
     _LOADED = True

@@ -102,6 +102,22 @@ _NLJ_ALLOWED = {
     # centroids moved from plan literals to a broadcast dim in round 9
     # (codegen blew into interpreted fallback at 10k dims).
     "kmeans_lloyd_fit",
+    # round-10 metadata-scale broadcasts: 1-row totals onto bounded grids
+    # (the eval_threshold_sweep / agg_mutual_info shape) — the 10-bin
+    # Brier grid x its 1-row total, the cents grid x a 3-row threshold
+    # table, the (user,item) cells x the 1-row global mean, the top-20
+    # term table x the 1-row doc count, the margin-product r x c grid
+    # (zero cells need the expansion) x its 1-row total, and the per-type
+    # totals x the 24-row hour grid. eval_kendall_tau broadcasts one side
+    # of the CALENDAR-grid pair build (31..365 rows; the non-equi
+    # day_idx < day_idx condition is the point, like the sim probes).
+    "eval_brier_decomposition",
+    "eval_matthews_corr",
+    "eval_kendall_tau",
+    "rec_user_bias_baseline",
+    "text_burstiness_dispersion",
+    "agg_cramers_v",
+    "events_hour_uniformity_gof",
 }
 
 
