@@ -55,11 +55,12 @@ _STRIDE = 24  # tokens between chunk starts (8-token overlap)
 
 def _chunk_sliding(d: str) -> str:
     tk = S.split_ws("text", d)
-    hint = "/*+ REPARTITION */ " if d == SPARK else ""
-    n1 = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_STRIDE), d)
-    lateral = S.explode_seq("i", "0", n1, d)
-    ck = S.arr_slice("tk", f"i * {_STRIDE} + 1", str(_CHUNK), d)
-    return f"""
+    if d == SPARK:
+        hint = "/*+ REPARTITION */ "
+        n1 = S.idiv(f"{S.arr_len('tk', d)} - 1", str(_STRIDE), d)
+        lateral = S.explode_seq("i", "0", n1, d)
+        ck = S.arr_slice("tk", f"i * {_STRIDE} + 1", str(_CHUNK), d)
+        return f"""
     WITH toks AS (
         SELECT {hint}doc_id, {tk} AS tk FROM documents
     ),
@@ -71,6 +72,34 @@ def _chunk_sliding(d: str) -> str:
         cast({S.arr_len('ck', d)} as int) AS chunk_len,
         {S.portable_hash64(S.arr_join('ck', "' '", d), d)} AS chunk_hash
     FROM chunks
+    ORDER BY doc_id, chunk_id
+    """
+    # lead()-composed chunks over a (pos, tok) unnest: the lateral
+    # arr_slice form replicated the FULL token list per chunk row —
+    # O(tokens^2 / stride) on the giant-payload surface (420 s+ on the
+    # 1 MiB doc; r10 sweep). concat_ws SKIPS the NULL leads past each
+    # doc's end, reproducing the short tail chunk the slice form emits;
+    # chunk_len is least(CHUNK, n - pos + 1) by the same truncation.
+    leads = ", ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _CHUNK)]
+    )
+    return f"""
+    WITH grams AS MATERIALIZED (
+        SELECT doc_id, pos, n, concat_ws(' ', {leads}) AS ck
+        FROM (
+            SELECT doc_id, len(tk) AS n,
+                unnest(range(1, len(tk) + 1)) AS pos,
+                unnest(tk) AS tok
+            FROM (SELECT doc_id, {tk} AS tk FROM documents) t
+        ) z
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+        cast((pos - 1) // {_STRIDE} as int) AS chunk_id,
+        cast(least({_CHUNK}, n - pos + 1) as int) AS chunk_len,
+        {S.portable_hash64('ck', d)} AS chunk_hash
+    FROM grams
+    WHERE (pos - 1) % {_STRIDE} = 0
     ORDER BY doc_id, chunk_id
     """
 
