@@ -80,6 +80,21 @@ def _cents(col: str) -> str:
 _EV_CENTS = "cast(floor(value * cast(100 as double)) as bigint)"
 
 
+def _r6u(expr: str) -> str:
+    """Engine-identical 6-dp half-up rounding of a non-negative double:
+    floor(x*1e6 + 0.5)/1e6 is pure IEEE arithmetic on the identical
+    double, bit-identical across engines — unlike round(x, 6), where
+    Spark rounds the binary expansion via BigDecimal and DuckDB goes
+    through a multiply, and the two can disagree when the exact value
+    sits ON the half boundary (seen on --single-type for the co-moment
+    variance, whose 12-dp rational hit ...2505 exactly)."""
+    return (
+        f"(cast(floor(({expr}) * cast(1000000 as double)"
+        f" + cast(0.5 as double)) as double)"
+        f" / cast(1000000 as double))"
+    )
+
+
 def _dsum9(expr: str) -> str:
     """Order-free decimal sum keeping the FULL 9-dp quantization.
 
@@ -138,41 +153,65 @@ def _q4_value(q4: int, alias: str) -> str:
 
 
 def _ar1_fit(d: str) -> str:
+    # phi from EXACT decimal co-moments, multiplied through by n^2 so the
+    # mean never becomes a double mid-computation (same hardening class as
+    # window_variance_ratio — decimal->double of a large sum is the one
+    # conversion the engines may disagree on by 1 ulp):
+    #   phi = (n^2 P - n S (A+B) + k S^2) / (n^2 Q - 2 n S B + k S^2)
+    # P = sum(x*xp), A = sum(x), B = sum(xp), Q = sum(xp^2) over the k lag
+    # pairs; S, n over all days. Tight precisions keep every product exact
+    # under the 38-digit cap (calendar-grid magnitudes).
+    # The co-moment components are EXACT decimals; combine them in DOUBLE
+    # (cast each component once, fixed expression order) — every step is
+    # then an IEEE op on identical inputs, bit-identical across engines.
+    # (Combining in decimal hits DuckDB's staged-width multiply cap.)
+    nd, kd = "cast(n as double)", "cast(k as double)"
+    sd = "cast(s as double)"
+    num = (
+        f"({nd} * {nd} * cast(p as double)"
+        f" - {nd} * {sd} * cast(a + b as double)"
+        f" + {kd} * {sd} * {sd})"
+    )
+    den = (
+        f"({nd} * {nd} * cast(q as double)"
+        f" - 2 * {nd} * {sd} * cast(b as double)"
+        f" + {kd} * {sd} * {sd})"
+    )
     return f"""
     WITH {_daily_means(d)},
     st AS (
         SELECT event_type, cast(count(*) as bigint) AS n,
-            {S.davg('dm', d)} AS mu
+            cast(sum(dm) as decimal(12,6)) AS s
         FROM daily GROUP BY event_type
     ),
     lagp AS (
-        SELECT event_type, day_idx, dm,
-            lag(dm) OVER (PARTITION BY event_type ORDER BY day_idx) AS dmp
+        SELECT event_type, cast(dm as decimal(12,6)) AS x,
+            cast(lag(dm) OVER (
+                PARTITION BY event_type ORDER BY day_idx) as decimal(12,6))
+                AS xp
         FROM daily
     ),
-    dev AS (
-        SELECT l.event_type,
-            round((cast(l.dm as double) - s.mu)
-                * (cast(l.dmp as double) - s.mu), 9) AS xy,
-            round((cast(l.dmp as double) - s.mu)
-                * (cast(l.dmp as double) - s.mu), 9) AS xx
-        FROM lagp l JOIN st s ON s.event_type = l.event_type
-        WHERE l.dmp IS NOT NULL
+    co AS (
+        SELECT event_type, cast(count(*) as bigint) AS k,
+            cast(sum(x * xp) as decimal(21,12)) AS p,
+            cast(sum(x) as decimal(12,6)) AS a,
+            cast(sum(xp) as decimal(12,6)) AS b,
+            cast(sum(xp * xp) as decimal(21,12)) AS q
+        FROM lagp WHERE xp IS NOT NULL GROUP BY event_type
     ),
     fit AS (
-        SELECT d2.event_type,
-            cast(count(*) as bigint) AS n_pairs,
-            {S.dsum('xy', d)} / nullif({S.dsum('xx', d)}, cast(0 as double))
-                AS phi
-        FROM dev d2 GROUP BY d2.event_type
+        SELECT c.event_type, s2.n, c.k,
+            cast(s2.s as double) / cast(s2.n as double) AS mu,
+            ({num}) / nullif({den}, cast(0 as double)) AS phi
+        FROM co c JOIN st s2 ON s2.event_type = c.event_type
     )
-    SELECT f.event_type, s.n AS n_days, f.n_pairs,
-        round(s.mu, 6) AS mean_value,
-        round(f.phi, 6) AS ar1_phi,
-        round(s.mu * (1 - f.phi), 6) AS ar1_intercept,
-        round(f.phi * f.phi, 6) AS r2_ar1
-    FROM fit f JOIN st s ON s.event_type = f.event_type
-    ORDER BY f.event_type
+    SELECT event_type, n AS n_days, k AS n_pairs,
+        round(mu, 6) AS mean_value,
+        round(phi, 6) AS ar1_phi,
+        round(mu * (1 - phi), 6) AS ar1_intercept,
+        round(phi * phi, 6) AS r2_ar1
+    FROM fit
+    ORDER BY event_type
     """
 
 
@@ -248,38 +287,56 @@ _pair(
 
 
 def _variance_ratio(d: str) -> str:
+    # EXACT-INTEGER pipeline: the daily mean is quantized to MICRO-units
+    # with floor(mean*1e6 + 0.5) — pure IEEE ops on the identical double,
+    # so both engines hold the identical bigint. (The shared decimal-cast
+    # grid diverged on the --single-type surface: cast(double as decimal)
+    # rounds a half-boundary mean differently per engine — Spark
+    # BigDecimal HALF_UP on the binary expansion vs DuckDB's multiply
+    # path.) From there every co-moment is integer-exact:
+    #   var = (n*Q - S^2) / (n*(n-1)) / 1e12,  S = sum(dk), Q = sum(dk^2)
+    # with ONE double division at the end.
+    micro = (
+        f"cast(floor(({S.davg('value', d)}) * cast(1000000 as double)"
+        f" + cast(0.5 as double)) as bigint)"
+    )
+
     def var_k(k: int) -> str:
         return f"""
     d{k} AS (
-        SELECT event_type, dm - lag(dm, {k}) OVER (
-            PARTITION BY event_type ORDER BY day_idx) AS dk
-        FROM daily
+        SELECT event_type,
+            dmu - lag(dmu, {k}) OVER (
+                PARTITION BY event_type ORDER BY day_idx) AS dk
+        FROM daily_micro
     ),
-    m{k} AS (
-        SELECT event_type, cast(count(*) as bigint) AS n,
-            {S.davg('dk', d)} AS mk
+    a{k} AS (
+        -- dk^2 <= 2.4e17 per term fits bigint; the SUM goes to decimal
+        -- so a 365-day grid cannot overflow
+        SELECT event_type, cast(count(*) as bigint) AS n{k},
+            cast(sum(dk) as decimal(20,0)) AS s{k},
+            cast(sum(cast(dk as decimal(19,0))
+                     * cast(dk as decimal(19,0))) as decimal(28,0)) AS q{k}
         FROM d{k} WHERE dk IS NOT NULL GROUP BY event_type
     ),
     v{k} AS (
-        SELECT x.event_type,
-            m.n AS n{k},
-            {S.dsum('round((cast(x.dk as double) - m.mk)'
-                    ' * (cast(x.dk as double) - m.mk), 9)', d)}
-                / cast(nullif(m.n - 1, 0) as double) AS var{k}
-        FROM d{k} x JOIN m{k} m ON m.event_type = x.event_type
-        WHERE x.dk IS NOT NULL
-        GROUP BY x.event_type, m.n
+        SELECT event_type, n{k},
+            cast(cast(n{k} as decimal(6,0)) * q{k} - s{k} * s{k} as double)
+                / cast(nullif(n{k} * (n{k} - 1), 0) as double)
+                / cast(1000000000000 as double) AS var{k}
+        FROM a{k}
     )"""
 
     return f"""
-    WITH {_daily_means(d)},
-    {var_k(1)},
-    {var_k(2)},
-    {var_k(4)}
+    WITH daily_micro AS (
+        SELECT event_type, {_day_idx(d)} AS day_idx, {micro} AS dmu
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, {_day_idx(d)}
+    ),
+    {','.join(var_k(k) for k in (1, 2, 4))}
     SELECT v1.event_type, v1.n1 AS n_diffs,
-        round(v1.var1, 6) AS var_1d,
-        round(v2.var2 / nullif(2 * v1.var1, cast(0 as double)), 6) AS vr_2,
-        round(v4.var4 / nullif(4 * v1.var1, cast(0 as double)), 6) AS vr_4
+        {_r6u('v1.var1')} AS var_1d,
+        {_r6u('v2.var2 / nullif(2 * v1.var1, cast(0 as double))')} AS vr_2,
+        {_r6u('v4.var4 / nullif(4 * v1.var1, cast(0 as double))')} AS vr_4
     FROM v1
     JOIN v2 ON v2.event_type = v1.event_type
     JOIN v4 ON v4.event_type = v1.event_type
@@ -698,11 +755,14 @@ def _log_loss(d: str) -> str:
     )
     SELECT n AS n_events, np AS n_pos,
         round(ll_sum / cast(n as double), 6) AS log_loss,
-        round(-({base} * ln({base}) + (1 - {base}) * ln(1 - {base})), 6)
-            AS baseline_entropy,
-        round(1 - (ll_sum / cast(n as double))
+        round(CASE WHEN np > 0 AND np < n THEN
+            -({base} * ln({base}) + (1 - {base}) * ln(1 - {base}))
+            END, 6) AS baseline_entropy,
+        round(CASE WHEN np > 0 AND np < n THEN
+            1 - (ll_sum / cast(n as double))
             / nullif(-({base} * ln({base}) + (1 - {base}) * ln(1 - {base})),
-                     cast(0 as double)), 6) AS skill
+                     cast(0 as double))
+            END, 6) AS skill
     FROM agg
     """
 
@@ -1316,19 +1376,21 @@ def _cramers_v(d: str) -> str:
     )
     SELECT max(n) AS n_rows, max(r) AS n_segments, max(c) AS n_bands,
         round({S.dsum('x2', d)}, 6) AS chi2,
-        round(sqrt({S.dsum('x2', d)} / (cast(max(n) as double)
-            * cast(least(max(r), max(c)) - 1 as double))), 6) AS cramers_v,
+        round(sqrt({S.dsum('x2', d)} / nullif(cast(max(n) as double)
+            * cast(least(max(r), max(c)) - 1 as double),
+            cast(0 as double))), 6) AS cramers_v,
         round(sqrt(
             greatest({S.dsum('x2', d)} / cast(max(n) as double)
                 - cast((max(r) - 1) * (max(c) - 1) as double)
-                  / cast(max(n) - 1 as double), cast(0 as double))
+                  / cast(nullif(max(n) - 1, 0) as double),
+                cast(0 as double))
             / nullif(least(
                 cast(max(r) as double)
                     - cast((max(r) - 1) * (max(r) - 1) as double)
-                      / cast(max(n) - 1 as double),
+                      / cast(nullif(max(n) - 1, 0) as double),
                 cast(max(c) as double)
                     - cast((max(c) - 1) * (max(c) - 1) as double)
-                      / cast(max(n) - 1 as double)) - 1,
+                      / cast(nullif(max(n) - 1, 0) as double)) - 1,
                 cast(0 as double))), 6) AS cramers_v_corrected
     FROM chi
     """

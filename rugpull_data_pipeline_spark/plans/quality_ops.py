@@ -32,6 +32,10 @@ from ..functions.scalars import DUCK, SPARK
 from ..tmpdirs import scratch_dir
 from .registry import register, sql_pair
 
+# Per-process external-path cache for the bucketed-table fixture (see
+# layout_bucketed_join).
+_BUCKETED_DIRS: dict[str, str] = {}
+
 _N_CENTROIDS = 8
 
 
@@ -330,9 +334,17 @@ def layout_bucketed_join(spark, sf_dir):
     from ..sources.io import write_bucketed
 
     # Per-sf table names + external paths: idempotent within a session,
-    # re-materialized cheaply in a fresh one (in-memory catalog).
+    # re-materialized cheaply in a fresh one (in-memory catalog). The base
+    # dir is a per-PROCESS mkdtemp (cached below), NOT a fixed
+    # tempdir/md5(sf_dir) name: two sessions on one host (parallel sweep
+    # processes, concurrent CI) would otherwise race mode("overwrite") on
+    # the same files — the round-9 ADVICE fixed-temp-path class.
+    _ = tempfile  # path uniqueness comes from scratch_dir, not gettempdir
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"rugpull_bucketed_{suffix}")
+    key = f"bucketed_{suffix}"
+    if key not in _BUCKETED_DIRS:
+        _BUCKETED_DIRS[key] = scratch_dir(prefix=f"rugpull_{key}_")
+    base = _BUCKETED_DIRS[key]
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tname = f"rugpull_bkt_{tbl}_{suffix}"
         if not spark.catalog.tableExists(tname):

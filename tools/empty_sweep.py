@@ -38,6 +38,7 @@ Modes (one per degenerate surface; default is empty tables):
     python tools/empty_sweep.py --skewed-duplicates # Zipf keys x tied ts x tied values
     python tools/empty_sweep.py --giant-payloads # 1 MB doc, 10^4-dim vectors, nested props
     python tools/empty_sweep.py --unicode-text   # multilingual gauntlet on every doc
+    python tools/empty_sweep.py --duplicate-storm # every row of every table x8
 
 Exit 0 iff every query is `ok` or `explained`. (The round-6 self-sourced
 streaming-replay artifact class no longer exists: the replays read the
@@ -165,6 +166,24 @@ def main() -> int:
         "mapping, and regex word-class semantics can silently diverge "
         "between engines over a real multilingual 100 TB corpus",
     )
+    ap.add_argument(
+        "--duplicate-storm",
+        action="store_true",
+        help="instead of empty tables: every row of the FACT/corpus "
+        "tables (lineitem, events, documents, embeddings) duplicated 8x "
+        "byte-identically. Dim tables keep their PRIMARY KEYS — "
+        "duplicating a keyed dim makes agg-then-join and join-then-agg "
+        "legitimately disagree on output multiplicity (seen on the "
+        "flagship builder vs its oracle), which tests the SURFACE, not "
+        "the engines. The twelve prior surfaces stress key skew, ties, "
+        "size, and encoding; none stressed pure duplicate MULTIPLICITY "
+        "— the dominant property of a real crawled 100 TB corpus. "
+        "Targets: count-sensitive statistics (chi2, VMR, medians with "
+        "even multiplicities), dedup multiplicity accounting, rank/"
+        "top-k behavior when >k candidates are IDENTICAL rows, and "
+        "self-join fan-out guards (8x rows -> 64x un-deduped pairs; "
+        "the DISTINCT-first pair builds must absorb it)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -181,7 +200,26 @@ def main() -> int:
     # the registry's view cache so builders don't re-register the full views
     register_views(spark, SF)
     con = duckdb.connect()
-    if args.skewed_duplicates:
+    if args.duplicate_storm:
+        # Byte-identical 8x row multiplication on BOTH engines — pure
+        # multiplicity, no value/key/time edits. FACT tables only: dims
+        # keep their primary keys (see the --duplicate-storm help).
+        dup = {"lineitem", "events", "documents", "embeddings"}
+        for t in TABLES:
+            if t in dup:
+                spark.table(t).withColumn(
+                    "_dup", F.explode(F.expr("sequence(1, 8)"))
+                ).drop("_dup").createOrReplaceTempView(t)
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT t.* FROM"
+                    f" read_parquet('{SF}/{t}.parquet') t, range(8)"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM"
+                    f" read_parquet('{SF}/{t}.parquet')"
+                )
+    elif args.skewed_duplicates:
         # All three tie surfaces at once: Zipf-skewed duplicate keys,
         # one shared timestamp, one shared value. Integer-only key math so
         # both engines derive the identical distribution.
