@@ -171,18 +171,22 @@ def main() -> int:
         action="store_true",
         help="instead of empty tables: every row of the FACT/corpus "
         "tables (lineitem, events, documents, embeddings) duplicated 8x "
-        "byte-identically. Dim tables keep their PRIMARY KEYS — "
-        "duplicating a keyed dim makes agg-then-join and join-then-agg "
-        "legitimately disagree on output multiplicity (seen on the "
-        "flagship builder vs its oracle), which tests the SURFACE, not "
-        "the engines. The twelve prior surfaces stress key skew, ties, "
-        "size, and encoding; none stressed pure duplicate MULTIPLICITY "
-        "— the dominant property of a real crawled 100 TB corpus. "
-        "Targets: count-sensitive statistics (chi2, VMR, medians with "
-        "even multiplicities), dedup multiplicity accounting, rank/"
-        "top-k behavior when >k candidates are IDENTICAL rows, and "
-        "self-join fan-out guards (8x rows -> 64x un-deduped pairs; "
-        "the DISTINCT-first pair builds must absorb it)",
+        "with byte-identical CONTENT but FRESH surrogate ids (event_id/"
+        "doc_id/vec_id offset per copy) — the real crawled-corpus "
+        "multiplicity scenario: the same document, event, or vector "
+        "arriving many times under different identities. Identity "
+        "columns must stay unique because ~23 operators carry key "
+        "contracts on them (dedup fixpoints, winnowing, stateful "
+        "replays, blob fixtures keyed by doc_id) and a COLLIDING "
+        "duplicate makes builder-vs-oracle algebra legitimately "
+        "disagree — that tests the surface, not the engines. Dims keep "
+        "their primary keys for the same reason (agg-then-join vs "
+        "join-then-agg multiplicity, seen on the flagship builder). "
+        "Targets: count-sensitive statistics with x8 multiplicities, "
+        "dedup operators on exact-duplicate CONTENT (the thing they "
+        "exist for), rank/top-k with >k content-identical candidates, "
+        "and self-join fan-out guards (8x rows -> 64x candidate pairs; "
+        "caps and DISTINCT-first pair builds must absorb it)",
     )
     args = ap.parse_args()
 
@@ -201,23 +205,40 @@ def main() -> int:
     register_views(spark, SF)
     con = duckdb.connect()
     if args.duplicate_storm:
-        # Byte-identical 8x row multiplication on BOTH engines — pure
-        # multiplicity, no value/key/time edits. FACT tables only: dims
-        # keep their primary keys (see the --duplicate-storm help).
-        dup = {"lineitem", "events", "documents", "embeddings"}
+        # 8x content duplication with fresh surrogate ids on BOTH
+        # engines (see the --duplicate-storm help). Offsets are far
+        # above every sf's key domain, integer-exact in both engines.
+        id_col = {"events": "event_id", "documents": "doc_id",
+                  "embeddings": "vec_id", "lineitem": None}
         for t in TABLES:
-            if t in dup:
-                spark.table(t).withColumn(
-                    "_dup", F.explode(F.expr("sequence(1, 8)"))
-                ).drop("_dup").createOrReplaceTempView(t)
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT t.* FROM"
-                    f" read_parquet('{SF}/{t}.parquet') t, range(8)"
-                )
-            else:
+            if t not in id_col:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM"
                     f" read_parquet('{SF}/{t}.parquet')"
+                )
+                continue
+            key = id_col[t]
+            dup = spark.table(t).withColumn(
+                "_dup", F.explode(F.expr("sequence(0, 7)"))
+            )
+            if key is not None:
+                dup = dup.withColumn(
+                    key,
+                    F.col(key) + F.col("_dup") * F.lit(10**12).cast("long"),
+                )
+            dup.drop("_dup").createOrReplaceTempView(t)
+            if key is None:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT t.* FROM"
+                    f" read_parquet('{SF}/{t}.parquet') t,"
+                    " range(8) AS d(i)"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT t.* REPLACE"
+                    f" (t.{key} + d.i * 1000000000000 AS {key}) FROM"
+                    f" read_parquet('{SF}/{t}.parquet') t,"
+                    " range(8) AS d(i)"
                 )
     elif args.skewed_duplicates:
         # All three tie surfaces at once: Zipf-skewed duplicate keys,
