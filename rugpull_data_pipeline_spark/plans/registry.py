@@ -247,5 +247,6 @@ def _load_plan_modules() -> None:
     from . import mining_ops  # noqa: F401
     from . import analytics_ops  # noqa: F401
     from . import diagnostics_ops  # noqa: F401
+    from . import insights_ops  # noqa: F401
 
     _LOADED = True
