@@ -237,7 +237,7 @@ def _cusum_cp(d: str) -> str:
     WITH {_daily_means(d)},
     st AS (
         SELECT event_type,
-            cast(round({S.davg('dm', d)}, 6) as decimal(18,6)) AS mu
+            cast({_r6u(S.davg('dm', d))} as decimal(18,6)) AS mu
         FROM daily GROUP BY event_type
     ),
     c AS (
@@ -1106,7 +1106,7 @@ def _simpson(d: str) -> str:
     agg AS (
         SELECT lang, {S.isum('c', d)} AS n_tokens,
             cast(count(*) as bigint) AS n_types,
-            {S.isum('c * (c - 1)', d)} AS pair_sum,
+            sum(cast(c as decimal(19,0)) * (c - 1)) AS pair_sum,
             cast(max(c) as bigint) AS top_c
         FROM tl GROUP BY lang
     )
@@ -1559,8 +1559,9 @@ def _hour_gof(d: str) -> str:
         ) t WHERE rn = 1
     )
     SELECT f.event_type, max(f.n) AS n_events,
-        round(cast({S.isum('(24 * f.c - f.n) * (24 * f.c - f.n)', d)}
-            as double) / (24 * cast(max(f.n) as double)), 6) AS chi2,
+        round(sum(cast(24 * f.c - f.n as double)
+                  * cast(24 * f.c - f.n as double))
+            / (24 * cast(max(f.n) as double)), 6) AS chi2,
         cast(23 as bigint) AS dof,
         cast(max(p.peak_hour) as bigint) AS peak_hour,
         round(cast(max(p.peak_c) as double) / cast(max(f.n) as double), 6)

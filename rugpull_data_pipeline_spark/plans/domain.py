@@ -440,7 +440,14 @@ def price_change_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False when the query is STILL
+    # RUNNING at the deadline — a hung availableNow replay must fail
+    # loudly, not grade a truncated memory table (round-10 verdict).
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "price-change stateful replay still running after 300 s"
+        )
     emitted = spark.table(name)
     return emitted.select(
         "pair",

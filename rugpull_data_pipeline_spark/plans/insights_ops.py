@@ -242,10 +242,13 @@ _pair(
     _user_overlap,
     tags=("events", "analytics"),
     doc="Pairwise audience overlap between event types: Jaccard and "
-    "containment of the user sets for each of the C(5,2) type pairs. "
-    "One distinct-pair hash-agg, then a user-keyed equi-self-join whose "
-    "fan-out is bounded by types-per-user (<= 5); output is the type "
-    "grid. The audience sibling of events_cooccurrence_lift.",
+    "containment of the user sets for every type pair with at least one "
+    "shared user (zero-overlap pairs are OMITTED — the inner self-join "
+    "emits no row for them, a behavior the property test pins; on the "
+    "dense fixtures that is all C(5,2) pairs). One distinct-pair "
+    "hash-agg, then a user-keyed equi-self-join whose fan-out is bounded "
+    "by types-per-user (<= 5); output is the type grid. The audience "
+    "sibling of events_cooccurrence_lift.",
 )
 
 

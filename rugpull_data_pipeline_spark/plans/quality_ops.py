@@ -457,7 +457,14 @@ def stream_session_windows(spark, sf_dir):
             )
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False when the query is STILL
+        # RUNNING at the deadline — a hung availableNow replay must fail
+        # loudly, not grade a truncated memory table (round-10 verdict).
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "sessionization replay still running after 300 s"
+            )
     return spark.table(name).orderBy("user_id", "session_start")
 
 
