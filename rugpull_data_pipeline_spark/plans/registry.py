@@ -248,5 +248,6 @@ def _load_plan_modules() -> None:
     from . import analytics_ops  # noqa: F401
     from . import diagnostics_ops  # noqa: F401
     from . import insights_ops  # noqa: F401
+    from . import forensics_ops  # noqa: F401
 
     _LOADED = True
