@@ -123,79 +123,79 @@ def get(name: str) -> QuerySpec:
 # new queries this round (the standing window arithmetic: backlog 0 +
 # 50 slots + REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
-    "join_cross_region_bands",  # last green r3 (deferred from r9)
-    "join_right_outer_customers",  # last green r3
-    "join_salted_skew",  # last green r3
-    "join_theta_nation_pairs",  # last green r3
-    "json_extract_agg",  # last green r3
-    "json_prefilter_then_parse",  # last green r3
-    "json_struct_parse_bucket",  # last green r3
-    "multimodal_binary_ingest",  # last green r3
-    "multimodal_blob_metadata",  # last green r3
-    "multimodal_decode_features",  # last green r3
-    "multimodal_frame_sample",  # last green r3
-    "price_change_stateful_stream",  # last green r3
-    "sim_centroid_assign",  # last green r3
-    "sim_cosine_ivf_bucketed",  # last green r3
-    "sim_cosine_topk_bruteforce",  # last green r3
-    "sim_embedding_quantize",  # last green r3
-    "sim_lsh_hyperplane_ann",  # last green r3
-    "solana_balance_extract",  # last green r3
-    "solana_balance_extract_xl",  # last green r3
-    "solana_balance_from_datasource",  # last green r3
-    "solana_balance_stream",  # last green r3
-    "solana_enriched_report",  # last green r3
-    "solana_hot_tx_count",  # last green r3
-    "solana_pool_detection",  # last green r3
-    "solana_rugpull_score",  # last green r3
+    # Round-11 re-proof slots: the FINAL 13 round-3 rows (after this
+    # window every query in the registry is driver-green r4 or later;
+    # the r4 tier becomes the stalest for round 12 — see
+    # tools/rotation_plan.py).
+    "text_corpus_curation",  # last green r3
+    "text_fingerprint",  # last green r3
+    "text_lang_id_heuristic",  # last green r3
+    "text_mixture_sample",  # last green r3
+    "text_pack_sequences",  # last green r3
+    "text_quality_score",  # last green r3
+    "text_tfidf_topterms",  # last green r3
+    "text_token_bpe_regex",  # last green r3
+    "text_token_count",  # last green r3
+    "text_train_val_split",  # last green r3
+    "text_vocab_topk",  # last green r3
+    "udf_arrowmap_vecsum",  # last green r3
+    "udf_groupmap_minmax_scale",  # last green r3
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
-# round 9: 338 distinct queries verified, 338 green, 0 standing red,
-# backlog 0 (CORRECTNESS_r02..r09). The round-10 window = the 25 queries
-# that DEBUT this round (registered inside their debut window, so the
-# never-checked set stays empty: the time-series / calibration /
-# recommender / robust-profiling tier of plans/diagnostics_ops.py) + the
-# 25 oldest-first RE-PROOFS above (the r9-deferred join_cross_region_bands
-# + the 24 stalest r3 rows). After a green r10 grade the r3 tier has 13
-# rows left — the standing cadence continues. Everything NOT listed keeps
-# registration order behind these, so already-green queries still run
-# when the driver checks more than 50.
+# round 10: 363 distinct queries verified, 363 green, 0 standing red
+# (CORRECTNESS_r02..r10), plus the 12 queries banked in round 10
+# (plans/insights_ops.py — judge/oracle/matrix-verified, never
+# driver-checked). The round-11 window = those 12 BANKED rows + the 25
+# queries that DEBUT this round (the forensics/robustness tiers of
+# plans/forensics_ops.py and plans/robustness_ops.py, registered inside
+# their debut window) + the 13 oldest-first RE-PROOFS above (the final r3
+# rows) = exactly 50. Everything NOT listed keeps registration order
+# behind these, so already-green queries still run when the driver checks
+# more than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-10 debuts: time-series diagnostics (batch twins of the
-    # streaming kernels) ----
-    "window_ar1_fit",
-    "window_cusum_changepoint",
-    "window_variance_ratio",
-    "window_donchian_breakout",
-    "window_atr_true_range",
-    "window_runs_test",
-    # ---- round-10 debuts: calibration / association evaluation ----
-    "eval_brier_decomposition",
-    "eval_kendall_tau",
-    "eval_matthews_corr",
-    "eval_log_loss",
-    "eval_regression_diagnostics",
-    # ---- round-10 debuts: recommender baselines ----
-    "rec_item_item_topk",
-    "rec_user_bias_baseline",
-    # ---- round-10 debuts: corpus diagnostics ----
-    "text_readability_indices",
-    "text_burstiness_dispersion",
-    "text_simpson_diversity",
-    # ---- round-10 debuts: robust profiling / drift ----
-    "profile_mad_screen",
-    "profile_schema_drift",
-    # ---- round-10 debuts: inequality / association / concentration ----
-    "agg_theil_inequality",
-    "agg_cramers_v",
-    "agg_hhi_concentration",
-    # ---- round-10 debuts: layout / events / mlprep / sim ----
-    "layout_prune_simulator",
-    "events_hour_uniformity_gof",
-    "mlprep_robust_scaler",
-    "sim_norm_anisotropy",
+    # ---- round-10 banked backlog (insights_ops): first driver check ----
+    "window_anomalous_days",
+    "window_pacf_lag2",
+    "events_user_overlap_types",
+    "events_weekday_weekend_lift",
+    "eval_cliffs_delta",
+    "text_stopword_profile",
+    "text_char_class_profile",
+    "profile_pk_uniqueness",
+    "agg_lorenz_deciles",
+    "sim_centroid_separation",
+    "graph_degree_gini",
+    "dedup_doc_family_sizes",
+    # ---- round-11 debuts: fraud/AML forensics (forensics_ops) ----
+    "profile_structuring_screen",
+    "profile_last_digit_uniformity",
+    "profile_duplicate_billing",
+    "profile_dormant_reactivation",
+    "profile_lognormal_fit",
+    "window_pump_dump_pattern",
+    "window_squarewave_period",
+    "window_unit_root_df",
+    "window_risk_ratios",
+    "window_market_beta",
+    "agg_hill_tail_index",
+    "eval_anova_oneway",
+    "eval_levene_bf",
+    # ---- round-11 debuts: rank tests / sketch audits / corpus
+    # forensics (robustness_ops) ----
+    "eval_mann_whitney_u",
+    "eval_rank_biased_overlap",
+    "eval_concordance_index",
+    "audit_quantile_sketch",
+    "audit_distinct_sketch",
+    "text_token_novelty",
+    "text_burrows_delta",
+    "text_keyphrase_rake",
+    "graph_edge_reciprocity",
+    "graph_rich_club",
+    "events_cohort_ltv",
+    "sample_pps_systematic",
 ) + REPROOF
 
 
