@@ -289,12 +289,16 @@ _pair(
 
 
 def _lognormal(d: str) -> str:
-    # ln of the dollar value, 9-dp-quantized, decimal-summed (the
-    # events_survival_km ln discipline); mu/sigma via the n-multiplied
-    # co-moment combine in double. Implied median exp(mu) is compared to
-    # the exact quarter-unit median: the gap is a lognormality score
-    # (1.0 = perfectly lognormal body).
-    lnv = "round(ln(cast(v as double) / cast(100 as double)), 9)"
+    # ln of the dollar value, 9-dp-quantized ONCE as decimal(12,9); the
+    # square is the EXACT decimal product of that same quantized value
+    # (quantizing the square separately broke the variance-of-a-constant
+    # = 0 identity — the --single-row sweep caught an engine-dependent
+    # sqrt(round-residual) of ~3e-4). mu/sigma via the n-multiplied
+    # co-moment combine in double.
+    lnq = (
+        "cast(round(ln(cast(v as double) / cast(100 as double)), 9)"
+        " as decimal(12,9))"
+    )
     return f"""
     WITH sl AS (
         SELECT event_type, {_EV_CENTS} AS s
@@ -307,8 +311,8 @@ def _lognormal(d: str) -> str:
     ),
     lt AS (
         SELECT grp AS event_type, {S.isum('c', d)} AS n,
-            cast(sum(c * cast({lnv} as decimal(19,9))) as double) AS t1,
-            cast(sum(c * cast(round({lnv} * {lnv}, 9) as decimal(19,9)))
+            cast(sum(cast(c as decimal(12,0)) * {lnq}) as double) AS t1,
+            cast(sum(cast(c as decimal(12,0)) * ({lnq} * {lnq}))
                 as double) AS t2
         FROM g GROUP BY grp
     ),
@@ -323,13 +327,14 @@ def _lognormal(d: str) -> str:
         {_r6u('sqrt(greatest(cast(0 as double), '
               '(cast(l.n as double) * l.t2 - l.t1 * l.t1) '
               '/ (cast(l.n as double) * cast(l.n as double))))')} AS sigma_ln,
-        {_r6u('exp(l.t1 / cast(l.n as double))')} AS implied_median,
         {_r6u('cast(m.med_q4 as double) / cast(400 as double)')}
             AS actual_median,
-        {_r6u('exp(l.t1 / cast(l.n as double)) '
-              '/ nullif(cast(m.med_q4 as double) / cast(400 as double), '
-              'cast(0 as double))')} AS lognormality_gap
+        {_r6u('l.t1 / cast(l.n as double) '
+              '- cast(round(ln(cast(m.med_q4 as double) '
+              '/ cast(400 as double)), 9) as double)')}
+            AS lognormality_gap_ln
     FROM lt l JOIN medv m ON m.event_type = l.event_type
+    WHERE m.med_q4 > 0
     ORDER BY l.event_type
     """
 
@@ -339,12 +344,15 @@ _pair(
     _lognormal,
     tags=("profile", "stats"),
     doc="Lognormal fit of transaction amounts per event type: mu/sigma of "
-    "ln(value) from 9-dp-quantized decimal sums over the cents grid, and "
-    "a lognormality score = exp(mu) / exact median (1.0 when the body is "
-    "lognormal — genuine amount distributions are; manipulated ones "
-    "drift). Grid-first: ln terms are computed once per DISTINCT cents "
-    "value and weighted by count, so libm cost scales with the value "
-    "domain, not rows.",
+    "ln(value) from once-quantized decimal sums over the cents grid, and "
+    "a log-space lognormality gap = mu - ln(exact median) (0 when the "
+    "body is lognormal — genuine amount distributions are; manipulated "
+    "ones drift). The gap stays in log space deliberately: exp(mu) of a "
+    "quantized mean lands within ~1e-8 of the 6-dp rounding boundary "
+    "whenever the datum is a round decimal, and engine exp() ulps flip "
+    "it (caught by the --single-row sweep). Grid-first: ln terms are "
+    "computed once per DISTINCT cents value and weighted by count, so "
+    "libm cost scales with the value domain, not rows.",
 )
 
 

@@ -118,6 +118,32 @@ _NLJ_ALLOWED = {
     "text_burstiness_dispersion",
     "agg_cramers_v",
     "events_hour_uniformity_gof",
+    # round-11 metadata-scale broadcasts, same constant-key class: the
+    # per-type totals x the 10-digit grid (last-digit GOF, the hour-GOF
+    # shape), the centered daily grid x the 9-row period table, the
+    # 1-row type-count onto the market co-moments, the 1-row F total
+    # onto the per-group Levene profile, the 4 contrast types x the
+    # distinct-cents grid (Mann-Whitney), the 50-row depth grid x the
+    # rank-overlap counts (RBO), the day x decile grid fill + 1-row
+    # maxima (concordance), the per-type totals x the 4-row percentile
+    # table (quantile-sketch audit), the 1-row max-doc-id onto documents
+    # (novelty batching), the 20 sources x the 30-token top list
+    # (Burrows), the 6-row degree-threshold table (rich club), and the
+    # cohort table x the age grid (LTV). Every broadcast side is a
+    # literal/aggregate <= 50 rows; the fact side is already a bounded
+    # grid or a dimension.
+    "profile_last_digit_uniformity",
+    "window_squarewave_period",
+    "window_market_beta",
+    "eval_levene_bf",
+    "eval_mann_whitney_u",
+    "eval_rank_biased_overlap",
+    "eval_concordance_index",
+    "audit_quantile_sketch",
+    "text_token_novelty",
+    "text_burrows_delta",
+    "graph_rich_club",
+    "events_cohort_ltv",
 }
 
 
