@@ -43,7 +43,7 @@ from .diagnostics_ops import (
     _r6u,
 )
 from .mining_ops import _daily_means
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -104,14 +104,22 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _last_digit(d: str) -> str:
+def _last_digit_core(d: str) -> str:
+    """The (event_type, last-digit, count) grid — the ONE fact pass."""
     return f"""
-    WITH dc AS (
         SELECT event_type, ({_EV_CENTS}) % 10 AS dg,
             cast(count(*) as bigint) AS c
         FROM events WHERE value IS NOT NULL AND value >= 0
         GROUP BY event_type, ({_EV_CENTS}) % 10
-    ),
+    """
+
+
+def _last_digit(d: str, dc_src: str | None = None) -> str:
+    # ``dc_src`` lets the Spark builder checkpoint the 10-row-per-type
+    # digit grid: inlined, tt/full_grid/pk each re-ran the fact hash-agg
+    # (4 fact scans planned — the round-11 plan audit).
+    return f"""
+    WITH dc AS ({dc_src if dc_src is not None else _last_digit_core(d)}),
     tt AS (
         SELECT event_type, {S.isum('c', d)} AS n FROM dc GROUP BY event_type
     ),
@@ -143,9 +151,9 @@ def _last_digit(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "profile_last_digit_uniformity",
-    _last_digit,
+    oracle=_last_digit(DUCK),
     tags=("profile", "fraud"),
     doc="Newcomb last-digit audit, the uniformity sibling of "
     "profile_benford_screen's first-digit law: genuine continuous amounts "
@@ -154,8 +162,16 @@ _pair(
     "exact-integer residual trick as events_hour_uniformity_gof "
     "(10c - n stays bigint; the square is double-cast per the "
     "eval_matthews_corr overflow discipline). One hash-agg to a "
-    "10-row-per-type grid; constant-key equi-join fills missing digits.",
+    "10-row-per-type grid; constant-key equi-join fills missing digits. "
+    "The digit grid is localCheckpointed so its consumers share ONE "
+    "fact scan.",
 )
+def profile_last_digit_uniformity(spark, sf_dir):
+    dc = spark.sql(_last_digit_core(SPARK)).localCheckpoint()
+    dc.createOrReplaceTempView("lastdigit_dc_v")
+    return spark.sql(
+        _last_digit(SPARK, dc_src="SELECT event_type, dg, c FROM lastdigit_dc_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -424,7 +440,7 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _sq_period(d: str) -> str:
+def _sq_period(d: str, daily_src: str | None = None) -> str:
     # Square-wave correlation instead of a cos/sin DFT: the +-1 kernel
     # keeps the whole transform in EXACT decimal arithmetic (libm trig is
     # not correctly rounded and 1-ulp engine noise could flip a rounded
@@ -432,8 +448,16 @@ def _sq_period(d: str) -> str:
     # Y_t = n*dm_t - S, so sum(Y_t * w_t) needs no double mean. n is
     # pre-narrowed to decimal(6,0) so n*dm never crosses the 38-digit
     # product cap (Spark would shave a scale digit there).
+    # ``daily_src`` lets the Spark builder checkpoint the calendar grid:
+    # inlined, st/cent re-derived it (4 fact scans planned — the
+    # round-11 plan audit).
+    daily = (
+        f"daily AS ({daily_src})"
+        if daily_src is not None
+        else _daily_means(d).strip().rstrip()
+    )
     return f"""
-    WITH {_daily_means(d)},
+    WITH {daily},
     st AS (
         SELECT event_type, cast(count(*) as decimal(6,0)) AS n,
             cast(sum(dm) as decimal(38,6)) AS s1
@@ -477,9 +501,9 @@ def _sq_period(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "window_squarewave_period",
-    _sq_period,
+    oracle=_sq_period(DUCK),
     tags=("window", "stats"),
     doc="Integer-kernel periodogram: square-wave (+-1) correlation of the "
     "exactly-centered daily-mean series at periods 2..10 days, normalized "
@@ -487,8 +511,20 @@ _pair(
     "periodicity (bot-driven wash cycles show strong short periods). "
     "The +-1 kernel keeps every term exact decimal — a cos/sin DFT would "
     "ride libm ulp noise across engines. Facts -> calendar grid in one "
-    "hash-agg; the period fan-out is a 9-row constant-key equi-join.",
+    "hash-agg; the period fan-out is a 9-row constant-key equi-join. "
+    "The calendar grid is localCheckpointed so its consumers share ONE "
+    "fact scan.",
 )
+def window_squarewave_period(spark, sf_dir):
+    daily = spark.sql(
+        f"WITH {_daily_means(SPARK)} SELECT event_type, day_idx, dm FROM daily"
+    ).localCheckpoint()
+    daily.createOrReplaceTempView("sqperiod_daily_v")
+    return spark.sql(
+        _sq_period(
+            SPARK, daily_src="SELECT event_type, day_idx, dm FROM sqperiod_daily_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -629,10 +665,13 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _market_beta(d: str) -> str:
+def _market_beta(d: str, daily_src: str | None = None) -> str:
     # Market = SUM of the per-type means each day (a day counts only when
     # every type reported, so the series is complete); beta against the
     # per-day market MEAN folds the 1/n_types factor back in analytically.
+    # ``daily_src`` lets the Spark builder checkpoint the calendar grid:
+    # inlined, its three consumers (nt/mkt/mom) each re-ran the fact
+    # hash-agg (4 fact scans planned — the round-11 plan audit).
     nd = "cast(k as double)"
     varm = (
         f"({nd} * cast(smm as double) - cast(sm as double)"
@@ -650,8 +689,13 @@ def _market_beta(d: str) -> str:
         f"(cast(n_types as double) * {cov}"
         f" / nullif({varm}, cast(0 as double)))"
     )
+    daily = (
+        f"daily AS ({daily_src})"
+        if daily_src is not None
+        else _daily_means(d).strip().rstrip()
+    )
     return f"""
-    WITH {_daily_means(d)},
+    WITH {daily},
     nt AS (
         SELECT cast(count(DISTINCT event_type) as bigint) AS n_types,
             1 AS kc
@@ -691,18 +735,30 @@ def _market_beta(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "window_market_beta",
-    _market_beta,
+    oracle=_market_beta(DUCK),
     tags=("window", "stats"),
     doc="CAPM-style beta of each event type's daily-mean series against "
     "the equal-weight cross-type market (days where all types reported). "
     "Exact decimal co-moments, one double combine (the window_ar1_fit "
     "discipline); the market series is one extra hash-agg of the SAME "
-    "calendar grid — no second pass over facts. Beta > 1 flags types "
-    "amplifying market-wide swings; near-zero correlation flags series "
-    "decoupled from the market (wash-traded pools decouple).",
+    "calendar grid — the grid is localCheckpointed so there is truly no "
+    "second pass over facts. Beta > 1 flags types amplifying "
+    "market-wide swings; near-zero correlation flags series decoupled "
+    "from the market (wash-traded pools decouple).",
 )
+def window_market_beta(spark, sf_dir):
+    daily = spark.sql(
+        f"WITH {_daily_means(SPARK)} SELECT event_type, day_idx, dm"
+        " FROM daily"
+    ).localCheckpoint()
+    daily.createOrReplaceTempView("mbeta_daily_v")
+    return spark.sql(
+        _market_beta(
+            SPARK, daily_src="SELECT event_type, day_idx, dm FROM mbeta_daily_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -834,22 +890,28 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _levene(d: str) -> str:
+def _levene_core(d: str) -> str:
+    """The (group, cents, count) grid — the ONE pass over facts."""
+    return f"""
+        SELECT event_type AS grp, {_EV_CENTS} AS v,
+            cast(count(*) as bigint) AS c
+        FROM events WHERE value IS NOT NULL AND value >= 0
+        GROUP BY event_type, {_EV_CENTS}
+    """
+
+
+def _levene(d: str, g_src: str | None = None) -> str:
     # Brown-Forsythe: one-way ANOVA on z = |x - median_g|, with the group
     # medians as exact quarter-cent integers and z therefore exact bigint
     # (|4s - med_q4| is in quarter-cents). The F combine mirrors
     # eval_anova_oneway on the z sums; the z^2 sum pre-squares in bigint
     # (fits up to $5M amounts) and rides one decimal(19,0) product.
+    # ``g_src`` lets the Spark builder checkpoint the cents grid: inlined,
+    # its consumers (cumg-median path + z) re-ran the fact hash-agg
+    # (5 fact scans planned — the round-11 plan audit).
     tg2 = "cast(tz as double) * cast(tz as double) / cast(ng as double)"
     return f"""
-    WITH sl AS (
-        SELECT event_type, {_EV_CENTS} AS s
-        FROM events WHERE value IS NOT NULL AND value >= 0
-    ),
-    g AS (
-        SELECT event_type AS grp, s AS v, cast(count(*) as bigint) AS c
-        FROM sl GROUP BY event_type, s
-    ),
+    WITH g AS ({g_src if g_src is not None else _levene_core(d)}),
     {_cum_grid('g')},
     med AS (
         SELECT grp AS event_type, {_q4_minmax(2, 'm', d)}, max(n) AS n
@@ -894,9 +956,9 @@ def _levene(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_levene_bf",
-    _levene,
+    oracle=_levene(DUCK),
     tags=("eval", "stats"),
     doc="Brown-Forsythe (median-based Levene) variance-homogeneity test "
     "across event types: one-way ANOVA on |x - group median|, the robust "
@@ -904,5 +966,11 @@ _pair(
     "Medians are exact quarter-cent order statistics from the cents "
     "grid, so z = |4s - med_q4| is exact bigint and the z-moments reuse "
     "the integer ANOVA machinery. Output: per-group MAD profile with the "
-    "shared F statistic attached via a 1-row constant-key equi-join.",
+    "shared F statistic attached via a 1-row constant-key equi-join. "
+    "The cents grid is localCheckpointed so its consumers share ONE "
+    "fact scan.",
 )
+def eval_levene_bf(spark, sf_dir):
+    g = spark.sql(_levene_core(SPARK)).localCheckpoint()
+    g.createOrReplaceTempView("levene_g_v")
+    return spark.sql(_levene(SPARK, g_src="SELECT grp, v, c FROM levene_g_v"))

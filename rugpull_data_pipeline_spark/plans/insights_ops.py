@@ -31,10 +31,11 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
+from .analytics_ops import _pw_df
 from .diagnostics_ops import _dsum9, _r6u
 from .llm_ops import _emb_dims, _word_tokens_all
 from .mining_ops import _daily_means, _day_idx
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -208,9 +209,18 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _user_overlap(d: str) -> str:
+def _user_overlap_core(d: str) -> str:
+    """The distinct (event_type, user) audience table — the ONE fact pass
+    (user-domain sized, <= 5 rows per user)."""
+    return "SELECT DISTINCT event_type, user_id FROM events"
+
+
+def _user_overlap(d: str, ut_src: str | None = None) -> str:
+    # ``ut_src`` lets the Spark builder checkpoint the audience table:
+    # inlined, n_t + the pair self-join re-derived it (4 fact scans
+    # planned — the round-11 plan audit).
     return f"""
-    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    WITH ut AS ({ut_src if ut_src is not None else _user_overlap_core(d)}),
     n_t AS (
         SELECT event_type, cast(count(*) as bigint) AS n_users
         FROM ut GROUP BY event_type
@@ -237,9 +247,9 @@ def _user_overlap(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_user_overlap_types",
-    _user_overlap,
+    oracle=_user_overlap(DUCK),
     tags=("events", "analytics"),
     doc="Pairwise audience overlap between event types: Jaccard and "
     "containment of the user sets for every type pair with at least one "
@@ -248,8 +258,16 @@ _pair(
     "dense fixtures that is all C(5,2) pairs). One distinct-pair "
     "hash-agg, then a user-keyed equi-self-join whose fan-out is bounded "
     "by types-per-user (<= 5); output is the type grid. The audience "
-    "sibling of events_cooccurrence_lift.",
+    "sibling of events_cooccurrence_lift. The audience table is "
+    "localCheckpointed so n_t and the pair self-join share ONE fact "
+    "scan.",
 )
+def events_user_overlap_types(spark, sf_dir):
+    ut = spark.sql(_user_overlap_core(SPARK)).localCheckpoint()
+    ut.createOrReplaceTempView("overlap_ut_v")
+    return spark.sql(
+        _user_overlap(SPARK, ut_src="SELECT event_type, user_id FROM overlap_ut_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -579,15 +597,25 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _centroid_sep(d: str) -> str:
+def _centroid_core(d: str) -> str:
+    """The (label, dim, centroid-mean) grid — k x dims rows, one pass
+    over the exploded embedding dims."""
+    return f"""
+    WITH edc AS ({_emb_dims(d)})
+    SELECT label, dim,
+        cast(sum(cast(v as decimal(38,9))) as double)
+            / cast(count(*) as double) AS m
+    FROM edc GROUP BY label, dim
+    """
+
+
+def _centroid_sep(d: str, cm_src: str | None = None) -> str:
+    # ``cm_src`` lets the Spark builder checkpoint the k x dims centroid
+    # grid: inlined, its four consumers (vc/cn/xc a/b) each re-derived it
+    # (7 embeddings scans planned — the round-11 plan audit).
     return f"""
     WITH ed AS ({_emb_dims(d)}),
-    cm AS (
-        SELECT label, dim,
-            cast(sum(cast(v as decimal(38,9))) as double)
-                / cast(count(*) as double) AS m
-        FROM ed GROUP BY label, dim
-    ),
+    cm AS ({cm_src if cm_src is not None else _centroid_core(d)}),
     vc AS (
         SELECT e.label, e.vec_id,
             {_dsum9('round(e.v * c.m, 9)')} AS dot,
@@ -634,9 +662,9 @@ def _centroid_sep(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sim_centroid_separation",
-    _centroid_sep,
+    oracle=_centroid_sep(DUCK),
     tags=("sim",),
     doc="Cluster-separation audit per label: mean cosine of each vector "
     "to its OWN centroid vs the maximum cosine between this centroid "
@@ -644,8 +672,16 @@ _pair(
     "(sim_cosine_ivf_bucketed) is safe; a negative one predicts recall "
     "loss. Per-dim grid aggregates; the inter-centroid compare is a "
     "k x k x dim grid join (bounded by the label domain); 9-dp "
-    "quantization before every cross-row sum.",
+    "quantization before every cross-row sum. The k x dims centroid "
+    "grid is localCheckpointed so its four consumers share one "
+    "derivation (inlined = 7 embeddings scans).",
 )
+def sim_centroid_separation(spark, sf_dir):
+    cm = spark.sql(_centroid_core(SPARK)).localCheckpoint()
+    cm.createOrReplaceTempView("centroid_cm_v")
+    return spark.sql(
+        _centroid_sep(SPARK, cm_src="SELECT label, dim, m FROM centroid_cm_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -653,15 +689,24 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _degree_gini(d: str) -> str:
-    return f"""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pw AS (
+def _degree_gini(d: str, pw_src: str | None = None) -> str:
+    # ``pw_src`` lets the Spark builder checkpoint the co-purchase pair
+    # table (shared with graph_rich_club's builder via _pw_df): inlined,
+    # the sym UNION re-derived the self-join (4 fact scans planned — the
+    # round-11 plan audit).
+    pw_body = (
+        pw_src
+        if pw_src is not None
+        else f"""
         SELECT a.l_partkey AS src, b.l_partkey AS dst
-        FROM op a JOIN op b
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
-    ),
+    """
+    )
+    return f"""
+    WITH pw AS ({pw_body}),
     sym AS (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw),
     deg AS (
         SELECT src AS node, cast(count(*) as bigint) AS deg
@@ -684,17 +729,24 @@ def _degree_gini(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_degree_gini",
-    _degree_gini,
+    oracle=_degree_gini(DUCK),
     tags=("graph", "stats"),
     doc="Gini coefficient of the co-purchase degree distribution via the "
     "rank formula G = sum((2 r_i - n - 1) d_i) / (n sum(d)) — the "
     "hub-concentration scalar that tells you whether degree-aware "
     "partitioning (salting the top hubs) is worth it; complements "
     "graph_degree_powerlaw's tail fit. Degrees are a node-domain grid; "
-    "the rank window rides it. Integer until the final ratio.",
+    "the rank window rides it. Integer until the final ratio. The pair "
+    "table is localCheckpointed so the co-purchase self-join runs once.",
 )
+def graph_degree_gini(spark, sf_dir):
+    pw = _pw_df(spark, sf_dir).localCheckpoint()
+    pw.createOrReplaceTempView("dgini_pw_v")
+    return spark.sql(
+        _degree_gini(SPARK, pw_src="SELECT src, dst FROM dgini_pw_v")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,11 +27,11 @@ from __future__ import annotations
 
 from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
-from .analytics_ops import _weighted_edges_sql
+from .analytics_ops import _W_EDGE, _pw_df, _weighted_edges_sql
 from .diagnostics_ops import _EV_CENTS, _cents, _r6u
 from .llm_ops import _toks, _word_tokens_all
 from .mining_ops import _day_idx
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -43,21 +43,26 @@ def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
 # ---------------------------------------------------------------------------
 
 
-def _mwu(d: str) -> str:
+def _mwu_core(d: str) -> str:
+    """The (event_type, cents, count) grid — the ONE pass over facts."""
+    return f"""
+        SELECT event_type, {_EV_CENTS} AS s, cast(count(*) as bigint) AS c
+        FROM events WHERE value IS NOT NULL AND value >= 0
+        GROUP BY event_type, {_EV_CENTS}
+    """
+
+
+def _mwu(d: str, g_src: str | None = None) -> str:
     # U from the same cumulative-window pair counting as eval_cliffs_delta
     # (never an n1 x n2 join); 2*U stays exact bigint. The tie-corrected
     # normal approximation needs sum(t^3 - t): the cube is computed in
     # bigint per grid row (safe to t ~ 2e6) and summed as decimal(38,0)
-    # so fleet-scale tie masses cannot wrap.
+    # so fleet-scale tie masses cannot wrap. ``g_src`` lets the Spark
+    # builder read a localCheckpointed grid so the four downstream
+    # consumers (p/o/types/svals) don't each re-scan the facts (CTE
+    # inlining planned 4 fact scans — the round-11 plan audit).
     return f"""
-    WITH sl AS (
-        SELECT event_type, {_EV_CENTS} AS s
-        FROM events WHERE value IS NOT NULL AND value >= 0
-    ),
-    g AS (
-        SELECT event_type, s, cast(count(*) as bigint) AS c
-        FROM sl GROUP BY event_type, s
-    ),
+    WITH g AS ({g_src if g_src is not None else _mwu_core(d)}),
     p AS (SELECT s, c AS cp FROM g WHERE event_type = 'purchase'),
     o AS (SELECT event_type, s, c FROM g WHERE event_type <> 'purchase'),
     types AS (
@@ -118,9 +123,9 @@ def _mwu(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_mann_whitney_u",
-    _mwu,
+    oracle=_mwu(DUCK),
     tags=("eval", "stats"),
     doc="Mann-Whitney U rank-sum test of purchase value against each "
     "other event type: 2U stays exact bigint from the eval_cliffs_delta "
@@ -128,8 +133,15 @@ _pair(
     "normal approximation (tie cubes in bigint per grid row, decimal "
     "summed). The rank-biserial effect size is 2U/(n1 n2) - 1. The grid "
     "fan-out (4 contrast types x distinct cents) is a constant-key "
-    "equi-join — bounded by the value domain, not rows.",
+    "equi-join — bounded by the value domain, not rows. The cents grid "
+    "is localCheckpointed so its four consumers share ONE fact scan.",
 )
+def eval_mann_whitney_u(spark, sf_dir):
+    grid = spark.sql(_mwu_core(SPARK)).localCheckpoint()
+    grid.createOrReplaceTempView("mwu_grid_v")
+    return spark.sql(
+        _mwu(SPARK, g_src="SELECT event_type, s, c FROM mwu_grid_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -212,13 +224,9 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _cindex(d: str) -> str:
-    # Harrell's C for view->purchase conversion with click count as the
-    # risk score: concordant = higher score converts earlier. All pair
-    # counting on the (day, score-band) grid via two suffix-sum windows —
-    # O(days x 10) state, never an n^2 subject join. Tied event times are
-    # not comparable (strict t' > t); tied scores earn half credit
-    # (2*conc + ties over 2*comparable keeps it exact bigint).
+def _cindex_core(d: str) -> str:
+    """The subject table (user, event flag, day, score decile) — all the
+    fact scans live here, so the builder can checkpoint it once."""
     ep = S.epoch_s("ts", d)
     return f"""
     WITH fv AS (
@@ -240,22 +248,36 @@ def _cindex(d: str) -> str:
             FROM events WHERE event_type = 'click' GROUP BY user_id
         ) cnt ON cnt.user_id = fv.user_id
     ),
-    cmax AS (SELECT max(n_clicks) AS mc, 1 AS k FROM clicks),
-    subj AS (
-        SELECT fv.user_id,
-            CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS ev,
-            {S.idiv('(CASE WHEN fp.p IS NOT NULL THEN fp.p - fv.v '
-                    'ELSE mx.m - fv.v END)', '86400', d)} AS t,
-            least(cast(9 as bigint), {S.idiv(
-                'cl.n_clicks',
-                f"greatest(cast(1 as bigint), {S.idiv('cm.mc + 1', '10', d)})",
-                d)}) AS r
-        FROM fv
-        LEFT JOIN fp ON fp.user_id = fv.user_id
-        JOIN clicks cl ON cl.user_id = fv.user_id
-        JOIN mx ON mx.k = cl.k
-        JOIN cmax cm ON cm.k = cl.k
-    ),
+    cmax AS (SELECT max(n_clicks) AS mc, 1 AS k FROM clicks)
+    SELECT fv.user_id,
+        CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        {S.idiv('(CASE WHEN fp.p IS NOT NULL THEN fp.p - fv.v '
+                'ELSE mx.m - fv.v END)', '86400', d)} AS t,
+        least(cast(9 as bigint), {S.idiv(
+            'cl.n_clicks',
+            f"greatest(cast(1 as bigint), {S.idiv('cm.mc + 1', '10', d)})",
+            d)}) AS r
+    FROM fv
+    LEFT JOIN fp ON fp.user_id = fv.user_id
+    JOIN clicks cl ON cl.user_id = fv.user_id
+    JOIN mx ON mx.k = cl.k
+    JOIN cmax cm ON cm.k = cl.k
+    """
+
+
+def _cindex(d: str, subj_src: str | None = None) -> str:
+    # Harrell's C for view->purchase conversion with click count as the
+    # risk score: concordant = higher score converts earlier. All pair
+    # counting on the (day, score-band) grid via two suffix-sum windows —
+    # O(days x 10) state, never an n^2 subject join. Tied event times are
+    # not comparable (strict t' > t); tied scores earn half credit
+    # (2*conc + ties over 2*comparable keeps it exact bigint).
+    # ``subj_src`` lets the Spark builder checkpoint the subject table:
+    # CTE inlining otherwise re-derives it per consumer (21 fact scans in
+    # the planned query — the round-11 plan audit).
+    return f"""
+    WITH subj AS ({subj_src if subj_src is not None
+                   else _cindex_core(d)}),
     cells AS (
         SELECT t, r, {S.isum('ev', d)} AS dv,
             cast(count(*) as bigint) AS c
@@ -306,9 +328,9 @@ def _cindex(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_concordance_index",
-    _cindex,
+    oracle=_cindex(DUCK),
     tags=("eval", "mlprep"),
     doc="Harrell's concordance index for view->purchase conversion with "
     "the user's click count as the risk score (higher score should "
@@ -317,8 +339,15 @@ _pair(
     "windows on the (day, score-decile) grid — O(days x 10) cells, never "
     "an n^2 subject join; tied times excluded, tied scores half credit, "
     "2C+T over 2*comparable keeps it exact bigint. The ranking sibling "
-    "of events_survival_km.",
+    "of events_survival_km. The subject table is localCheckpointed so "
+    "its five consumers share one derivation.",
 )
+def eval_concordance_index(spark, sf_dir):
+    subj = spark.sql(_cindex_core(SPARK)).localCheckpoint()
+    subj.createOrReplaceTempView("cindex_subj_v")
+    return spark.sql(
+        _cindex(SPARK, subj_src="SELECT user_id, ev, t, r FROM cindex_subj_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -335,15 +364,20 @@ _QCASES = " ".join(
 
 # Shared exact side: cents grid -> cumulative counts -> per-(type, q)
 # bracketing order statistics at positions floor/ceil(q * (n - 1)).
-_QSKETCH_EXACT = f"""
+# ``g_src`` lets the Spark builder checkpoint the cents grid (the same
+# grid as _mwu_core): inlined, the exact side's consumers re-ran the
+# fact hash-agg (4 fact scans planned — the round-11 plan audit); the
+# GK sketch pass itself must eat raw rows, so ``sl`` stays.
+def _qsketch_exact(g_src: str | None = None) -> str:
+    return f"""
     sl AS (
         SELECT event_type, {_EV_CENTS} AS s
         FROM events WHERE value IS NOT NULL AND value >= 0
     ),
-    g AS (
+    g AS ({g_src if g_src is not None else '''
         SELECT event_type, s, cast(count(*) as bigint) AS c
         FROM sl GROUP BY event_type, s
-    ),
+    '''}),
     cum AS (
         SELECT event_type, s, c,
             cast(sum(c) OVER (PARTITION BY event_type ORDER BY s)
@@ -375,10 +409,10 @@ _QSKETCH_EXACT = f"""
 """
 
 
-def _qsketch_spark() -> str:
+def _qsketch_spark(g_src: str | None = None) -> str:
     eps = "cast(10000 as double)"  # accuracy parameter -> eps = n/10000
     return f"""
-    WITH {_QSKETCH_EXACT},
+    WITH {_qsketch_exact(g_src)},
     ap AS (
         SELECT event_type,
             approx_percentile(s, array(0.25D, 0.5D, 0.75D, 0.9D), 10000)
@@ -419,7 +453,7 @@ def _qsketch_spark() -> str:
 
 def _qsketch_duck() -> str:
     return f"""
-    WITH {_QSKETCH_EXACT}
+    WITH {_qsketch_exact()}
     SELECT event_type, cast(q_pct as bigint) AS q_pct, n,
         cast(exact_lo as bigint) AS exact_lo_cents,
         cast(exact_hi as bigint) AS exact_hi_cents,
@@ -469,23 +503,31 @@ def _dsketch_duck() -> str:
     """
 
 
-def _register_sketch_audits() -> None:
-    sql_pair(
-        "audit_quantile_sketch",
-        _qsketch_spark(),
-        _qsketch_duck(),
-        tags=("audit", "sketch"),
-        doc="Sketch-vs-exact quantile audit: Spark's approx_percentile "
-        "(GK summary, accuracy 10000) is rank-checked against the exact "
-        "cumulative cents grid — the output carries the exact bracketing "
-        "order statistics (engine-agreed) and a within-bound boolean the "
-        "GK contract guarantees (rank error <= n/accuracy, +1 slack); "
-        "the oracle asserts the boolean as a literal. The sketch VALUE "
-        "never reaches the output: it is merge-order-dependent, the "
-        "bound is not. Audit sibling of audit_ann_recall. Exact side is "
-        "one grid window; the sketch is one pass, mergeable at any "
-        "parallelism.",
+@register(
+    "audit_quantile_sketch",
+    oracle=_qsketch_duck(),
+    tags=("audit", "sketch"),
+    doc="Sketch-vs-exact quantile audit: Spark's approx_percentile "
+    "(GK summary, accuracy 10000) is rank-checked against the exact "
+    "cumulative cents grid — the output carries the exact bracketing "
+    "order statistics (engine-agreed) and a within-bound boolean the "
+    "GK contract guarantees (rank error <= n/accuracy, +1 slack); "
+    "the oracle asserts the boolean as a literal. The sketch VALUE "
+    "never reaches the output: it is merge-order-dependent, the "
+    "bound is not. Audit sibling of audit_ann_recall. Exact side is "
+    "one grid window; the sketch is one pass, mergeable at any "
+    "parallelism. The cents grid is localCheckpointed so the exact "
+    "side shares ONE fact scan (the GK pass keeps its own raw pass).",
+)
+def audit_quantile_sketch(spark, sf_dir):
+    g = spark.sql(_mwu_core(SPARK)).localCheckpoint()
+    g.createOrReplaceTempView("qsketch_g_v")
+    return spark.sql(
+        _qsketch_spark(g_src="SELECT event_type, s, c FROM qsketch_g_v")
     )
+
+
+def _register_sketch_audits() -> None:
     sql_pair(
         "audit_distinct_sketch",
         _dsketch_spark(),
@@ -509,21 +551,37 @@ _register_sketch_audits()
 # ---------------------------------------------------------------------------
 
 
-def _token_novelty(d: str) -> str:
+def _novelty_batch(d: str) -> str:
     batch = f"least(cast(7 as bigint), {S.idiv('doc_id * 8', 'mx + 1', d)})"
     return f"""
-    WITH mxt AS (SELECT max(doc_id) AS mx, 1 AS k FROM documents),
+    mxt AS (SELECT max(doc_id) AS mx, 1 AS k FROM documents),
     db AS (
         SELECT dd.doc_id, {batch} AS batch
         FROM (SELECT doc_id, 1 AS k FROM documents) dd
         JOIN mxt ON mxt.k = dd.k
-    ),
-    wta AS ({_word_tokens_all(d)}),
-    tb AS (
-        SELECT db.batch, w.tok, cast(count(*) as bigint) AS c
-        FROM wta w JOIN db ON db.doc_id = w.doc_id
-        GROUP BY db.batch, w.tok
-    ),
+    )
+    """
+
+
+def _novelty_core(d: str) -> str:
+    """(batch, token, count) — the only token-exploding pass."""
+    return f"""
+    WITH {_novelty_batch(d)},
+    wta AS ({_word_tokens_all(d)})
+    SELECT db.batch, w.tok, cast(count(*) as bigint) AS c
+    FROM wta w JOIN db ON db.doc_id = w.doc_id
+    GROUP BY db.batch, w.tok
+    """
+
+
+def _token_novelty(d: str, tb_src: str | None = None) -> str:
+    # ``tb_src`` lets the Spark builder checkpoint the batch-token grid:
+    # inlined, its two consumers re-run the token explode (8 documents
+    # scans planned — the round-11 plan audit). The cheap explode-free
+    # batch map is re-derived either way.
+    return f"""
+    WITH {_novelty_batch(d)},
+    tb AS ({tb_src if tb_src is not None else _novelty_core(d)}),
     first_seen AS (
         SELECT tok, min(batch) AS fb FROM tb GROUP BY tok
     ),
@@ -553,9 +611,9 @@ def _token_novelty(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_token_novelty",
-    _token_novelty,
+    oracle=_token_novelty(DUCK),
     tags=("text", "curation"),
     doc="Token-novelty curve across eight ingest batches (doc_id ranges — "
     "arrival order): per batch, the share of vocabulary types and token "
@@ -563,8 +621,16 @@ _pair(
     "standard crawl-freshness/contamination diagnostic: a healthy crawl "
     "decays smoothly; a re-crawled (contaminated) batch drops to ~0. "
     "Three hash-aggs (batch-token, first-seen, rollup), all map-side "
-    "combinable; nothing is quadratic in batches or tokens.",
+    "combinable; nothing is quadratic in batches or tokens. The "
+    "batch-token grid is localCheckpointed so the token explode runs "
+    "once.",
 )
+def text_token_novelty(spark, sf_dir):
+    tb = spark.sql(_novelty_core(SPARK)).localCheckpoint()
+    tb.createOrReplaceTempView("novelty_tb_v")
+    return spark.sql(
+        _token_novelty(SPARK, tb_src="SELECT batch, tok, c FROM novelty_tb_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -572,17 +638,25 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _burrows(d: str) -> str:
+def _burrows_core(d: str) -> str:
+    """(source, token, count) — the only token-exploding pass."""
+    return f"""
+    WITH wta AS ({_word_tokens_all(d)})
+    SELECT dd.source, w.tok, cast(count(*) as bigint) AS c
+    FROM wta w JOIN documents dd ON dd.doc_id = w.doc_id
+    GROUP BY dd.source, w.tok
+    """
+
+
+def _burrows(d: str, ts_src: str | None = None) -> str:
     # Counts-per-million are exact integers (1e6*c // n); z-scores use the
     # n-multiplied co-moment combine; per-pair |z_a - z_b| terms are
     # decimal-quantized before the order-free sum (the _dsum9 class).
+    # ``ts_src`` lets the Spark builder checkpoint the source-token grid:
+    # inlined, CTE fan-out re-ran the token explode 12 times (the
+    # round-11 plan audit's worst offender, 8 s at sf0.1).
     return f"""
-    WITH wta AS ({_word_tokens_all(d)}),
-    ts AS (
-        SELECT dd.source, w.tok, cast(count(*) as bigint) AS c
-        FROM wta w JOIN documents dd ON dd.doc_id = w.doc_id
-        GROUP BY dd.source, w.tok
-    ),
+    WITH ts AS ({ts_src if ts_src is not None else _burrows_core(d)}),
     tot AS (
         SELECT source, {S.isum('c', d)} AS n, 1 AS k
         FROM ts GROUP BY source
@@ -637,9 +711,9 @@ def _burrows(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_burrows_delta",
-    _burrows,
+    oracle=_burrows(DUCK),
     tags=("text", "stats"),
     doc="Burrows' delta stylometry between corpus sources: z-score the "
     "counts-per-million of the 30 most frequent tokens across sources, "
@@ -648,8 +722,16 @@ _pair(
     "with near-zero delta are the same generator — a dedup lead the "
     "content hashes miss). CPM is exact integer; the pair join fans out "
     "over sources x 30 tokens — dimension-bounded, never rows. "
-    "Degenerate zero-variance tokens contribute z = 0 by definition.",
+    "Degenerate zero-variance tokens contribute z = 0 by definition. "
+    "The source-token grid is localCheckpointed so the token explode "
+    "runs once (inlined it ran 12x).",
 )
+def text_burrows_delta(spark, sf_dir):
+    ts = spark.sql(_burrows_core(SPARK)).localCheckpoint()
+    ts.createOrReplaceTempView("burrows_ts_v")
+    return spark.sql(
+        _burrows(SPARK, ts_src="SELECT source, tok, c FROM burrows_ts_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -659,17 +741,15 @@ _pair(
 _RAKE_STOP = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 
 
-def _rake(d: str) -> str:
+def _rake_core(d: str) -> str:
+    """Positional non-stopword tokens with phrase-run ids — the only
+    token-exploding pass."""
     if d == SPARK:
         tokpos = f"""
         SELECT doc_id, pos, tok
         FROM (SELECT doc_id, {_toks(SPARK)} AS tk FROM documents) b
         LATERAL VIEW posexplode(tk) t AS pos, tok
         """
-        phrase_agg = (
-            "array_join(transform(array_sort(collect_list("
-            "struct(n.pos, n.tok))), x -> x.tok), ' ')"
-        )
     else:
         tokpos = f"""
         SELECT doc_id, pos - 1 AS pos, tok FROM (
@@ -678,15 +758,27 @@ def _rake(d: str) -> str:
             FROM (SELECT doc_id, {_toks(DUCK)} AS tk FROM documents) b
         ) u
         """
+    return f"""
+    WITH tp AS ({tokpos})
+    SELECT doc_id, pos, tok,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM tp WHERE tok NOT IN {_RAKE_STOP} AND tok <> ''
+    """
+
+
+def _rake(d: str, ns_src: str | None = None) -> str:
+    # ``ns_src`` lets the Spark builder checkpoint the token-run table:
+    # inlined, its four consumers (wstat/plen/wdeg/scored) each re-ran
+    # the posexplode (the round-11 plan audit).
+    if d == SPARK:
+        phrase_agg = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(n.pos, n.tok))), x -> x.tok), ' ')"
+        )
+    else:
         phrase_agg = "string_agg(n.tok, ' ' ORDER BY n.pos)"
     return f"""
-    WITH tp AS ({tokpos}),
-    nonstop AS (
-        SELECT doc_id, pos, tok,
-            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                AS grp
-        FROM tp WHERE tok NOT IN {_RAKE_STOP} AND tok <> ''
-    ),
+    WITH nonstop AS ({ns_src if ns_src is not None else _rake_core(d)}),
     wstat AS (
         SELECT tok, cast(count(*) as bigint) AS freq FROM nonstop
         GROUP BY tok
@@ -733,9 +825,9 @@ def _rake(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_keyphrase_rake",
-    _rake,
+    oracle=_rake(DUCK),
     tags=("text", "curation"),
     doc="RAKE keyphrase extraction: candidate phrases are maximal "
     "stopword-free token runs (gaps-and-islands on token positions — no "
@@ -744,8 +836,15 @@ _pair(
     "sum of member word scores (terms decimal-quantized before the sum); "
     "top-15 phrases corpus-wide with deterministic tiebreak. Everything "
     "is hash-aggs over (doc, phrase-run) keys; the only windows are "
-    "per-document position row_numbers — fully distributed.",
+    "per-document position row_numbers — fully distributed. The "
+    "token-run table is localCheckpointed so the posexplode runs once.",
 )
+def text_keyphrase_rake(spark, sf_dir):
+    ns = spark.sql(_rake_core(SPARK)).localCheckpoint()
+    ns.createOrReplaceTempView("rake_nonstop_v")
+    return spark.sql(
+        _rake(SPARK, ns_src="SELECT doc_id, pos, tok, grp FROM rake_nonstop_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -753,19 +852,28 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _reciprocity(d: str) -> str:
-    return f"""
+def _reciprocity_core(d: str) -> str:
+    """The directed (src, dst, weight) edge table — the ONE pass over
+    the followed-by self-join."""
+    return """
     WITH e AS (
         SELECT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a JOIN lineitem b
             ON b.l_orderkey = a.l_orderkey
             AND b.l_linenumber = a.l_linenumber + 1
         WHERE a.l_partkey <> b.l_partkey
-    ),
-    de AS (
-        SELECT src, dst, cast(count(*) as bigint) AS w
-        FROM e GROUP BY src, dst
-    ),
+    )
+    SELECT src, dst, cast(count(*) as bigint) AS w
+    FROM e GROUP BY src, dst
+    """
+
+
+def _reciprocity(d: str, de_src: str | None = None) -> str:
+    # ``de_src`` lets the Spark builder checkpoint the edge table: the
+    # reciprocity self-join otherwise re-derived the lineitem self-join
+    # on both sides (4 fact scans planned — the round-11 plan audit).
+    return f"""
+    WITH de AS ({de_src if de_src is not None else _reciprocity_core(d)}),
     r AS (
         SELECT de.src, de.dst, de.w, rv.w AS w_rev
         FROM de LEFT JOIN de rv
@@ -783,9 +891,9 @@ def _reciprocity(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_edge_reciprocity",
-    _reciprocity,
+    oracle=_reciprocity(DUCK),
     tags=("graph",),
     doc="Reciprocity of the directed followed-by part graph (edge u->v "
     "when v's line follows u's within an order): share of edges whose "
@@ -794,8 +902,15 @@ _pair(
     "reciprocity = symmetric pairing (bundles), low = directional flows. "
     "The followed-by self-join fans out by lines-per-order (<= 7, "
     "schema-bounded); reciprocity check is one self equi-join on the "
-    "EDGE table, already aggregated.",
+    "EDGE table, already aggregated. The edge table is localCheckpointed "
+    "so the lineitem self-join runs once.",
 )
+def graph_edge_reciprocity(spark, sf_dir):
+    de = spark.sql(_reciprocity_core(SPARK)).localCheckpoint()
+    de.createOrReplaceTempView("recip_de_v")
+    return spark.sql(
+        _reciprocity(SPARK, de_src="SELECT src, dst, w FROM recip_de_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -803,12 +918,25 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _rich_club(d: str) -> str:
+def _rich_club(d: str, pw_src: str | None = None) -> str:
+    # ``pw_src`` lets the Spark builder checkpoint the pair-weight edge
+    # table: inlined, deg/ed/nk/ek each re-derived the co-purchase
+    # self-join (14 lineitem scans planned — the round-11 plan audit's
+    # worst remaining offender after the first checkpoint pass).
     ths = " UNION ALL ".join(
         f"SELECT cast({t} as bigint) AS thr, 1 AS k" for t in (1, 2, 4, 8, 16, 32)
     )
+    edges = (
+        f"""pw AS ({pw_src}),
+    wsym AS (
+        SELECT src, dst, {_W_EDGE} AS w FROM pw
+        UNION ALL SELECT dst AS src, src AS dst, {_W_EDGE} AS w FROM pw
+    )"""
+        if pw_src is not None
+        else _weighted_edges_sql()
+    )
     return f"""
-    WITH {_weighted_edges_sql()},
+    WITH {edges},
     deg AS (
         SELECT src AS node, cast(count(*) as bigint) AS degree, 1 AS k
         FROM wsym GROUP BY src
@@ -845,9 +973,9 @@ def _rich_club(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_rich_club",
-    _rich_club,
+    oracle=_rich_club(DUCK),
     tags=("graph",),
     doc="Rich-club coefficient of the co-purchase graph at degree "
     "thresholds 1..32: R(k) = 2 E_k / (N_k (N_k - 1)) where N_k = nodes "
@@ -855,8 +983,16 @@ _pair(
     "preferentially interconnect (the insider-clique shape in a "
     "token-flow graph). Both counts are conditional sums over ONE "
     "constant-key fan-out of the degree/edge tables (6 thresholds) — no "
-    "per-threshold subgraph materialization.",
+    "per-threshold subgraph materialization. The pair-weight edge table "
+    "is localCheckpointed so the co-purchase self-join runs once "
+    "(inlined it ran 7x = 14 fact scans).",
 )
+def graph_rich_club(spark, sf_dir):
+    pw = _pw_df(spark, sf_dir).localCheckpoint()
+    pw.createOrReplaceTempView("richclub_pw_v")
+    return spark.sql(
+        _rich_club(SPARK, pw_src="SELECT src, dst, n_orders FROM richclub_pw_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -864,12 +1000,20 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _cohort_ltv(d: str) -> str:
+def _cohort_first_day(d: str) -> str:
+    """The (user, first-activity day) table — user-domain sized."""
     di = _day_idx(d)
+    return f"SELECT user_id, min({di}) AS fd FROM events GROUP BY user_id"
+
+
+def _cohort_ltv(d: str, f_src: str | None = None) -> str:
+    di = _day_idx(d)
+    # ``f_src`` lets the Spark builder checkpoint the first-day table:
+    # inlined, cs and the rev join each re-ran the fact hash-agg
+    # (4 fact scans planned — the round-11 plan audit; rev and gm keep
+    # their own genuinely distinct fact aggregates).
     return f"""
-    WITH f AS (
-        SELECT user_id, min({di}) AS fd FROM events GROUP BY user_id
-    ),
+    WITH f AS ({f_src if f_src is not None else _cohort_first_day(d)}),
     cs AS (
         SELECT {S.idiv('fd', '7', d)} AS cw,
             cast(count(*) as bigint) AS n_users
@@ -907,9 +1051,9 @@ def _cohort_ltv(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_cohort_ltv",
-    _cohort_ltv,
+    oracle=_cohort_ltv(DUCK),
     tags=("events", "analytics"),
     doc="Weekly-cohort lifetime-value curves: users cohorted by "
     "first-activity epoch week; LTV(age) = cumulative purchase cents per "
@@ -918,8 +1062,16 @@ _pair(
     "covers — no phantom flat tail). The value sibling of "
     "events_retention_cohorts (which counts active users). Exact integer "
     "cents end-to-end; the cumulative window rides the cohort x age "
-    "grid, bounded by the calendar squared, not rows.",
+    "grid, bounded by the calendar squared, not rows. The first-day "
+    "table is localCheckpointed so cs and the rev join share one "
+    "derivation.",
 )
+def events_cohort_ltv(spark, sf_dir):
+    f = spark.sql(_cohort_first_day(SPARK)).localCheckpoint()
+    f.createOrReplaceTempView("ltv_f_v")
+    return spark.sql(
+        _cohort_ltv(SPARK, f_src="SELECT user_id, fd FROM ltv_f_v")
+    )
 
 
 # ---------------------------------------------------------------------------
