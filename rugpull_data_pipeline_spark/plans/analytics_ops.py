@@ -818,11 +818,17 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _dau_wau_mau(d: str) -> str:
+def _dau_ud_core(d: str) -> str:
+    """The distinct (user, day) activity grid — the ONE fact pass."""
+    return f"SELECT DISTINCT user_id, {_day_idx(d)} AS day_idx FROM events"
+
+
+def _dau_wau_mau(d: str, ud_src: str | None = None) -> str:
+    # ``ud_src`` lets the Spark builder checkpoint the activity grid:
+    # inlined, spine/dau/w7/m30 each re-ran the fact distinct (5 fact
+    # scans planned — the round-11 registry-wide plan audit).
     return f"""
-    WITH ud AS (
-        SELECT DISTINCT user_id, {_day_idx(d)} AS day_idx FROM events
-    ),
+    WITH ud AS ({ud_src if ud_src is not None else _dau_ud_core(d)}),
     spine AS (SELECT DISTINCT day_idx FROM ud),
     dau AS (
         SELECT day_idx, cast(count(*) as bigint) AS dau FROM ud GROUP BY day_idx
@@ -854,9 +860,9 @@ def _dau_wau_mau(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_dau_wau_mau",
-    _dau_wau_mau,
+    oracle=_dau_wau_mau(DUCK),
     tags=("events", "analytics"),
     doc="DAU / WAU / MAU engagement with the DAU/WAU stickiness ratio, "
     "via the active-window expansion: each distinct (user, day) fans "
@@ -864,8 +870,16 @@ _pair(
     "trailing window that covers the day, then one distinct-count per "
     "day — the equi-join formulation of a sliding distinct window (no "
     "band join, no self-join). At 100 TB the (user, day) grid is the "
-    "bounded input and the fan-out factor is the window length.",
+    "bounded input and the fan-out factor is the window length. The "
+    "activity grid is localCheckpointed so its four consumers share "
+    "ONE fact scan.",
 )
+def events_dau_wau_mau(spark, sf_dir):
+    ud = spark.sql(_dau_ud_core(SPARK)).localCheckpoint()
+    ud.createOrReplaceTempView("dau_ud_v")
+    return spark.sql(
+        _dau_wau_mau(SPARK, ud_src="SELECT user_id, day_idx FROM dau_ud_v")
+    )
 
 
 # ---------------------------------------------------------------------------

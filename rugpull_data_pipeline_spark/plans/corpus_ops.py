@@ -198,7 +198,12 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _lm_score(d: str) -> str:
+def _lm_score(d: str, cnt_src: str | None = None) -> str:
+    # ``cnt_src`` lets the Spark builder checkpoint the vocab count table:
+    # inlined, the two scalar-total subqueries and the doc join each
+    # re-ran the token explode (6 fact scans planned — the round-11
+    # registry-wide plan audit). The per-doc scoring pass keeps its own
+    # single explode.
     tok_src = (
         f"SELECT doc_id, explode({_toks(d)}) AS tok FROM documents"
         if d == SPARK
@@ -219,7 +224,8 @@ def _lm_score(d: str) -> str:
     )
     return f"""
     WITH tok AS ({tok_src}),
-    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    cnt AS ({cnt_src if cnt_src is not None
+             else 'SELECT tok, count(*) AS c FROM tok GROUP BY tok'}),
     tot AS (
         SELECT cast(sum(c) as double) AS n, cast(count(*) as double) AS v
         FROM cnt
@@ -242,14 +248,23 @@ def _lm_score(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_ngram_lm_score",
-    _lm_score,
+    oracle=_lm_score(DUCK),
     tags=("text",),
     doc="CCNet-style quality signal: add-one-smoothed unigram LM fit on the "
     "corpus itself, per-doc mean negative log-likelihood. Two hash aggs + "
-    "one token-key join; the LM is distributed state, never driver state.",
+    "one token-key join; the LM is distributed state, never driver state. "
+    "The vocab count table is localCheckpointed so the LM-build explode "
+    "runs once (the scoring pass keeps its own).",
 )
+def text_ngram_lm_score(spark, sf_dir):
+    cnt = spark.sql(
+        f"SELECT tok, count(*) AS c FROM (SELECT doc_id,"
+        f" explode({_toks(SPARK)}) AS tok FROM documents) t GROUP BY tok"
+    ).localCheckpoint()
+    cnt.createOrReplaceTempView("lm_cnt_v")
+    return spark.sql(_lm_score(SPARK, cnt_src="SELECT tok, c FROM lm_cnt_v"))
 
 
 # ---------------------------------------------------------------------------
@@ -475,16 +490,27 @@ _pair(
 # Event analytics: funnel + retention cohorts + deterministic sampling
 # ---------------------------------------------------------------------------
 
-_FUNNEL = """
-WITH v AS (
+_FUNNEL_V = """
     SELECT user_id, min(ts) AS t1 FROM events
     WHERE event_type = 'view' GROUP BY user_id
-),
-c AS (
+"""
+
+_FUNNEL_C = """
     SELECT e.user_id, min(e.ts) AS t2 FROM events e
     JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
     WHERE e.event_type = 'click' GROUP BY e.user_id
-),
+"""
+
+
+def _funnel(v_src: str | None = None, c_src: str | None = None) -> str:
+    # ``v_src``/``c_src`` let the Spark builder checkpoint the first two
+    # stage tables: inlined, each later stage (and each count) re-derived
+    # every earlier stage (6 fact scans planned — the round-11
+    # registry-wide plan audit; the three per-stage filters themselves
+    # are inherent).
+    return f"""
+WITH v AS ({v_src if v_src is not None else _FUNNEL_V}),
+c AS ({c_src if c_src is not None else _FUNNEL_C}),
 p AS (
     SELECT e.user_id, min(e.ts) AS t3 FROM events e
     JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
@@ -496,16 +522,32 @@ UNION ALL SELECT 'stage3_purchase', count(*) FROM p
 ORDER BY stage
 """
 
-sql_pair(
+
+@register(
     "events_funnel_stages",
-    _FUNNEL,
+    oracle=_funnel(),
     tags=("analytics",),
     doc="Ordered funnel (view -> click -> purchase): each stage requires an "
     "event strictly after the user's previous-stage entry. Three hash aggs "
     "on user_id + two co-partitioned joins — the user_id partitioning is "
     "reused across every stage, so at scale this is one shuffle then "
-    "narrow. ANSI text shared verbatim by both engines.",
+    "narrow. ANSI text shared verbatim by both engines. The first two "
+    "stage tables are localCheckpointed so later stages and the counts "
+    "don't re-derive them.",
 )
+def events_funnel_stages(spark, sf_dir):
+    v = spark.sql(_FUNNEL_V).localCheckpoint()
+    v.createOrReplaceTempView("funnel_v_v")
+    c = spark.sql(
+        f"WITH v AS (SELECT user_id, t1 FROM funnel_v_v){_FUNNEL_C}"
+    ).localCheckpoint()
+    c.createOrReplaceTempView("funnel_c_v")
+    return spark.sql(
+        _funnel(
+            v_src="SELECT user_id, t1 FROM funnel_v_v",
+            c_src="SELECT user_id, t2 FROM funnel_c_v",
+        )
+    )
 
 
 def _retention(d: str) -> str:
@@ -860,9 +902,14 @@ def kmeans_lloyd_fit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _bigram_kn(d: str) -> str:
+def _bigram_kn(d: str, cb_src: str | None = None) -> str:
     # Bigrams by position; Spark's sequence(1, n-1) DESCENDS when n < 2, so
     # short docs are filtered before the explode in both dialects.
+    # ``cb_src`` lets the Spark builder checkpoint the bigram count table
+    # (the Spark twin of the DuckDB MATERIALIZED cb): inlined, the three
+    # stat aggregates each re-ran the bigram explode (5 fact scans
+    # planned — the round-11 registry-wide plan audit). The per-doc
+    # scoring pass keeps its own single explode.
     if d == SPARK:
         bg_src = (
             "SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2 "
@@ -898,10 +945,10 @@ def _bigram_kn(d: str) -> str:
     mat = "MATERIALIZED " if d == DUCK else ""
     return f"""
     WITH split_bg AS {mat}({bg_src}),
-    cb AS {mat}(
+    cb AS {mat}({cb_src if cb_src is not None else '''
         SELECT w1, w2, cast(count(*) as bigint) AS c12
         FROM split_bg GROUP BY w1, w2
-    ),
+    '''}),
     left_stats AS (
         SELECT w1, {S.isum('c12', d)} AS c1,
             cast(count(*) as bigint) AS n1p
@@ -931,9 +978,9 @@ def _bigram_kn(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_bigram_kneser_ney",
-    _bigram_kn,
+    oracle=_bigram_kn(DUCK),
     tags=("text", "quality"),
     doc="Interpolated Kneser-Ney bigram LM scoring (D=0.75), the standard "
     "upgrade of text_ngram_lm_score's add-one unigram: the discounted "
@@ -944,5 +991,20 @@ _pair(
     "double expression pre-rounded to 7 dp, the per-doc fold is the "
     "exact micro-nat half-up division (tie-proof across engines), and "
     "the scoring join is hash-partitioned on the bigram — the LM is "
-    "distributed state, never driver state.",
+    "distributed state, never driver state. The bigram count table is "
+    "localCheckpointed (the Spark twin of the DuckDB MATERIALIZED cb) "
+    "so the LM-build explode runs once.",
 )
+def text_bigram_kneser_ney(spark, sf_dir):
+    cb = spark.sql(
+        "SELECT w1, w2, cast(count(*) as bigint) AS c12 FROM ("
+        "SELECT doc_id, element_at(w, i) AS w1, element_at(w, i + 1) AS w2"
+        " FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) b"
+        " LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i"
+        " WHERE size(w) >= 2"
+        ") bg GROUP BY w1, w2"
+    ).localCheckpoint()
+    cb.createOrReplaceTempView("kn_cb_v")
+    return spark.sql(
+        _bigram_kn(SPARK, cb_src="SELECT w1, w2, c12 FROM kn_cb_v")
+    )

@@ -249,15 +249,34 @@ def _lev_shingles(d: str) -> str:
     """
 
 
-def _dedup_levenshtein(d: str) -> str:
+def _lev_blocked_core(d: str) -> str:
+    """The (doc, lang, length-bucket, 3 band keys) block table — the ONE
+    shingle pass; text is deliberately NOT carried (the verify step
+    re-joins documents for it)."""
+    lb = S.idiv("length(text)", "64", d)
+    h = lambda seed: S.portable_hash64("sh", d, seed=f"'{seed}'")  # noqa: E731
+    return f"""
+    WITH shingles AS ({_lev_shingles(d)}),
+    mh AS (
+        SELECT doc_id,
+            min({h('a')}) AS h1, min({h('b')}) AS h2, min({h('c')}) AS h3
+        FROM shingles GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, {lb} AS lb, m.h1, m.h2, m.h3
+    FROM documents d JOIN mh m ON m.doc_id = d.doc_id
+    """
+
+
+def _dedup_levenshtein(d: str, blocked_src: str | None = None) -> str:
     # A naive (lang, length-bucket) block goes quadratic as the corpus
     # grows (394k candidate pairs at sf0.1 for 5k docs). The scale shape is
     # LSH-candidates → edit-distance VERIFY: three seeded min-shingle-hash
     # band keys, a union of three equi-joins (never an OR-join — Spark
     # would plan a nested loop), then the O(len²) kernel runs only on the
     # ~0.1% of pairs that share a band (437–1169 candidates at sf0.1).
-    lb = S.idiv("length(text)", "64", d)
-    h = lambda seed: S.portable_hash64("sh", d, seed=f"'{seed}'")  # noqa: E731
+    # ``blocked_src`` lets the Spark builder checkpoint the block table:
+    # inlined, the six band-join sides each re-ran the shingle pipeline
+    # (14 fact scans planned — the round-11 registry-wide plan audit).
     band = (
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM blocked a JOIN blocked b "
@@ -266,16 +285,8 @@ def _dedup_levenshtein(d: str) -> str:
     )
     bands = "\n        UNION\n        ".join(band.format(k=k) for k in ("h1", "h2", "h3"))
     return f"""
-    WITH shingles AS ({_lev_shingles(d)}),
-    mh AS (
-        SELECT doc_id,
-            min({h('a')}) AS h1, min({h('b')}) AS h2, min({h('c')}) AS h3
-        FROM shingles GROUP BY doc_id
-    ),
-    blocked AS (
-        SELECT d.doc_id, d.lang, d.text, {lb} AS lb, m.h1, m.h2, m.h3
-        FROM documents d JOIN mh m ON m.doc_id = d.doc_id
-    ),
+    WITH blocked AS ({blocked_src if blocked_src is not None
+                      else _lev_blocked_core(d)}),
     cand AS (
         {bands}
     )
@@ -289,16 +300,28 @@ def _dedup_levenshtein(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "dedup_levenshtein_blocked",
-    _dedup_levenshtein,
+    oracle=_dedup_levenshtein(DUCK),
     tags=("dedup",),
     doc="Edit-distance near-dup, LSH-blocked: candidates come from three "
     "min-shingle-hash band keys scoped by (lang, length-bucket) — a union "
     "of equi-joins whose band key is the shuffle key — and Levenshtein "
     "verifies only those. The expensive O(len²) kernel never sees an "
-    "unblocked pair, so cost scales with near-dup density, not corpus².",
+    "unblocked pair, so cost scales with near-dup density, not corpus². "
+    "The block table is localCheckpointed (text dropped — the verify "
+    "step re-joins documents for it) so the shingle pipeline runs once.",
 )
+def dedup_levenshtein_blocked(spark, sf_dir):
+    blocked = spark.sql(_lev_blocked_core(SPARK)).localCheckpoint()
+    blocked.createOrReplaceTempView("lev_blocked_v")
+    return spark.sql(
+        _dedup_levenshtein(
+            SPARK,
+            blocked_src="SELECT doc_id, lang, lb, h1, h2, h3"
+            " FROM lev_blocked_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -63,7 +63,7 @@ from ..functions import scalars as S
 from ..functions.scalars import DUCK, SPARK
 from .llm_ops import _emb_dims, _word_tokens_all
 from .mining_ops import _daily_means, _day_idx
-from .registry import sql_pair
+from .registry import register, sql_pair
 
 
 def _pair(name: str, q, tags: tuple[str, ...] = (), doc: str = "") -> None:
@@ -607,9 +607,18 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _kendall_tau(d: str) -> str:
+def _kendall_tau(d: str, daily_src: str | None = None) -> str:
+    # ``daily_src`` lets the Spark builder checkpoint the calendar grid:
+    # inlined, the xy pair-build sides and the n_days scalar each re-ran
+    # the fact hash-agg (6 fact scans planned — the round-11
+    # registry-wide plan audit).
+    daily = (
+        f"daily AS ({daily_src})"
+        if daily_src is not None
+        else _daily_means(d).strip().rstrip()
+    )
     return f"""
-    WITH {_daily_means(d)},
+    WITH {daily},
     xy AS (
         SELECT v.day_idx, v.dm AS x, p.dm AS y, 1 AS k
         FROM (SELECT day_idx, dm FROM daily WHERE event_type = 'view') v
@@ -644,17 +653,28 @@ def _kendall_tau(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_kendall_tau",
-    _kendall_tau,
+    oracle=_kendall_tau(DUCK),
     tags=("eval", "stats"),
     doc="Kendall tau-b rank correlation between the daily-mean 'view' and "
     "'purchase' series: concordant/discordant/tied pair counts from "
     "exact decimal compares. The pair build is an equi-join on a "
     "constant key over the CALENDAR grid (31..365 rows — broadcast "
     "hash + residual, never cartesian, never O(rows^2)). The "
-    "pair-counting sibling of eval_spearman_rho.",
+    "pair-counting sibling of eval_spearman_rho. The calendar grid is "
+    "localCheckpointed so its consumers share ONE fact scan.",
 )
+def eval_kendall_tau(spark, sf_dir):
+    daily = spark.sql(
+        f"WITH {_daily_means(SPARK)} SELECT event_type, day_idx, dm FROM daily"
+    ).localCheckpoint()
+    daily.createOrReplaceTempView("kendall_daily_v")
+    return spark.sql(
+        _kendall_tau(
+            SPARK, daily_src="SELECT event_type, day_idx, dm FROM kendall_daily_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -917,14 +937,22 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _bias_baseline(d: str) -> str:
+def _bias_cell_core(d: str) -> str:
+    """The (user, item, mean-rating) matrix — the ONE pass over facts."""
     return f"""
-    WITH cell AS (
         SELECT user_id, event_type AS item,
             cast(round({S.davg('value', d)}, 6) as decimal(18,6)) AS r
         FROM events WHERE value IS NOT NULL
         GROUP BY user_id, event_type
-    ),
+    """
+
+
+def _bias_baseline(d: str, cell_src: str | None = None) -> str:
+    # ``cell_src`` lets the Spark builder checkpoint the rating matrix:
+    # inlined, gm/ib/ub/err each re-ran the fact hash-agg (14 fact scans
+    # planned — the round-11 registry-wide plan audit).
+    return f"""
+    WITH cell AS ({cell_src if cell_src is not None else _bias_cell_core(d)}),
     gm AS (
         SELECT {S.davg('r', d)} AS mu, cast(count(*) as bigint) AS n,
             1 AS k
@@ -971,17 +999,24 @@ def _bias_baseline(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "rec_user_bias_baseline",
-    _bias_baseline,
+    oracle=_bias_baseline(DUCK),
     tags=("rec", "mlprep"),
     doc="The classic user/item bias baseline recommender (r_hat = mu + "
     "b_u + b_i) on the (user, event_type) mean-value matrix, with "
     "in-sample RMSE vs the global-mean predictor — the audit that says "
     "whether personalization signal exists before any factorization. "
     "Three stacked hash-aggs + broadcast bias joins; the global scalar "
-    "joins on a constant key.",
+    "joins on a constant key. The rating matrix is localCheckpointed so "
+    "gm/ib/ub/err share ONE fact scan.",
 )
+def rec_user_bias_baseline(spark, sf_dir):
+    cell = spark.sql(_bias_cell_core(SPARK)).localCheckpoint()
+    cell.createOrReplaceTempView("bias_cell_v")
+    return spark.sql(
+        _bias_baseline(SPARK, cell_src="SELECT user_id, item, r FROM bias_cell_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1157,12 +1192,23 @@ def _li_unpivot() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _mad_screen(d: str) -> str:
+def _mad_grid_core(d: str) -> str:
+    """The (column, cents, count) grid over the 4-way unpivot — the ONE
+    pass over lineitem (4 single-column scans, same columnar bytes as
+    one 4-column scan)."""
     return f"""
-    WITH u AS ({_li_unpivot()}),
-    grid AS (
-        SELECT grp, v, cast(count(*) as bigint) AS c FROM u GROUP BY grp, v
-    ),
+    WITH u AS ({_li_unpivot()})
+    SELECT grp, v, cast(count(*) as bigint) AS c FROM u GROUP BY grp, v
+    """
+
+
+def _mad_screen(d: str, grid_src: str | None = None) -> str:
+    # ``grid_src`` lets the Spark builder checkpoint the cents grid:
+    # inlined, med/dev/outl each re-ran the 4-scan unpivot hash-agg
+    # (28 fact scans planned — the round-11 registry-wide plan audit's
+    # worst offender).
+    return f"""
+    WITH grid AS ({grid_src if grid_src is not None else _mad_grid_core(d)}),
     {_cum_grid('grid')},
     med AS (
         SELECT grp, max(n) AS n, {_q4_minmax(2, 'med', d)}
@@ -1215,9 +1261,9 @@ def _mad_screen(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "profile_mad_screen",
-    _mad_screen,
+    oracle=_mad_screen(DUCK),
     tags=("profile", "quality"),
     doc="Per-column robust anomaly screen over four lineitem measures: "
     "exact interpolated median and MAD computed on the distinct-cents "
@@ -1225,8 +1271,16 @@ _pair(
     "are exact bigints — no engine-specific percentile kernels), then "
     "the 3.5-sigma robust z flag |x-med| > 3.5*1.4826*MAD as one "
     "integer-vs-double compare per grid row. Scales with the value "
-    "domain, not row count — the robust sibling of agg_zscore_outliers.",
+    "domain, not row count — the robust sibling of agg_zscore_outliers. "
+    "The cents grid is localCheckpointed so med/dev/outl share ONE "
+    "unpivot pass.",
 )
+def profile_mad_screen(spark, sf_dir):
+    grid = spark.sql(_mad_grid_core(SPARK)).localCheckpoint()
+    grid.createOrReplaceTempView("madscreen_grid_v")
+    return spark.sql(
+        _mad_screen(SPARK, grid_src="SELECT grp, v, c FROM madscreen_grid_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1463,7 +1517,19 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _prune_sim(d: str) -> str:
+def _prune_dg_core(d: str) -> str:
+    """The (order-date, count) grid — the ONE pass over orders."""
+    return """
+        SELECT o_orderdate AS d, cast(count(*) as bigint) AS n
+        FROM orders GROUP BY o_orderdate
+    """
+
+
+def _prune_sim(d: str, dg_src: str | None = None) -> str:
+    # ``dg_src`` lets the Spark builder checkpoint the date grid: inlined,
+    # the five predicate branches (each with a scalar parts_total
+    # subquery) re-ran the fact hash-agg (10 fact scans planned — the
+    # round-11 registry-wide plan audit).
     mon = S.fmt_month("d", d)
 
     def branch(name: str, lo_mon: str, hi_mon: str, lo_ts: str,
@@ -1499,10 +1565,7 @@ def _prune_sim(d: str) -> str:
         ]
     )
     return f"""
-    WITH dg AS (
-        SELECT o_orderdate AS d, cast(count(*) as bigint) AS n
-        FROM orders GROUP BY o_orderdate
-    ),
+    WITH dg AS ({dg_src if dg_src is not None else _prune_dg_core(d)}),
     sim AS ({branches})
     SELECT predicate, parts_total, parts_read, rows_read, rows_matched,
         round(1 - cast(parts_read as double)
@@ -1514,9 +1577,9 @@ def _prune_sim(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "layout_prune_simulator",
-    _prune_sim,
+    oracle=_prune_sim(DUCK),
     tags=("layout",),
     doc="Partition-pruning what-if: if orders were laid out by "
     "month(o_orderdate), how many partitions and rows would five "
@@ -1524,8 +1587,13 @@ _pair(
     "(read_amplification > 1 exposes predicates misaligned with the "
     "layout, e.g. the mid-month range). One hash-agg to the bounded "
     "date grid; every branch evaluates on the grid — at fleet scale "
-    "this runs off partition stats, same math.",
+    "this runs off partition stats, same math. The date grid is "
+    "localCheckpointed so the five branches share ONE fact scan.",
 )
+def layout_prune_simulator(spark, sf_dir):
+    dg = spark.sql(_prune_dg_core(SPARK)).localCheckpoint()
+    dg.createOrReplaceTempView("prunesim_dg_v")
+    return spark.sql(_prune_sim(SPARK, dg_src="SELECT d, n FROM prunesim_dg_v"))
 
 
 # ---------------------------------------------------------------------------
@@ -1601,12 +1669,21 @@ def _feat_unpivot() -> str:
     )
 
 
-def _robust_scaler(d: str) -> str:
+def _scaler_grid_core(d: str) -> str:
+    """The (feature, cents, count) grid over the cross-table unpivot —
+    the ONE pass over the three fact tables."""
     return f"""
-    WITH u AS ({_feat_unpivot()}),
-    grid AS (
-        SELECT grp, v, cast(count(*) as bigint) AS c FROM u GROUP BY grp, v
-    ),
+    WITH u AS ({_feat_unpivot()})
+    SELECT grp, v, cast(count(*) as bigint) AS c FROM u GROUP BY grp, v
+    """
+
+
+def _robust_scaler(d: str, grid_src: str | None = None) -> str:
+    # ``grid_src`` lets the Spark builder checkpoint the cents grid:
+    # inlined, qs/clip each re-ran the cross-table unpivot hash-agg
+    # (12 fact scans planned — the round-11 registry-wide plan audit).
+    return f"""
+    WITH grid AS ({grid_src if grid_src is not None else _scaler_grid_core(d)}),
     {_cum_grid('grid')},
     qs AS (
         SELECT grp, max(n) AS n,
@@ -1640,17 +1717,24 @@ def _robust_scaler(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "mlprep_robust_scaler",
-    _robust_scaler,
+    oracle=_robust_scaler(DUCK),
     tags=("mlprep", "profile"),
     doc="RobustScaler fit audit across four features from three tables: "
     "exact interpolated median and IQR from cumulative counts on the "
     "distinct-cents grid (quarter-unit bigints, engine-free), and the "
     "share of rows a |x-med| > 2*IQR clip would touch — the numbers "
     "that decide clip bounds before training. Scales with the value "
-    "domain; the quartile sibling of mlprep_quantile_binning.",
+    "domain; the quartile sibling of mlprep_quantile_binning. The cents "
+    "grid is localCheckpointed so qs/clip share ONE unpivot pass.",
 )
+def mlprep_robust_scaler(spark, sf_dir):
+    grid = spark.sql(_scaler_grid_core(SPARK)).localCheckpoint()
+    grid.createOrReplaceTempView("scaler_grid_v")
+    return spark.sql(
+        _robust_scaler(SPARK, grid_src="SELECT grp, v, c FROM scaler_grid_v")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -67,10 +67,11 @@ def _rfm_bins(metric_src: str, col: str, d: str) -> str:
     """
 
 
-def _rfm(d: str) -> str:
+def _rfm_um_core(d: str) -> str:
+    """The per-user (recency, frequency, monetary) table — the ONE pass
+    over facts."""
     ep = S.epoch_s("ts", d)
     return f"""
-    WITH um AS (
         SELECT user_id,
             cast(floor((mx.m - max({ep})) / cast(86400 as double)) as bigint)
                 AS recency_days,
@@ -79,7 +80,16 @@ def _rfm(d: str) -> str:
                 as bigint) AS monetary_cents
         FROM events CROSS JOIN (SELECT max({ep}) AS m FROM events) mx
         GROUP BY user_id, mx.m
-    ),
+    """
+
+
+def _rfm(d: str, um_src: str | None = None) -> str:
+    # ``um_src`` lets the Spark builder checkpoint the per-user RFM
+    # table: inlined, the three tercile builders (each a grid + a count
+    # subquery) and seg re-ran the fact hash-agg (14 fact scans planned —
+    # the round-11 registry-wide plan audit).
+    return f"""
+    WITH um AS ({um_src if um_src is not None else _rfm_um_core(d)}),
     rb AS ({_rfm_bins('um', 'recency_days', d)}),
     fb AS ({_rfm_bins('um', 'frequency', d)}),
     mb AS ({_rfm_bins('um', 'monetary_cents', d)}),
@@ -102,9 +112,9 @@ def _rfm(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_rfm_segments",
-    _rfm,
+    oracle=_rfm(DUCK),
     tags=("events", "mlprep"),
     doc="RFM segmentation: per-user recency/frequency/monetary terciles "
     "(3 = best), reported as segment population counts — the classic "
@@ -113,8 +123,20 @@ _pair(
     "(rows-below * k / n on the DISTINCT metric grid — no percentile "
     "interpolation to disagree across engines) and equi-joined back by "
     "metric value. Tie values land atomically in one bin, so bins are "
-    "approximately equal-frequency, exactly reproducible.",
+    "approximately equal-frequency, exactly reproducible. The per-user "
+    "RFM table is localCheckpointed so the tercile builders share ONE "
+    "fact scan.",
 )
+def events_rfm_segments(spark, sf_dir):
+    um = spark.sql(_rfm_um_core(SPARK)).localCheckpoint()
+    um.createOrReplaceTempView("rfm_um_v")
+    return spark.sql(
+        _rfm(
+            SPARK,
+            um_src="SELECT user_id, recency_days, frequency,"
+            " monetary_cents FROM rfm_um_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

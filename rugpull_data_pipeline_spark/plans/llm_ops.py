@@ -514,14 +514,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _dedup_cluster(d: str) -> str:
+def _dedup_cluster(d: str, pairs_src: str | None = None) -> str:
     # Keep-one-per-cluster: near-dup pairs (Jaccard ≥ 0.2) are edges; the
     # cluster label is the min doc_id reachable in ≤2 hops — label
     # propagation unrolled twice. Full connected components iterates this
     # same join to a fixed point (each round is one shuffle on doc_id);
     # two rounds already collapse the chains the pair generator emits and
     # keep the query a fixed-depth plan both engines can hash-compare.
-    pairs = _dedup_ngram_jaccard(d).replace("ORDER BY doc_a, doc_b", "")
+    # ``pairs_src`` lets the Spark builder checkpoint the pair table:
+    # inlined, the edges/l1/l2 fan-out re-derived the whole shingle
+    # pipeline (26 fact scans planned — the round-11 registry-wide plan
+    # audit).
+    pairs = (
+        pairs_src
+        if pairs_src is not None
+        else _dedup_ngram_jaccard(d).replace("ORDER BY doc_a, doc_b", "")
+    )
     return f"""
     WITH pairs AS ({pairs}),
     edges AS (
@@ -553,15 +561,25 @@ def _dedup_cluster(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "dedup_cluster_neardup",
-    _dedup_cluster,
+    oracle=_dedup_cluster(DUCK),
     tags=("dedup",),
     doc="Near-dup clustering: 2-hop min-label propagation over the Jaccard "
     "pair graph, emitting one keeper per multi-member cluster. Fixed-depth "
     "unrolling of the connected-components iteration (each extra hop is one "
-    "more shuffle round at scale).",
+    "more shuffle round at scale). The pair table is localCheckpointed "
+    "(reusing dedup_ngram_jaccard's builder) so the shingle pipeline "
+    "runs once instead of per edges/l1/l2 consumer.",
 )
+def dedup_cluster_neardup(spark, sf_dir):
+    pairs = dedup_ngram_jaccard(spark, sf_dir).localCheckpoint()
+    pairs.createOrReplaceTempView("neardup_pairs_v")
+    return spark.sql(
+        _dedup_cluster(
+            SPARK, pairs_src="SELECT doc_a, doc_b, jaccard FROM neardup_pairs_v"
+        )
+    )
 
 
 def _word_tokens(d: str) -> str:
@@ -971,7 +989,11 @@ def _sim_ivf(d: str) -> str:
 _N_PLANES = 4
 
 
-def _sim_lsh_hyperplane(d: str) -> str:
+def _sim_lsh_hyperplane(d: str, buckets_src: str | None = None) -> str:
+    # ``buckets_src`` lets the Spark builder checkpoint the (vec_id,
+    # bucket) table: inlined, queries and the candidate join each re-ran
+    # the hyperplane-hash pipeline (6 fact scans planned — the round-11
+    # registry-wide plan audit).
     cos = _cosine(d, "q.embedding", "c.embedding")
     jseq = (
         f"SELECT explode(sequence(0, {_N_PLANES - 1})) AS j"
@@ -993,27 +1015,32 @@ def _sim_lsh_hyperplane(d: str) -> str:
             "SELECT unnest(range(1, "
             "(SELECT max(len(embedding)) FROM embeddings) + 1)) AS dim"
         )
-    return f"""
-    WITH emb_dims AS ({_emb_dims(d)}),
-    planes AS (
-        SELECT j, dim,
-            CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
-        FROM ({dimseq}) dims
-        CROSS JOIN ({jseq}) js
-    ),
-    bits AS (
-        SELECT e.vec_id, p.j,
-            CASE WHEN sum(cast(e.v * p.s as decimal(38,9))) >= 0
-                 THEN 1 ELSE 0 END AS bit
-        FROM emb_dims e JOIN planes p ON e.dim = p.dim
-        GROUP BY e.vec_id, p.j
-    ),
-    buckets AS (
+    bucket_body = (
+        buckets_src
+        if buckets_src is not None
+        else f"""
+        WITH emb_dims AS ({_emb_dims(d)}),
+        planes AS (
+            SELECT j, dim,
+                CASE WHEN {sign_h} % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+            FROM ({dimseq}) dims
+            CROSS JOIN ({jseq}) js
+        ),
+        bits AS (
+            SELECT e.vec_id, p.j,
+                CASE WHEN sum(cast(e.v * p.s as decimal(38,9))) >= 0
+                     THEN 1 ELSE 0 END AS bit
+            FROM emb_dims e JOIN planes p ON e.dim = p.dim
+            GROUP BY e.vec_id, p.j
+        )
         SELECT vec_id,
             cast(sum({S.shift_left('cast(bit as bigint)', 'j', d)}) as bigint)
                 AS bucket
         FROM bits GROUP BY vec_id
-    ),
+    """
+    )
+    return f"""
+    WITH buckets AS ({bucket_body}),
     queries AS (
         SELECT e.vec_id AS query_id, e.embedding, b.bucket
         FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
@@ -1038,15 +1065,27 @@ def _sim_lsh_hyperplane(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sim_lsh_hyperplane_ann",
-    _sim_lsh_hyperplane,
+    oracle=_sim_lsh_hyperplane(DUCK),
     tags=("similarity",),
     doc=f"Random-hyperplane (SimHash-for-vectors) ANN: {_N_PLANES} "
     "deterministic hyperplanes → sign bits → bucket id; candidates are only "
     "same-bucket vectors, ranked by exact cosine. The bucket id is the "
-    "equi-join/shuffle key — probe cost is O(bucket), not O(corpus).",
+    "equi-join/shuffle key — probe cost is O(bucket), not O(corpus). "
+    "The bucket table is localCheckpointed (at scale: the persisted "
+    "index) so the hash pipeline runs once, not per probe-side consumer.",
 )
+def sim_lsh_hyperplane_ann(spark, sf_dir):
+    from .stats_eval import _lsh_buckets
+
+    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b.createOrReplaceTempView("lshann_buckets_v")
+    return spark.sql(
+        _sim_lsh_hyperplane(
+            SPARK, buckets_src="SELECT vec_id, bucket FROM lshann_buckets_v"
+        )
+    )
 
 
 _pair(

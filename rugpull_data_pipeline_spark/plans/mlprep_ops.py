@@ -493,7 +493,7 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _mmr_diversify(d: str) -> str:
+def _mmr_diversify(d: str, cand_src: str | None = None) -> str:
     # MMR (Carbonell & Goldstein 1998): greedily pick argmax of
     # rel(c) - λ·max_{s∈selected} sim(c, s), λ=0.5, k=3, over a 32-vector
     # candidate pool (MMR is a RE-RANK step — the pool is the small output
@@ -504,15 +504,26 @@ def _mmr_diversify(d: str) -> str:
     # index-order fold (llm_ops._cosine), so the argmax ties break the same.
     from .llm_ops import _cosine
 
+    # ``cand_src`` lets the Spark builder checkpoint the 32-row candidate
+    # pool: inlined, every greedy step (s1 thrice, r2/r3) re-planned the
+    # pool scan (14 fact scans planned — the round-11 registry-wide plan
+    # audit; each was filter-pruned to the pool, but 14 scans of anything
+    # is not the plan you'd want).
     rel = _cosine(d, "q.embedding", "c.embedding")
     cs1 = _cosine(d, "c.embedding", "a.embedding")
     cs2 = _cosine(d, "c.embedding", "b.embedding")
-    return f"""
-    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 100),
-    cand AS (
+    cand_body = (
+        cand_src
+        if cand_src is not None
+        else f"""
         SELECT c.vec_id, c.embedding, {rel} AS rel
-        FROM embeddings c, q WHERE c.vec_id < 32
-    ),
+        FROM embeddings c,
+            (SELECT embedding FROM embeddings WHERE vec_id = 100) q
+        WHERE c.vec_id < 32
+    """
+    )
+    return f"""
+    WITH cand AS ({cand_body}),
     s1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
     r2 AS (
         SELECT c.vec_id, c.embedding, c.rel,
@@ -539,17 +550,34 @@ def _mmr_diversify(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sim_mmr_diversify",
-    _mmr_diversify,
+    oracle=_mmr_diversify(DUCK),
     tags=("similarity", "mlprep"),
     doc="Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998): "
     "greedy k=3, λ=0.5 diversified selection over a 32-vector ANN "
     "candidate pool — relevance minus max-similarity-to-already-selected. "
     "The greedy loop unrolls to three 1-row-broadcast probe steps over the "
     "pool (a re-rank is post-retrieval by definition, so the pool — not "
-    "the corpus — bounds every step).",
+    "the corpus — bounds every step). The pool is localCheckpointed so "
+    "the retrieval scan runs once instead of per greedy step.",
 )
+def sim_mmr_diversify(spark, sf_dir):
+    from .llm_ops import _cosine
+
+    rel = _cosine(SPARK, "q.embedding", "c.embedding")
+    cand = spark.sql(
+        f"SELECT c.vec_id, c.embedding, {rel} AS rel"
+        " FROM embeddings c,"
+        " (SELECT embedding FROM embeddings WHERE vec_id = 100) q"
+        " WHERE c.vec_id < 32"
+    ).localCheckpoint()
+    cand.createOrReplaceTempView("mmr_cand_v")
+    return spark.sql(
+        _mmr_diversify(
+            SPARK, cand_src="SELECT vec_id, embedding, rel FROM mmr_cand_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +610,7 @@ def _bpe_pair_count(d: str, src: str, toks_expr: str) -> str:
     return f"SELECT pa, pb, count(*) AS c FROM ({pairs}) p GROUP BY pa, pb"
 
 
-def _bpe_round2(d: str) -> str:
+def _bpe_round2(d: str, cnt1_src: str | None = None) -> str:
     # Applying a BPE merge is greedy LEFTMOST-first over non-overlapping
     # occurrences — exactly the semantics of SQL replace() over a delimited
     # string, PROVIDED every token owns both its delimiters. Joining tokens
@@ -591,12 +619,17 @@ def _bpe_round2(d: str) -> str:
     # share a delimiter character and replace() merges [a,a,a,a] to
     # [aa,aa] exactly as the BPE training loop does (a single-space join
     # would consume the shared delimiter and miss the second site).
+    # ``cnt1_src`` lets the Spark builder checkpoint the round-1 pair
+    # count: inlined, the two scalar-subquery top1 references and the
+    # merge each re-ran the pair explode (7 fact scans planned — the
+    # round-11 registry-wide plan audit).
     split2 = (
         "split(trim(s), '  ')" if d == SPARK else "string_split(trim(s), '  ')"
     )
     top_pa, top_pb = "(SELECT pa FROM top1)", "(SELECT pb FROM top1)"
     return f"""
-    WITH cnt1 AS ({_bpe_pair_count(d, "documents", S.split_ws("text", d))}),
+    WITH cnt1 AS ({cnt1_src if cnt1_src is not None
+                   else _bpe_pair_count(d, "documents", S.split_ws("text", d))}),
     top1 AS (SELECT pa, pb FROM cnt1 ORDER BY c DESC, pa, pb LIMIT 1),
     joined AS (
         SELECT concat(' ', {S.arr_join(S.split_ws("text", d), "'  '", d)}, ' ') AS s
@@ -624,9 +657,9 @@ def _bpe_round2(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_bpe_merge_round2",
-    _bpe_round2,
+    oracle=_bpe_round2(DUCK),
     tags=("text", "tokenizer"),
     doc="Second BPE training round: pick the top merge from round 1 "
     "(deterministic tie-break), APPLY it corpus-wide, recount adjacent "
@@ -635,8 +668,19 @@ _pair(
     "each token owns both delimiters, so [a,a,a,a] merges to [aa,aa] "
     "exactly like the reference BPE loop. The winning pair attaches as "
     "two uncorrelated scalar subqueries (no join node); both counting "
-    "rounds are explode + map-side-combinable hash aggs.",
+    "rounds are explode + map-side-combinable hash aggs. The round-1 "
+    "pair count is localCheckpointed so the explode runs once.",
 )
+def text_bpe_merge_round2(spark, sf_dir):
+    from ..functions import scalars as S
+
+    cnt1 = spark.sql(
+        _bpe_pair_count(SPARK, "documents", S.split_ws("text", SPARK))
+    ).localCheckpoint()
+    cnt1.createOrReplaceTempView("bpe_cnt1_v")
+    return spark.sql(
+        _bpe_round2(SPARK, cnt1_src="SELECT pa, pb, c FROM bpe_cnt1_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1162,7 +1206,7 @@ def graph_hits_power3(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _minhash_audit(d: str) -> str:
+def _minhash_audit(d: str, sh_src: str | None = None) -> str:
     # The dedup pipeline trusts the 16-hash MinHash signature to route
     # near-dup candidates; this audit measures what that trust costs. Both
     # the estimate (matching signature positions / 16) and the exact Jaccard
@@ -1218,10 +1262,14 @@ def _minhash_audit(d: str) -> str:
     jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
     est = f"cast(({n_match}) as double) / {_N_HASHES}"
 
+    # ``sh_src`` lets the Spark builder checkpoint the hashed-shingle
+    # table: inlined, sigs (consumed 3x) and doc_sets each re-ran the
+    # shingle explode (6 fact scans planned - the round-11
+    # registry-wide plan audit).
     return f"""
-    WITH sh_hashed AS (
+    WITH sh_hashed AS ({sh_src if sh_src is not None else f'''
         SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw
-    ),
+    '''}),
     sigs AS (
         SELECT doc_id,
             {min_cols}
@@ -1265,9 +1313,9 @@ def _minhash_audit(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "audit_minhash_estimate",
-    _minhash_audit,
+    oracle=_minhash_audit(DUCK),
     tags=("dedup", "audit", "sketch"),
     doc="Sketch-accuracy audit: for every LSH candidate pair, the 16-hash "
     "MinHash Jaccard estimate (matching signature positions / 16) next to "
@@ -1277,8 +1325,20 @@ _pair(
     "oracle, applied to the dedup family). Same one-pass signature "
     "aggregation and capped band join as dedup_minhash_lsh; everything "
     "is exact rational arithmetic on the portable hash, so even the "
-    "audit hash-compares across engines.",
+    "audit hash-compares across engines. The hashed-shingle table is "
+    "localCheckpointed so the explode runs once.",
 )
+def audit_minhash_estimate(spark, sf_dir):
+    from .llm_ops import _ngram_shingles
+
+    shh = S.portable_hash64("sh", SPARK)
+    sh = spark.sql(
+        f"SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(SPARK)}) raw"
+    ).localCheckpoint()
+    sh.createOrReplaceTempView("mh_audit_sh_v")
+    return spark.sql(
+        _minhash_audit(SPARK, sh_src="SELECT doc_id, shh FROM mh_audit_sh_v")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -317,7 +317,17 @@ def _emb_dims(d: str, where: str = "") -> str:
     )
 
 
-def _ivfpq_topk(d: str) -> str:
+def _ivfpq_topk(
+    d: str,
+    pv_src: str | None = None,
+    cb_src: str | None = None,
+    cents_src: str | None = None,
+) -> str:
+    # ``pv_src``/``cb_src``/``cents_src`` let the Spark builder checkpoint
+    # the subvector table, the PQ codebook, and the coarse centroids —
+    # the three index artifacts a real IVFADC build persists: inlined,
+    # their consumers re-ran the vector quantization per reference
+    # (6 fact scans planned — the round-11 registry-wide plan audit).
     iv = S.int_vec("embedding", d)
     if d == SPARK:
         sub = f"slice(v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
@@ -343,13 +353,13 @@ def _ivfpq_topk(d: str) -> str:
         )
     return f"""
     WITH iv AS (SELECT vec_id, label, {iv} AS v FROM embeddings),
-    pv AS (
+    pv AS ({pv_src if pv_src is not None else f'''
         SELECT vec_id, label, s, {sub} AS pv FROM iv {lateral}
-    ),
-    cb AS (
+    '''}),
+    cb AS ({cb_src if cb_src is not None else f'''
         SELECT vec_id AS cid, s, {sub} AS cv FROM iv {lateral.replace(' t AS ', ' tc AS ') if d == SPARK else lateral}
         WHERE vec_id BETWEEN 1 AND {_PQ_K}
-    ),
+    '''}),
     code_d AS (
         SELECT p.vec_id, p.label, p.s, c.cid, {l2_pc} AS d2
         FROM pv p JOIN cb c ON p.s = c.s
@@ -362,12 +372,11 @@ def _ivfpq_topk(d: str) -> str:
             FROM code_d
         ) x WHERE rn = 1
     ),
-    emb_dims AS ({_emb_dims(d)}),
-    centroids AS (
+    centroids AS ({cents_src if cents_src is not None else f'''
         SELECT label, dim,
             cast(sum(cast(v as decimal(38,9))) as double) / count(*) AS c
-        FROM emb_dims GROUP BY label, dim
-    ),
+        FROM ({_emb_dims(d)}) emb_dims GROUP BY label, dim
+    '''}),
     q_dims AS (
         SELECT vec_id AS query_id, dim, v
         FROM ({_emb_dims(d)}) e WHERE vec_id < 5
@@ -415,9 +424,9 @@ def _ivfpq_topk(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sim_ivfpq_topk",
-    _ivfpq_topk,
+    oracle=_ivfpq_topk(DUCK),
     tags=("similarity",),
     doc="IVFADC — the combined IVF + PQ billion-scale ANN query (Jégou et "
     "al. 2011): the coarse quantizer (label-mean centroids, broadcast) "
@@ -429,8 +438,41 @@ _pair(
     "on (cid, s), then summed. Exact fixed-point integer math end-to-end, "
     "so Spark and the DuckDB oracle agree bit-for-bit. At 100 TB the codes "
     "table is the RAM-resident index (64x smaller than the vectors), "
-    "partitioned by list id; vectors are never touched at query time.",
+    "partitioned by list id; vectors are never touched at query time. "
+    "The subvector table, codebook, and centroids are localCheckpointed "
+    "— the three persisted index artifacts — so the quantization runs "
+    "once, not per consumer.",
 )
+def sim_ivfpq_topk(spark, sf_dir):
+    from .llm_ops import _emb_dims
+
+    iv = S.int_vec("embedding", SPARK)
+    sub = f"slice(v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
+    lateral = f"LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS s"
+    base = f"(SELECT vec_id, label, {iv} AS v FROM embeddings) iv"
+    pv = spark.sql(
+        f"SELECT vec_id, label, s, {sub} AS pv FROM {base} {lateral}"
+    ).localCheckpoint()
+    pv.createOrReplaceTempView("ivfpq_pv_v")
+    cb = spark.sql(
+        f"SELECT vec_id AS cid, s, {sub} AS cv FROM {base} {lateral}"
+        f" WHERE vec_id BETWEEN 1 AND {_PQ_K}"
+    ).localCheckpoint()
+    cb.createOrReplaceTempView("ivfpq_cb_v")
+    cents = spark.sql(
+        "SELECT label, dim,"
+        " cast(sum(cast(v as decimal(38,9))) as double) / count(*) AS c"
+        f" FROM ({_emb_dims(SPARK)}) emb_dims GROUP BY label, dim"
+    ).localCheckpoint()
+    cents.createOrReplaceTempView("ivfpq_cents_v")
+    return spark.sql(
+        _ivfpq_topk(
+            SPARK,
+            pv_src="SELECT vec_id, label, s, pv FROM ivfpq_pv_v",
+            cb_src="SELECT cid, s, cv FROM ivfpq_cb_v",
+            cents_src="SELECT label, dim, c FROM ivfpq_cents_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -875,9 +917,58 @@ _PMI_MIN_COUNT = 5
 _PMI_TOPK = 20
 
 
-def _pmi_collocations(d: str) -> str:
+def _pmi_uni_core() -> str:
+    """Spark-side unigram counts — ONE explode pass over documents."""
+    tk = S.split_ws("text", SPARK)
+    lat_all = S.explode_seq("p", "1", S.arr_len("tk", SPARK), SPARK)
+    return f"""
+    SELECT element_at(tk, p) AS w, count(*) AS c
+    FROM (SELECT /*+ REPARTITION */ doc_id, {tk} AS tk FROM documents) toks
+    {lat_all}
+    GROUP BY element_at(tk, p)
+    """
+
+
+def _pmi_bigall_core() -> str:
+    """Spark-side all-bigram counts — ONE explode pass over documents."""
+    tk = S.split_ws("text", SPARK)
+    lat_big = S.explode_seq("p", "1", f"{S.arr_len('tk', SPARK)} - 1", SPARK)
+    return f"""
+    SELECT element_at(tk, p) AS a, element_at(tk, p + 1) AS b,
+        count(*) AS c
+    FROM (
+        SELECT doc_id, tk FROM (
+            SELECT /*+ REPARTITION */ doc_id, {tk} AS tk FROM documents
+        ) toks WHERE {S.arr_len('tk', SPARK)} >= 2
+    ) toks2 {lat_big}
+    GROUP BY element_at(tk, p), element_at(tk, p + 1)
+    """
+
+
+def _pmi_collocations(
+    d: str,
+    uni_src: str | None = None,
+    bigall_src: str | None = None,
+) -> str:
+    # ``uni_src``/``bigall_src`` let the Spark builder checkpoint the two
+    # count tables — the Spark twin of the DuckDB branch's MATERIALIZED
+    # CTEs (r9): inlined, the scalar total subqueries re-ran the explodes
+    # (6 fact scans planned — the round-11 registry-wide plan audit).
     tk = S.split_ws("text", d)
-    if d == SPARK:
+    if d == SPARK and uni_src is not None and bigall_src is not None:
+        srcs = f"""
+    WITH uni AS ({uni_src}),
+    big_all AS ({bigall_src}),
+    big AS (
+        SELECT a, b, c FROM big_all WHERE c >= {_PMI_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT cast(sum(c) as bigint) AS n_uni FROM uni
+    ),
+    tot_b AS (
+        SELECT cast(sum(c) as bigint) AS n_big FROM big_all
+    )"""
+    elif d == SPARK:
         hint = "/*+ REPARTITION */ "
         el = lambda i: f"element_at(tk, {i})"  # noqa: E731
         lat_all = S.explode_seq("p", "1", S.arr_len("tk", d), d)
@@ -963,9 +1054,9 @@ def _pmi_collocations(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "text_pmi_collocations",
-    _pmi_collocations,
+    oracle=_pmi_collocations(DUCK),
     tags=("text",),
     doc="PMI collocation mining (word2phrase-style phrase detection): "
     "adjacent-pair counts vs unigram counts, scored by the PMI RATIO "
@@ -976,8 +1067,21 @@ _pair(
     "passes (map-side combined), corpus totals as scalar subqueries, "
     "unigram stats joined back onto the surviving (count >= "
     f"{_PMI_MIN_COUNT}) bigrams — broadcastable at any realistic "
-    "vocabulary.",
+    "vocabulary. Both count tables are localCheckpointed (the Spark "
+    "twin of the DuckDB MATERIALIZED CTEs) so each explode runs once.",
 )
+def text_pmi_collocations(spark, sf_dir):
+    uni = spark.sql(_pmi_uni_core()).localCheckpoint()
+    uni.createOrReplaceTempView("pmi_uni_v")
+    big = spark.sql(_pmi_bigall_core()).localCheckpoint()
+    big.createOrReplaceTempView("pmi_bigall_v")
+    return spark.sql(
+        _pmi_collocations(
+            SPARK,
+            uni_src="SELECT w, c FROM pmi_uni_v",
+            bigall_src="SELECT a, b, c FROM pmi_bigall_v",
+        )
+    )
 
 
 def _winnow_pairs(d: str) -> str:

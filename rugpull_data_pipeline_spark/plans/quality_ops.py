@@ -160,7 +160,7 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _semantic_dedup(d: str) -> str:
+def _semantic_dedup(d: str, iv_src: str | None = None) -> str:
     iv = S.int_vec("embedding", d)
     if d == SPARK:
         l2 = (
@@ -193,11 +193,15 @@ def _semantic_dedup(d: str) -> str:
         f"nullif(sqrt(cast(m.n2 as double)) * sqrt(cast(k.n2 as double)), "
         f"cast(0 as double)), 6)"
     )
+    # ``iv_src`` lets the Spark builder checkpoint the int-vector table:
+    # inlined, cents/assigned and the member/keeper join sides each
+    # re-ran the vector quantization (6 fact scans planned — the
+    # round-11 registry-wide plan audit).
     return f"""
-    WITH iv AS (
+    WITH iv AS ({iv_src if iv_src is not None else f'''
         SELECT vec_id, v, {nrm.format(v='v')} AS n2
         FROM (SELECT vec_id, {iv} AS v FROM embeddings) raw
-    ),
+    '''}),
     cents AS (
         SELECT vec_id AS cid, v AS cv FROM iv WHERE vec_id < {_N_CENTROIDS}
     ),
@@ -284,9 +288,9 @@ _pair(
 )
 
 
-_pair(
+@register(
     "dedup_semantic_cluster",
-    _semantic_dedup,
+    oracle=_semantic_dedup(DUCK),
     tags=("dedup", "similarity"),
     doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
     "nearest of 8 fixed centroids (exact integer L2, deterministic "
@@ -294,8 +298,25 @@ _pair(
     "members whose cosine to their cluster's keeper is >= 0.95. Members "
     "compare only to their keeper via an equi-join on the cluster id — "
     "never all-pairs; at web scale k ~ sqrt(N) and the same single "
-    "hash-join plan holds.",
+    "hash-join plan holds. The int-vector table is localCheckpointed so "
+    "the quantization pass runs once.",
 )
+def dedup_semantic_cluster(spark, sf_dir):
+    ivx = S.int_vec("embedding", SPARK)
+    nrm2 = (
+        "aggregate(transform(v, x -> x * x), "
+        "cast(0 as bigint), (acc, e) -> acc + e)"
+    )
+    ivdf = spark.sql(
+        f"SELECT vec_id, v, {nrm2} AS n2"
+        f" FROM (SELECT vec_id, {ivx} AS v FROM embeddings) raw"
+    ).localCheckpoint()
+    ivdf.createOrReplaceTempView("semdedup_iv_v")
+    return spark.sql(
+        _semantic_dedup(
+            SPARK, iv_src="SELECT vec_id, v, n2 FROM semdedup_iv_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

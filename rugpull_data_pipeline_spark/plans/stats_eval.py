@@ -251,13 +251,23 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _chi2(d: str) -> str:
-    e = "(cast(rl as double) * cast(cs as double) / cast(n as double))"
-    return f"""
-    WITH cell AS (
+def _lang_source_cell_core(d: str) -> str:
+    """The lang x source contingency grid — the ONE pass over documents
+    (shared by agg_chi2_independence and agg_mutual_info)."""
+    return """
         SELECT lang, source, count(*) AS c
         FROM documents GROUP BY lang, source
-    ),
+    """
+
+
+def _chi2(d: str, cell_src: str | None = None) -> str:
+    # ``cell_src`` lets the Spark builder checkpoint the contingency
+    # grid: inlined, rt/ct/tt/grid each re-ran the fact hash-agg
+    # (4 fact scans planned; mutual_info 8 — the round-11 registry-wide
+    # plan audit).
+    e = "(cast(rl as double) * cast(cs as double) / cast(n as double))"
+    return f"""
+    WITH cell AS ({cell_src if cell_src is not None else _lang_source_cell_core(d)}),
     rt AS (SELECT lang, {S.isum('c', d)} AS rl FROM cell GROUP BY lang),
     ct AS (SELECT source, {S.isum('c', d)} AS cs FROM cell GROUP BY source),
     tt AS (SELECT {S.isum('c', d)} AS n FROM cell),
@@ -278,9 +288,9 @@ def _chi2(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "agg_chi2_independence",
-    _chi2,
+    oracle=_chi2(DUCK),
     tags=("profiling", "eval"),
     doc="Pearson chi-square test of lang × source independence over the "
     "documents corpus — the are-my-sources-language-balanced screen a "
@@ -288,8 +298,16 @@ _pair(
     "hash-agg to the contingency grid (including structural zeros via "
     "the dimension cross join), expected counts as double algebra on "
     "integer marginals, per-cell terms decimal-quantized so the sum is "
-    "order-free. Everything after the first agg is a few hundred cells.",
+    "order-free. Everything after the first agg is a few hundred cells. "
+    "The contingency grid is localCheckpointed so its consumers share "
+    "ONE fact scan.",
 )
+def agg_chi2_independence(spark, sf_dir):
+    cell = spark.sql(_lang_source_cell_core(SPARK)).localCheckpoint()
+    cell.createOrReplaceTempView("chi2_cell_v")
+    return spark.sql(
+        _chi2(SPARK, cell_src="SELECT lang, source, c FROM chi2_cell_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -653,12 +671,17 @@ def sim_pca_power1(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _ann_recall(d: str) -> str:
+def _ann_recall(d: str, buckets_src: str | None = None) -> str:
     from .llm_ops import _sim_lsh_hyperplane, _sim_topk
 
+    # ``buckets_src`` is threaded into the embedded ANN pipeline so the
+    # Spark builder's checkpointed bucket table serves both the audit's
+    # ANN side and its candidate join (8 fact scans planned inlined —
+    # the round-11 registry-wide plan audit; the brute-force exact side
+    # keeps its own self-join, which IS the ground truth being audited).
     return f"""
     WITH exact AS ({_sim_topk(d)}),
-    ann AS ({_sim_lsh_hyperplane(d)}),
+    ann AS ({_sim_lsh_hyperplane(d, buckets_src=buckets_src)}),
     per AS (
         SELECT e.query_id, count(*) AS k_exact, count(a.vec_id) AS hits
         FROM exact e
@@ -674,9 +697,9 @@ def _ann_recall(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "audit_ann_recall",
-    _ann_recall,
+    oracle=_ann_recall(DUCK),
     tags=("similarity", "audit"),
     doc="ANN quality audit: recall@10 of sim_lsh_hyperplane_ann against the "
     "sim_cosine_topk_bruteforce ground truth, per query — the measurement "
@@ -684,8 +707,18 @@ _pair(
     "to bucketed at scale, alongside audit_minhash_estimate and "
     "audit_lsh_band_sensitivity for the dedup sketches. Runs both "
     "pipelines (each already scale-shaped) and one equi-join on "
-    "(query_id, vec_id); hit counting is pure integer.",
+    "(query_id, vec_id); hit counting is pure integer. The bucket table "
+    "is localCheckpointed and threaded into the ANN side so the hash "
+    "pipeline runs once.",
 )
+def audit_ann_recall(spark, sf_dir):
+    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b.createOrReplaceTempView("annrec_buckets_v")
+    return spark.sql(
+        _ann_recall(
+            SPARK, buckets_src="SELECT vec_id, bucket FROM annrec_buckets_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -859,9 +892,13 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _mutual_info(d: str) -> str:
+def _mutual_info(d: str, cell_src: str | None = None) -> str:
     # Only populated cells contribute (0 * ln 0 = 0), so no dimension
     # grid is needed — marginals attach by equi-join.
+    # ``cell_src`` lets the Spark builder checkpoint the lang x source
+    # contingency grid: inlined, rt/ct/tt/joined each re-ran the fact
+    # hash-agg (8 fact scans planned — the round-11 registry-wide plan
+    # audit).
     pmi_term = (
         "(cast(c as double) / cast(n as double))"
         " * ln(cast(c as double) * cast(n as double)"
@@ -876,10 +913,7 @@ def _mutual_info(d: str) -> str:
         " * ln(cast(n as double) / cast(cs as double))"
     )
     return f"""
-    WITH cell AS (
-        SELECT lang, source, count(*) AS c
-        FROM documents GROUP BY lang, source
-    ),
+    WITH cell AS ({cell_src if cell_src is not None else _lang_source_cell_core(d)}),
     rt AS (SELECT lang, {S.isum('c', d)} AS rl FROM cell GROUP BY lang),
     ct AS (SELECT source, {S.isum('c', d)} AS cs FROM cell GROUP BY source),
     tt AS (SELECT {S.isum('c', d)} AS n FROM cell),
@@ -902,17 +936,24 @@ def _mutual_info(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "agg_mutual_info",
-    _mutual_info,
+    oracle=_mutual_info(DUCK),
     tags=("profiling", "eval"),
     doc="Mutual information between lang and source (nats) with marginal "
     "entropies and sqrt-normalized NMI — the effect-SIZE companion to "
     "agg_chi2_independence's significance test (chi² grows with n; NMI "
     "doesn't). Only populated contingency cells contribute (0·ln0 = 0), "
     "so marginals attach by equi-join — no dimension grid; per-cell "
-    "terms decimal-quantized so the sums are order-free.",
+    "terms decimal-quantized so the sums are order-free. The contingency "
+    "grid is localCheckpointed so its consumers share ONE fact scan.",
 )
+def agg_mutual_info(spark, sf_dir):
+    cell = spark.sql(_lang_source_cell_core(SPARK)).localCheckpoint()
+    cell.createOrReplaceTempView("mi_cell_v")
+    return spark.sql(
+        _mutual_info(SPARK, cell_src="SELECT lang, source, c FROM mi_cell_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1124,9 +1165,27 @@ def _lsh_buckets(d: str) -> str:
     """
 
 
-def _multiprobe_recall(d: str) -> str:
+def _multiprobe_queries_core(d: str) -> str:
+    """The 5-row query table (id, embedding, home bucket)."""
+    return """
+        SELECT e.vec_id AS query_id, e.embedding, b.bucket
+        FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
+        WHERE e.vec_id < 5
+    """
+
+
+def _multiprobe_recall(
+    d: str,
+    buckets_src: str | None = None,
+    queries_src: str | None = None,
+) -> str:
     from .llm_ops import _N_PLANES, _cosine, _sim_topk
 
+    # ``buckets_src``/``queries_src`` let the Spark builder checkpoint
+    # the bucket table (one row per vector) and the 5-row query table:
+    # inlined, the probes/cand/ranked fan-out re-derived the whole
+    # hyperplane-hash pipeline per consumer (26 fact scans planned — the
+    # round-11 registry-wide plan audit).
     cos = _cosine(d, "q.embedding", "c.embedding")
     flip = S.bit_xor2("q.bucket", S.shift_left("cast(1 as bigint)", "i", d), d)
     probes = f"""
@@ -1138,12 +1197,9 @@ def _multiprobe_recall(d: str) -> str:
     """
     return f"""
     WITH exact AS ({_sim_topk(d)}),
-    buckets AS ({_lsh_buckets(d)}),
-    queries AS (
-        SELECT e.vec_id AS query_id, e.embedding, b.bucket
-        FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id
-        WHERE e.vec_id < 5
-    ),
+    buckets AS ({buckets_src if buckets_src is not None else _lsh_buckets(d)}),
+    queries AS ({queries_src if queries_src is not None
+                 else _multiprobe_queries_core(d)}),
     probes AS ({probes}),
     cand AS (
         SELECT DISTINCT p.query_id, p.embedding, cb.vec_id,
@@ -1192,9 +1248,9 @@ def _multiprobe_recall(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "audit_multiprobe_recall",
-    _multiprobe_recall,
+    oracle=_multiprobe_recall(DUCK),
     tags=("similarity", "audit"),
     doc="Multi-probe LSH audit (Lv et al. 2007): each query probes its home "
     "bucket PLUS the 4 Hamming-1 neighbor buckets (bucket XOR one plane "
@@ -1203,8 +1259,26 @@ _pair(
     "measurement behind the 100 TB trade of probing a few extra buckets "
     "instead of storing more hash tables. Probe expansion is a 5-way "
     "sequence fan-out on the query side only (candidates stay "
-    "equi-joined on the bucket key); recall counting is pure integer.",
+    "equi-joined on the bucket key); recall counting is pure integer. "
+    "The bucket table and the 5-row query table are localCheckpointed "
+    "so the hyperplane-hash pipeline runs once.",
 )
+def audit_multiprobe_recall(spark, sf_dir):
+    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b.createOrReplaceTempView("mprobe_buckets_v")
+    q = spark.sql(
+        f"WITH buckets AS (SELECT vec_id, bucket FROM mprobe_buckets_v)"
+        f"{_multiprobe_queries_core(SPARK)}"
+    ).localCheckpoint()
+    q.createOrReplaceTempView("mprobe_queries_v")
+    return spark.sql(
+        _multiprobe_recall(
+            SPARK,
+            buckets_src="SELECT vec_id, bucket FROM mprobe_buckets_v",
+            queries_src="SELECT query_id, embedding, bucket"
+            " FROM mprobe_queries_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

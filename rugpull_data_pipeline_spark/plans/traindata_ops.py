@@ -532,7 +532,11 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_incremental(d: str) -> str:
+def _minhash_incremental(
+    d: str,
+    sh_src: str | None = None,
+    sigs_src: str | None = None,
+) -> str:
     # Same signature/banding machinery as dedup_minhash_lsh (16 portable
     # minhashes over word-3-gram shingles, 4x4 banding, bucket cap), but the
     # candidate join is CROSS-CORPUS ONLY: incoming bands (src10..src19)
@@ -582,23 +586,28 @@ def _minhash_incremental(d: str) -> str:
         n_inter = "len(list_intersect(sa.shs, sb.shs))"
         n_a, n_b = "len(sa.shs)", "len(sb.shs)"
     jacc = f"cast({n_inter} as double) / ({n_a} + {n_b} - {n_inter})"
+    # ``sh_src``/``sigs_src`` let the Spark builder checkpoint the hashed
+    # shingles and the signature table (at scale: the materialized base
+    # signatures the doc itself promises): inlined, sigs/doc_sets and the
+    # two band-probe sides re-ran the shingle explode (6 fact scans
+    # planned - the round-11 registry-wide plan audit).
     return f"""
     WITH tagged AS (
         SELECT doc_id, text,
             CASE WHEN length(source) = 4 THEN 'base' ELSE 'inc' END AS side
         FROM documents
     ),
-    sh_hashed AS (
+    sh_hashed AS ({sh_src if sh_src is not None else f'''
         SELECT doc_id, {shh} AS shh
         FROM ({_ngram_shingles(d).replace('documents', 'tagged')}) raw
-    ),
-    sigs AS (
+    '''}),
+    sigs AS ({sigs_src if sigs_src is not None else f'''
         SELECT s.doc_id, max(t.side) AS side,
             {min_cols}
         FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM sh_hashed) s
         JOIN tagged t ON t.doc_id = s.doc_id
         GROUP BY s.doc_id
-    ),
+    '''}),
     bands AS (
         {bands}
     ),
@@ -625,9 +634,9 @@ def _minhash_incremental(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "dedup_minhash_incremental",
-    _minhash_incremental,
+    oracle=_minhash_incremental(DUCK),
     tags=("dedup", "etl"),
     doc="Cross-corpus near-dup: the incoming snapshot (src10..src19) LSH-"
     "probes the existing corpus (src0..src9) through the same 16-minhash / "
@@ -637,8 +646,41 @@ _pair(
     "capped (>32 docs skipped) so a boilerplate cluster spanning both "
     "corpora cannot detonate the probe; at 100 TB the base-side "
     "signatures and bands are a materialized bucketed table, making the "
-    "daily probe a co-partitioned equi-join against static state.",
+    "daily probe a co-partitioned equi-join against static state. The "
+    "hashed shingles and signature table are localCheckpointed - the "
+    "same materialization, in-query - so the explode runs once.",
 )
+def dedup_minhash_incremental(spark, sf_dir):
+    from .llm_ops import _MINHASH_AB, _MINHASH_P, _ngram_shingles
+
+    shh = S.portable_hash64("sh", SPARK)
+    tagged = ("(SELECT doc_id, text, CASE WHEN length(source) = 4"
+              " THEN 'base' ELSE 'inc' END AS side FROM documents) tagged")
+    sh = spark.sql(
+        f"SELECT doc_id, {shh} AS shh"
+        f" FROM ({_ngram_shingles(SPARK).replace('documents', tagged)}) raw"
+    ).localCheckpoint()
+    sh.createOrReplaceTempView("mhinc_sh_v")
+    min_cols = ", ".join(
+        f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    sigs = spark.sql(
+        f"SELECT s.doc_id, max(t.side) AS side, {min_cols}"
+        f" FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM mhinc_sh_v) s"
+        " JOIN (SELECT doc_id, CASE WHEN length(source) = 4 THEN 'base'"
+        " ELSE 'inc' END AS side FROM documents) t ON t.doc_id = s.doc_id"
+        " GROUP BY s.doc_id"
+    ).localCheckpoint()
+    sigs.createOrReplaceTempView("mhinc_sigs_v")
+    hcols = ", ".join(f"h{j}" for j in range(len(_MINHASH_AB)))
+    return spark.sql(
+        _minhash_incremental(
+            SPARK,
+            sh_src="SELECT doc_id, shh FROM mhinc_sh_v",
+            sigs_src=f"SELECT doc_id, side, {hcols} FROM mhinc_sigs_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -688,7 +730,27 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _markov_stationary(d: str) -> str:
+def _markov_p_core(d: str) -> str:
+    """The row-normalized k x k transition-probability grid — the ONE
+    fact lag-window pass."""
+    return """
+    WITH steps AS (
+        SELECT user_id, event_type,
+            lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS src, next_type AS dst, count(*) AS c
+        FROM steps WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+    )
+    SELECT src, dst,
+        c / cast(sum(c) OVER (PARTITION BY src) as double) AS p
+    FROM trans
+    """
+
+
+def _markov_stationary(d: str, p_src: str | None = None) -> str:
     # Three power iterations x' = xP over the event-type transition matrix.
     # Each iteration is a join against the tiny (k x k) probability table —
     # the same broadcast-iteration shape as graph_pagerank_power3 — and the
@@ -699,22 +761,12 @@ def _markov_stationary(d: str) -> str:
             f"FROM {prev} JOIN p ON p.src = {prev}.state GROUP BY p.dst"
         )
 
+    # ``p_src`` lets the Spark builder checkpoint the k x k probability
+    # grid: inlined, each power step (and states) re-ran the fact lag
+    # window (5 fact scans planned — the round-11 registry-wide plan
+    # audit).
     return f"""
-    WITH steps AS (
-        SELECT user_id, event_type,
-            lead(event_type) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        FROM events
-    ),
-    trans AS (
-        SELECT event_type AS src, next_type AS dst, count(*) AS c
-        FROM steps WHERE next_type IS NOT NULL GROUP BY event_type, next_type
-    ),
-    p AS (
-        SELECT src, dst,
-            c / cast(sum(c) OVER (PARTITION BY src) as double) AS p
-        FROM trans
-    ),
+    WITH p AS ({p_src if p_src is not None else _markov_p_core(d)}),
     states AS (SELECT DISTINCT src AS state FROM p),
     x0 AS (
         SELECT state,
@@ -729,9 +781,9 @@ def _markov_stationary(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_markov_stationary",
-    _markov_stationary,
+    oracle=_markov_stationary(DUCK),
     tags=("events", "graph", "iterative"),
     doc="Stationary distribution of the per-user event-type transition "
     "chain: one lag window builds the transition counts, row-normalized "
@@ -741,8 +793,15 @@ _pair(
     "at any scale, k = event-type cardinality), the same "
     "collect-nothing iteration shape as graph_pagerank_power3. Decimal "
     "dsum makes every iteration order-independent, so engines and "
-    "partitionings agree exactly.",
+    "partitionings agree exactly. The probability grid is "
+    "localCheckpointed so the fact lag window runs once.",
 )
+def events_markov_stationary(spark, sf_dir):
+    p = spark.sql(_markov_p_core(SPARK)).localCheckpoint()
+    p.createOrReplaceTempView("markov_p_v")
+    return spark.sql(
+        _markov_stationary(SPARK, p_src="SELECT src, dst, p FROM markov_p_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1225,7 +1284,7 @@ _DSIR_BUCKETS = 128
 _DSIR_TOPK = 20
 
 
-def _dsir_selection(d: str) -> str:
+def _dsir_selection(d: str, hashed_src: str | None = None) -> str:
     if d == SPARK:
         occ = (
             "SELECT doc_id, lang, explode({t}) AS tok "
@@ -1236,11 +1295,16 @@ def _dsir_selection(d: str) -> str:
             "SELECT doc_id, lang, unnest({t}) AS tok FROM documents"
         ).format(t=_toks(d))
     b = f"{S.portable_hash64('tok', d)} % {_DSIR_BUCKETS}"
+    # ``hashed_src`` lets the Spark builder checkpoint the token-bucket
+    # table: inlined, tgt/src/tots and the per-doc fold each re-ran the
+    # token explode (5 fact scans planned — the round-11 registry-wide
+    # plan audit). At scale this is the persisted hashed-ngram table the
+    # DSIR paper's estimator is built from.
     return f"""
     WITH occ AS ({occ}),
-    hashed AS (
+    hashed AS ({hashed_src if hashed_src is not None else f'''
         SELECT doc_id, lang, {b} AS bkt FROM occ
-    ),
+    '''}),
     tgt AS (
         SELECT bkt, cast(count(*) as bigint) AS c FROM hashed
         WHERE lang = 'en' GROUP BY bkt
@@ -1284,9 +1348,9 @@ def _dsir_selection(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "sample_dsir_selection",
-    _dsir_selection,
+    oracle=_dsir_selection(DUCK),
     tags=("sampling", "text", "mlprep"),
     doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
     "Language Models via Importance Resampling'): hashed token features "
@@ -1297,5 +1361,18 @@ _pair(
     "deterministic tie-break. The bucket weight table is broadcast-"
     "sized, the scoring join is a hash join on the bucket id, and the "
     "top-k is an ordered LIMIT (TakeOrderedAndProject) — the raw corpus "
-    "is touched once however large it is.",
+    "is touched once however large it is. The token-bucket table is "
+    "localCheckpointed so the explode runs once.",
 )
+def sample_dsir_selection(spark, sf_dir):
+    b = f"{S.portable_hash64('tok', SPARK)} % {_DSIR_BUCKETS}"
+    hashed = spark.sql(
+        f"SELECT doc_id, lang, {b} AS bkt FROM (SELECT doc_id, lang,"
+        f" explode({_toks(SPARK)}) AS tok FROM documents) occ"
+    ).localCheckpoint()
+    hashed.createOrReplaceTempView("dsir_hashed_v")
+    return spark.sql(
+        _dsir_selection(
+            SPARK, hashed_src="SELECT doc_id, lang, bkt FROM dsir_hashed_v"
+        )
+    )
