@@ -569,7 +569,7 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _powerlaw(d: str) -> str:
+def _powerlaw(d: str, pw_src: str | None = None) -> str:
     # MLE alpha over the d >= 2 tail (alpha = 1 + n / sum ln(d/dmin)) plus
     # the OLS log-log slope of the degree pdf; ln values 9-dp quantized
     # before decimal accumulation (order-free), one division at the end.
@@ -581,8 +581,17 @@ def _powerlaw(d: str) -> str:
            " * round(ln(cast(d as double)), 9), 12) as decimal(28,12))")
     ltail = ("cast(cnt as decimal(18,0)) * cast(round(ln(cast(d as double)"
              " / cast(2 as double)), 9) as decimal(18,9))")
+    # ``pw_src`` lets the Spark builder checkpoint the co-purchase pair
+    # table (shared _pw_df builder with graph_rich_club/degree_gini):
+    # inlined, the sym UNION re-derived the self-join (4 fact scans
+    # planned - the round-11 registry-wide plan audit).
+    edges = (
+        f"pw AS ({pw_src})"
+        if pw_src is not None
+        else _weighted_edges_sql()
+    )
     return f"""
-    WITH {_weighted_edges_sql()},
+    WITH {edges},
     sym AS (SELECT src, dst FROM pw UNION ALL SELECT dst, src FROM pw),
     deg AS (
         SELECT src AS node, cast(count(*) as bigint) AS deg FROM sym GROUP BY src
@@ -611,17 +620,22 @@ def _powerlaw(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_degree_powerlaw",
-    _powerlaw,
+    oracle=_powerlaw(DUCK),
     tags=("graph", "stats"),
     doc="Degree-distribution power-law fit of the co-purchase graph: the "
     "discrete MLE alpha = 1 + n/sum(ln(d/dmin)) over the d>=2 tail plus "
     "the OLS slope of the log-log degree pdf — the text_zipf_fit "
     "companion for graphs. Everything rides the degree-value grid "
     "(bounded by max degree); ln terms are 9-dp quantized before the "
-    "decimal sums, one division per statistic at the end.",
+    "decimal sums, one division per statistic at the end. The pair "
+    "table is localCheckpointed so the co-purchase self-join runs once.",
 )
+def graph_degree_powerlaw(spark, sf_dir):
+    pw = _pw_df(spark, sf_dir).localCheckpoint()
+    pw.createOrReplaceTempView("plaw_pw_v")
+    return spark.sql(_powerlaw(SPARK, pw_src="SELECT src, dst FROM plaw_pw_v"))
 
 
 # ---------------------------------------------------------------------------

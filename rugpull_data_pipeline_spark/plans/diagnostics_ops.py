@@ -1390,14 +1390,22 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _cramers_v(d: str) -> str:
+def _cramers_obs_core(d: str) -> str:
+    """The seg x band contingency grid — the ONE fact pass."""
     band = "cast(floor(c_acctbal / cast(1000 as double)) as bigint)"
     return f"""
-    WITH obs AS (
         SELECT c_mktsegment AS seg, {band} AS band,
             cast(count(*) as bigint) AS o
         FROM customer GROUP BY c_mktsegment, {band}
-    ),
+    """
+
+
+def _cramers_v(d: str, obs_src: str | None = None) -> str:
+    # ``obs_src`` lets the Spark builder checkpoint the contingency grid:
+    # inlined, segs/bands/tot/chi each re-ran the fact hash-agg (4 fact
+    # scans planned — the round-11 registry-wide plan audit).
+    return f"""
+    WITH obs AS ({obs_src if obs_src is not None else _cramers_obs_core(d)}),
     segs AS (
         SELECT seg, {S.isum('o', d)} AS rm, 1 AS k FROM obs GROUP BY seg
     ),
@@ -1450,17 +1458,24 @@ def _cramers_v(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "agg_cramers_v",
-    _cramers_v,
+    oracle=_cramers_v(DUCK),
     tags=("agg", "stats"),
     doc="Cramer's V association between market segment and acctbal "
     "kilo-band, plus the Bergsma bias-corrected variant — the "
     "effect-size companion of agg_chi2_independence. Chi-square over "
     "the FULL r x c grid (zero cells included via the constant-key "
     "margin expansion, broadcast — never cartesian); per-cell terms "
-    "9-dp-quantized.",
+    "9-dp-quantized. The contingency grid is localCheckpointed so its "
+    "consumers share ONE fact scan.",
 )
+def agg_cramers_v(spark, sf_dir):
+    obs = spark.sql(_cramers_obs_core(SPARK)).localCheckpoint()
+    obs.createOrReplaceTempView("cramers_obs_v")
+    return spark.sql(
+        _cramers_v(SPARK, obs_src="SELECT seg, band, o FROM cramers_obs_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1601,13 +1616,22 @@ def layout_prune_simulator(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _hour_gof(d: str) -> str:
+def _hour_gof_core(d: str) -> str:
+    """The (event_type, hour, count) grid — the ONE fact pass."""
     hr = f"({S.idiv(S.epoch_s('ts', d), '3600', d)} % 24)"
     return f"""
-    WITH hc AS (
         SELECT event_type, {hr} AS hour, cast(count(*) as bigint) AS c
         FROM events GROUP BY event_type, {hr}
-    ),
+    """
+
+
+def _hour_gof(d: str, hc_src: str | None = None) -> str:
+    # ``hc_src`` lets the Spark builder checkpoint the 24-row-per-type
+    # hour grid: inlined, tt/full_grid/pk each re-ran the fact hash-agg
+    # (4 fact scans planned — the round-11 registry-wide plan audit,
+    # same class as profile_last_digit_uniformity).
+    return f"""
+    WITH hc AS ({hc_src if hc_src is not None else _hour_gof_core(d)}),
     tt AS (
         SELECT event_type, {S.isum('c', d)} AS n FROM hc GROUP BY event_type
     ),
@@ -1639,17 +1663,24 @@ def _hour_gof(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_hour_uniformity_gof",
-    _hour_gof,
+    oracle=_hour_gof(DUCK),
     tags=("events", "stats"),
     doc="Chi-square goodness-of-fit of hour-of-day activity vs the "
     "uniform null, per event type: chi2 = sum (24c - n)^2 / 24n stays "
     "EXACT-integer until one division (no per-cell expected-count "
     "doubles); missing hours zero-filled via the 24-row constant-key "
     "grid; peak hour with integer tie-break. The inferential sibling "
-    "of agg_mode_peak_hour.",
+    "of agg_mode_peak_hour. The hour grid is localCheckpointed so its "
+    "consumers share ONE fact scan.",
 )
+def events_hour_uniformity_gof(spark, sf_dir):
+    hc = spark.sql(_hour_gof_core(SPARK)).localCheckpoint()
+    hc.createOrReplaceTempView("hourgof_hc_v")
+    return spark.sql(
+        _hour_gof(SPARK, hc_src="SELECT event_type, hour, c FROM hourgof_hc_v")
+    )
 
 
 # ---------------------------------------------------------------------------

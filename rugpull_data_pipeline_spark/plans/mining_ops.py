@@ -1048,17 +1048,25 @@ _pair(
 _ISO_BIN = "least(19, cast(floor(value / cast(25 as double)) as int))"
 
 
-def _isotonic(d: str) -> str:
+def _isotonic_g_core(d: str) -> str:
+    """The 20-bin (bin, weight, positives) grid — the ONE fact pass."""
     return f"""
     WITH pts AS (
         SELECT {_ISO_BIN} AS b,
             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         FROM events WHERE value IS NOT NULL AND value >= 0
-    ),
-    g AS (
-        SELECT b, cast(count(*) as bigint) AS w, {S.isum('y', d)} AS p
-        FROM pts GROUP BY b
-    ),
+    )
+    SELECT b, cast(count(*) as bigint) AS w, {S.isum('y', d)} AS p
+    FROM pts GROUP BY b
+    """
+
+
+def _isotonic(d: str, g_src: str | None = None) -> str:
+    # ``g_src`` lets the Spark builder checkpoint the bin grid: inlined,
+    # c/m/f and the final join each re-ran the fact hash-agg (4 fact
+    # scans planned — the round-11 registry-wide plan audit).
+    return f"""
+    WITH g AS ({g_src if g_src is not None else _isotonic_g_core(d)}),
     c AS (
         SELECT b, w, p,
             cast(sum(w) OVER (ORDER BY b) as bigint) AS cw,
@@ -1084,9 +1092,9 @@ def _isotonic(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "mlprep_isotonic_pava",
-    _isotonic,
+    oracle=_isotonic(DUCK),
     tags=("mlprep", "eval"),
     doc="Isotonic-regression calibration of the purchase rate against the "
     "value score via the closed-form minimax identity "
@@ -1094,8 +1102,13 @@ _pair(
     "solution without the sequential pooling loop. All pairwise work "
     "happens on the 20-bin score grid (cumulative integer sums; "
     "identical-double divisions), so the triangle join is metadata-"
-    "sized at any corpus scale.",
+    "sized at any corpus scale. The bin grid is localCheckpointed so "
+    "its consumers share ONE fact scan.",
 )
+def mlprep_isotonic_pava(spark, sf_dir):
+    g = spark.sql(_isotonic_g_core(SPARK)).localCheckpoint()
+    g.createOrReplaceTempView("iso_g_v")
+    return spark.sql(_isotonic(SPARK, g_src="SELECT b, w, p FROM iso_g_v"))
 
 
 # ---------------------------------------------------------------------------

@@ -778,13 +778,22 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _mad_outliers(d: str) -> str:
+def _mad_med_core(d: str) -> str:
+    """The per-type exact median — one grouped percentile pass."""
     med = "percentile(value, 0.5)" if d == SPARK else "quantile_cont(value, 0.5)"
+    return f"SELECT event_type, {med} AS m FROM events GROUP BY event_type"
+
+
+def _mad_outliers(d: str, med_src: str | None = None) -> str:
+    # ``med_src`` lets the Spark builder checkpoint the per-type median:
+    # inlined, the dev CTE's two consumers re-ran the median pass too
+    # (4 fact scans planned — the round-11 registry-wide plan audit).
+    # The remaining two fact scans are the genuinely distinct deviation
+    # passes (MAD of |x - med|, then the flag count) — column-pruned
+    # re-reads beat materializing a fact-sized deviation table.
     mad = "percentile(ad, 0.5)" if d == SPARK else "quantile_cont(ad, 0.5)"
     return f"""
-    WITH med AS (
-        SELECT event_type, {med} AS m FROM events GROUP BY event_type
-    ),
+    WITH med AS ({med_src if med_src is not None else _mad_med_core(d)}),
     dev AS (
         SELECT e.event_type, abs(e.value - m.m) AS ad, m.m
         FROM events e JOIN med m ON e.event_type = m.event_type
@@ -804,9 +813,9 @@ def _mad_outliers(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "agg_mad_outliers",
-    _mad_outliers,
+    oracle=_mad_outliers(DUCK),
     tags=("agg", "quality"),
     doc="Robust outlier detection via median absolute deviation: per-group "
     "exact median, then the median of absolute deviations, flagging values "
@@ -815,8 +824,15 @@ _pair(
     "outliers it hunts. Two grouped exact-percentile aggregations plus two "
     "broadcast joins of the tiny per-group statistics back onto the "
     "stream; medians use the same engine-identical linear interpolation "
-    "the percentile family already proved.",
+    "the percentile family already proved. The per-type median is "
+    "localCheckpointed so the two deviation passes don't re-run it.",
 )
+def agg_mad_outliers(spark, sf_dir):
+    med = spark.sql(_mad_med_core(SPARK)).localCheckpoint()
+    med.createOrReplaceTempView("madout_med_v")
+    return spark.sql(
+        _mad_outliers(SPARK, med_src="SELECT event_type, m FROM madout_med_v")
+    )
 
 
 # ---------------------------------------------------------------------------

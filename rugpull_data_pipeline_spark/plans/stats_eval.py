@@ -2269,19 +2269,29 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _simpson(d: str) -> str:
+def _simpson_cells_core(d: str) -> str:
+    """The stratum x arm conversion grid — the ONE fact pass."""
     return f"""
     WITH base AS (
         SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
             CASE WHEN {_CENTS} >= 500 THEN 'high' ELSE 'low' END AS stratum,
             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         FROM events WHERE value IS NOT NULL
-    ),
-    cells AS (
-        SELECT stratum, arm, cast(count(*) as bigint) AS n,
-            {S.isum('y', d)} AS conv
-        FROM base GROUP BY stratum, arm
-    ),
+    )
+    SELECT stratum, arm, cast(count(*) as bigint) AS n,
+        {S.isum('y', d)} AS conv
+    FROM base GROUP BY stratum, arm
+    """
+
+
+def _simpson(d: str, cells_src: str | None = None) -> str:
+    # ``cells_src`` lets the Spark builder checkpoint the conversion
+    # grid: inlined, wide's two UNION branches each re-ran the fact
+    # hash-agg (4 fact scans planned — the round-11 registry-wide plan
+    # audit).
+    return f"""
+    WITH cells AS ({cells_src if cells_src is not None
+                    else _simpson_cells_core(d)}),
     wide AS (
         SELECT stratum,
             {S.isum("CASE WHEN arm = 'A' THEN n ELSE 0 END", d)} AS n_a,
@@ -2325,9 +2335,9 @@ def _simpson(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "profile_simpson_paradox",
-    _simpson,
+    oracle=_simpson(DUCK),
     tags=("profiling", "eval"),
     doc="Simpson's-paradox screen on the A/B split (user parity) of "
     "purchase conversion, stratified by value band: per-stratum and "
@@ -2336,8 +2346,17 @@ _pair(
     "on one direction while the aggregate points the other way — the "
     "aggregation bias every experiment readout must rule out before "
     "trusting a pooled rate. The stratum grid is a handful of rows, so "
-    "the self-cross-join for the flag is metadata-scale.",
+    "the self-cross-join for the flag is metadata-scale. The conversion "
+    "grid is localCheckpointed so its consumers share ONE fact scan.",
 )
+def profile_simpson_paradox(spark, sf_dir):
+    cells = spark.sql(_simpson_cells_core(SPARK)).localCheckpoint()
+    cells.createOrReplaceTempView("simpson_cells_v")
+    return spark.sql(
+        _simpson(
+            SPARK, cells_src="SELECT stratum, arm, n, conv FROM simpson_cells_v"
+        )
+    )
 
 # ---------------------------------------------------------------------------
 # Lead-lag cross-correlation between event-type value series

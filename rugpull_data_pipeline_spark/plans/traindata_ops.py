@@ -424,7 +424,7 @@ _PSI_BINS = 10
 _PSI_PRIOR = 0.5  # Laplace smoothing per bin
 
 
-def _psi_drift(d: str) -> str:
+def _psi_drift(d: str, counts_src: str | None = None) -> str:
     day = "cast(floor(" + S.epoch_s("ts", d) + " / 86400) as bigint)"
     bin_expr = "least(9, greatest(0, cast(floor(value / 10) as int)))"
     # Every operand forced to DOUBLE before the division: a bare 0.5/5.0
@@ -441,18 +441,22 @@ def _psi_drift(d: str) -> str:
         f"((cast(grid.cb as double) + {_PSI_PRIOR})"
         f" / (cast(tot.tb as double) + {smooth_tot}))"
     )
+    # ``counts_src`` lets the Spark builder checkpoint the type x half x
+    # bin grid: inlined, grid/types/tot each re-ran the fact hash-agg
+    # (4 fact scans planned - the round-11 registry-wide plan audit).
+    # types derives from counts (binned has no row filter, so every
+    # event type present in events is present in counts).
     return f"""
-    WITH binned AS (
-        SELECT event_type,
-            CASE WHEN {day} % 2 = 0 THEN 'A' ELSE 'B' END AS half,
-            {bin_expr} AS bin
-        FROM events
-    ),
-    counts AS (
+    WITH counts AS ({counts_src if counts_src is not None else f'''
         SELECT event_type, half, bin, count(*) AS c
-        FROM binned GROUP BY event_type, half, bin
-    ),
-    types AS (SELECT DISTINCT event_type FROM events),
+        FROM (
+            SELECT event_type,
+                CASE WHEN {day} % 2 = 0 THEN 'A' ELSE 'B' END AS half,
+                {bin_expr} AS bin
+            FROM events
+        ) binned GROUP BY event_type, half, bin
+    '''}),
+    types AS (SELECT DISTINCT event_type FROM counts),
     grid AS (
         SELECT t.event_type, b.bin,
             coalesce(max(CASE WHEN c.half = 'A' THEN c.c END), 0) AS ca,
@@ -476,9 +480,9 @@ def _psi_drift(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "profile_drift_psi",
-    _psi_drift,
+    oracle=_psi_drift(DUCK),
     tags=("profiling", "mlprep"),
     doc="Population Stability Index between even- and odd-day event halves, "
     "per event_type over 10 fixed value bins with Laplace-smoothed "
@@ -487,8 +491,24 @@ _pair(
     "distribution shift before it poisons a mixture. Two hash-aggs down "
     "to a (type x half x bin) grid of a few hundred rows — input size "
     "only affects the first agg's map side; everything after is algebra "
-    "on the tiny grid.",
+    "on the tiny grid. The grid is localCheckpointed so its consumers "
+    "share ONE fact scan.",
 )
+def profile_drift_psi(spark, sf_dir):
+    day = "cast(floor(" + S.epoch_s("ts", SPARK) + " / 86400) as bigint)"
+    bin_expr = "least(9, greatest(0, cast(floor(value / 10) as int)))"
+    counts = spark.sql(
+        "SELECT event_type, half, bin, count(*) AS c FROM ("
+        f"SELECT event_type, CASE WHEN {day} % 2 = 0 THEN 'A' ELSE 'B'"
+        f" END AS half, {bin_expr} AS bin FROM events"
+        ") binned GROUP BY event_type, half, bin"
+    ).localCheckpoint()
+    counts.createOrReplaceTempView("psi_counts_v")
+    return spark.sql(
+        _psi_drift(
+            SPARK, counts_src="SELECT event_type, half, bin, c FROM psi_counts_v"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1155,7 +1175,7 @@ def mlprep_logreg_gd3(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _km_survival(d: str) -> str:
+def _km_survival(d: str, fv_src: str | None = None) -> str:
     # The KM product folds as exp(cumulative-sum(ln)), with each ln step
     # quantized to 9 dp and summed as exact decimal so the cumulative fold
     # is order- and engine-independent. d == n (everyone at risk converts)
@@ -1164,11 +1184,15 @@ def _km_survival(d: str) -> str:
     # MINUTE-BUCKETED aggregate — bounded by calendar minutes, not input
     # rows, so the single-partition window is O(time-range) at any scale.
     ep = S.epoch_s("ts", d)
+    # ``fv_src`` lets the Spark builder checkpoint the first-view table:
+    # inlined, fp and subj each re-ran its fact hash-agg (4 fact scans
+    # planned - the round-11 registry-wide plan audit; the fp and mx
+    # passes are genuinely distinct filters, same class as the funnel).
     return f"""
-    WITH fv AS (
+    WITH fv AS ({fv_src if fv_src is not None else f'''
         SELECT user_id, min({ep}) AS v
         FROM events WHERE event_type = 'view' GROUP BY user_id
-    ),
+    '''}),
     fp AS (
         SELECT e.user_id, min({ep}) AS p
         FROM events e JOIN fv ON fv.user_id = e.user_id
@@ -1213,9 +1237,9 @@ def _km_survival(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "events_survival_km",
-    _km_survival,
+    oracle=_km_survival(DUCK),
     tags=("events", "mlprep"),
     doc="Kaplan-Meier survival of view→purchase conversion with honest "
     "right-censoring (users who never purchase are censored at the "
@@ -1225,8 +1249,19 @@ _pair(
     "descending cumulative count over the bucket aggregate (bounded by "
     "calendar minutes, not input rows); the KM product folds as "
     "exp(decimal-exact cumsum of 9-dp-quantized ln terms), with a finite "
-    "sentinel for the d = n boundary so survival hits exactly 0.",
+    "sentinel for the d = n boundary so survival hits exactly 0. The "
+    "first-view table is localCheckpointed so fp/subj share it.",
 )
+def events_survival_km(spark, sf_dir):
+    ep = S.epoch_s("ts", SPARK)
+    fv = spark.sql(
+        f"SELECT user_id, min({ep}) AS v FROM events"
+        " WHERE event_type = 'view' GROUP BY user_id"
+    ).localCheckpoint()
+    fv.createOrReplaceTempView("km_fv_v")
+    return spark.sql(
+        _km_survival(SPARK, fv_src="SELECT user_id, v FROM km_fv_v")
+    )
 
 
 # ---------------------------------------------------------------------------
