@@ -317,11 +317,14 @@ def agg_chi2_independence(spark, sf_dir):
 _AA_DEG_CAP = 32  # entities above this degree are skipped (hot-key guard)
 
 
-def _adamic_adar(d: str) -> str:
+def _adamic_adar(d: str, ut_src: str | None = None) -> str:
+    # ``ut_src`` lets the Spark builder checkpoint the distinct edge
+    # table: inlined, deg and both sides of the adm self-join re-ran the
+    # fact distinct (4 fact scans planned — the round-11 registry-wide
+    # plan audit).
     return f"""
-    WITH ut AS (
-        SELECT DISTINCT user_id, event_type FROM events
-    ),
+    WITH ut AS ({ut_src if ut_src is not None
+                 else 'SELECT DISTINCT user_id, event_type FROM events'}),
     deg AS (
         SELECT user_id, count(*) AS dg FROM ut GROUP BY user_id
     ),
@@ -347,9 +350,9 @@ def _adamic_adar(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "graph_adamic_adar",
-    _adamic_adar,
+    oracle=_adamic_adar(DUCK),
     tags=("graph",),
     doc="Adamic-Adar link prediction between event types through shared "
     "users: score(a,b) = sum over common neighbors u of 1/ln(deg(u)), "
@@ -358,8 +361,18 @@ _pair(
     "share an unusually specific holder base. Distinct-edge agg, degree "
     "join, degree-capped (2..32) self-equi-join on the shared entity, "
     "then one pair-keyed agg of decimal-quantized 1/ln terms. The cap "
-    "bounds the per-entity fan-out exactly like the LSH band cap.",
+    "bounds the per-entity fan-out exactly like the LSH band cap. The "
+    "distinct edge table is localCheckpointed so its consumers share "
+    "ONE fact scan.",
 )
+def graph_adamic_adar(spark, sf_dir):
+    ut = spark.sql(
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ).localCheckpoint()
+    ut.createOrReplaceTempView("aa_ut_v")
+    return spark.sql(
+        _adamic_adar(SPARK, ut_src="SELECT user_id, event_type FROM aa_ut_v")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1626,7 +1639,7 @@ _pair(
 # ---------------------------------------------------------------------------
 
 
-def _ndcg(d: str) -> str:
+def _ndcg(d: str, scored_src: str | None = None) -> str:
     toks = _word_tokens("SELECT doc_id, lang, text FROM documents", d)
     # Each DCG term is quantized to 9 dp before the decimal sum, the repo's
     # standing transcendental discipline (ln accurate to ~1 ulp; a 1e-15
@@ -1636,16 +1649,19 @@ def _ndcg(d: str) -> str:
         "round(cast(({g}) as double)"
         " * ln(cast(2 as double)) / ln(cast({p} + 1 as double)), 9)"
     )
+    # ``scored_src`` lets the Spark builder checkpoint the per-doc
+    # relevance table: inlined, the sys and ideal rankings each re-ran
+    # the token explode (4 fact scans planned — the round-11
+    # registry-wide plan audit).
     return f"""
-    WITH nv AS (
-        SELECT doc_id, lang, count(DISTINCT tok) AS nvoc
-        FROM ({toks}) t GROUP BY doc_id, lang
-    ),
-    scored AS (
+    WITH scored AS ({scored_src if scored_src is not None else f'''
         SELECT nv.doc_id, nv.lang, d.n_chars,
             least(3, {S.idiv('nv.nvoc', '8', d)}) AS rel
-        FROM nv JOIN documents d ON d.doc_id = nv.doc_id
-    ),
+        FROM (
+            SELECT doc_id, lang, count(DISTINCT tok) AS nvoc
+            FROM ({toks}) t GROUP BY doc_id, lang
+        ) nv JOIN documents d ON d.doc_id = nv.doc_id
+    '''}),
     sys AS (
         SELECT lang, rel, row_number() OVER (PARTITION BY lang
             ORDER BY n_chars DESC, doc_id) AS pos
@@ -1673,9 +1689,9 @@ def _ndcg(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_ndcg_ranking",
-    _ndcg,
+    oracle=_ndcg(DUCK),
     tags=("eval", "similarity"),
     doc="NDCG@10 per language for the ranking 'longer documents are "
     "richer': system order is n_chars DESC, graded relevance is the "
@@ -1684,8 +1700,26 @@ _pair(
     "partition with a pos <= 10 filter, which Spark executes as "
     "WindowGroupLimit — each partition keeps 10 rows, no full "
     "materialized sort output; gains are integer, each log-discounted "
-    "term is 9-dp-quantized before the exact decimal sum.",
+    "term is 9-dp-quantized before the exact decimal sum. The per-doc "
+    "relevance table is localCheckpointed so the token explode runs "
+    "once.",
 )
+def eval_ndcg_ranking(spark, sf_dir):
+    toks = _word_tokens("SELECT doc_id, lang, text FROM documents", SPARK)
+    scored = spark.sql(
+        "SELECT nv.doc_id, nv.lang, d.n_chars,"
+        f" least(3, {S.idiv('nv.nvoc', '8', SPARK)}) AS rel"
+        " FROM (SELECT doc_id, lang, count(DISTINCT tok) AS nvoc"
+        f" FROM ({toks}) t GROUP BY doc_id, lang) nv"
+        " JOIN documents d ON d.doc_id = nv.doc_id"
+    ).localCheckpoint()
+    scored.createOrReplaceTempView("ndcg_scored_v")
+    return spark.sql(
+        _ndcg(
+            SPARK,
+            scored_src="SELECT doc_id, lang, n_chars, rel FROM ndcg_scored_v",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
