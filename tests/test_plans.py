@@ -349,3 +349,41 @@ def test_runtime_bloom_filter_prunes_fact_shuffle(spark):
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)
+
+
+def test_scan_count_cap_registry_wide(spark):
+    """The round-11 CTE-inlining guard, committed (round-11 verdict ask #1):
+    Spark inlines WITH CTEs once per consumer, so a shared core fanning out
+    to N consumers silently plans N scans of the fact table — invisible to
+    the oracle gate (DuckDB materializes CTEs) and a direct input-size
+    multiplier at 100 TB. After the round-11 localCheckpoint refactor the
+    registry-wide invariant is: no batch query plans more than CAP (=4)
+    scans of any single non-dim table (region/nation are metadata-scale by
+    construction). The remaining exactly-4-scan plans are individually
+    named and justified in PLANS.md ("plan-scan audit"); no allowlist is
+    needed because the cap holds everywhere."""
+    from tools.scan_audit import CAP, audit_registry
+
+    offenders = {}
+    for name, counts in audit_registry(spark, SF):
+        worst = max(counts.values(), default=0)
+        if worst > CAP:
+            offenders[name] = counts
+    assert not offenders, f"plans over the {CAP}-fact-scan cap: {offenders}"
+
+
+def test_scan_guard_detects_inlined_class(spark):
+    """Positive control for the cap test: the PRE-refactor variant of
+    profile_mad_screen (its shared grid CTE inlined instead of
+    checkpointed — 28 planned lineitem scans in round 11) must exceed the
+    cap, proving the detector still sees the class the guard exists for."""
+    from rugpull_data_pipeline_spark.functions.scalars import SPARK
+    from rugpull_data_pipeline_spark.plans.diagnostics_ops import _mad_screen
+    from tools.scan_audit import CAP, fact_scan_counts
+
+    registry._ensure_views(spark, SF)
+    bad = spark.sql(_mad_screen(SPARK))  # grid_src=None -> CTE inlined
+    counts = fact_scan_counts(bad)
+    assert max(counts.values(), default=0) > CAP, (
+        f"known-bad inlined variant no longer detected: {counts}"
+    )
