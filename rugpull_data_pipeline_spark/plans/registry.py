@@ -250,5 +250,6 @@ def _load_plan_modules() -> None:
     from . import insights_ops  # noqa: F401
     from . import forensics_ops  # noqa: F401
     from . import robustness_ops  # noqa: F401
+    from . import screening_ops  # noqa: F401
 
     _LOADED = True
