@@ -1032,3 +1032,797 @@ _pair(
     "deterministic tiebreak; runs/expectation/variance all integer "
     "until the final z.",
 )
+
+
+# ---------------------------------------------------------------------------
+# profile_round_number_bias — round-amount clustering screen
+# ---------------------------------------------------------------------------
+
+
+def _round_bias(d: str) -> str:
+    # Fabricated figures cluster on round amounts (Benford's lesser-known
+    # sibling): under the smooth-value null, exact-dollar amounts carry
+    # 1/100 of the mass. One-sided z against that binomial null; the
+    # multiples-of-$10 count rides the same pass.
+    return f"""
+    WITH sl AS (
+        SELECT event_type, {_EV_CENTS} AS s
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    agg AS (
+        SELECT event_type, cast(count(*) as bigint) AS n,
+            {S.isum('CASE WHEN s % 100 = 0 THEN 1 ELSE 0 END', d)}
+                AS n_dollar,
+            {S.isum('CASE WHEN s % 1000 = 0 THEN 1 ELSE 0 END', d)}
+                AS n_ten
+        FROM sl GROUP BY event_type
+    )
+    SELECT event_type, n AS n_values, n_dollar AS exact_dollar,
+        n_ten AS exact_ten_dollar,
+        {_r6u('cast(100 * n_dollar as double) / cast(n as double)')}
+            AS dollar_share_pct,
+        {_r6u('(cast(n_dollar as double) - cast(n as double) '
+              '/ cast(100 as double)) '
+              '/ nullif(sqrt(cast(n as double) * cast(0.0099 as double)), '
+              'cast(0 as double))')} AS z_round_bias,
+        CASE WHEN (cast(n_dollar as double) - cast(n as double)
+                / cast(100 as double))
+            / nullif(sqrt(cast(n as double) * cast(0.0099 as double)),
+                cast(0 as double))
+            > cast(1.644854 as double) THEN 1 ELSE 0 END AS bias_flag
+    FROM agg ORDER BY event_type
+    """
+
+
+_pair(
+    "profile_round_number_bias",
+    _round_bias,
+    tags=("profile", "forensics"),
+    doc="Round-number clustering screen per event type: fabricated or "
+    "negotiated figures pile up on exact-dollar and $10 amounts, where "
+    "organic 2-dp values spread them 1-in-100. One-sided binomial z "
+    "against p = 1/100 (variance literal 0.0099 keeps the expression "
+    "tree fixed), decision at the 95th percentile 1.644854. One "
+    "grid-free fact pass — counts and moduli only, bigint end-to-end. "
+    "The round-amount sibling of profile_last_digit_uniformity (which "
+    "screens the digit DISTRIBUTION; this screens the round-amount "
+    "EXCESS).",
+)
+
+
+# ---------------------------------------------------------------------------
+# profile_split_transactions — below-threshold split reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _split_tx(d: str) -> str:
+    # The classic AML split: one logical transfer cut into same-day
+    # pieces, each under the $150.00 reporting line (the threshold
+    # profile_structuring_screen watches), summing over it. Grouped
+    # reconstruction per (user, day) — one hash-agg, integer cents.
+    return f"""
+    WITH sl AS (
+        SELECT user_id, {_day_idx(d)} AS di, {_EV_CENTS} AS s
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    g AS (
+        SELECT user_id, di, cast(count(*) as bigint) AS n_parts,
+            {S.isum('s', d)} AS total_cents,
+            max(s) AS max_part_cents
+        FROM sl WHERE s < 15000
+        GROUP BY user_id, di
+    )
+    SELECT user_id, di AS day_idx, n_parts, total_cents, max_part_cents,
+        {_r6u('cast(total_cents as double) / cast(15000 as double)')}
+            AS threshold_multiple
+    FROM g
+    WHERE n_parts >= 3 AND total_cents >= 15000
+    ORDER BY user_id, day_idx
+    """
+
+
+_pair(
+    "profile_split_transactions",
+    _split_tx,
+    tags=("profile", "forensics"),
+    doc="Split-transaction reconstruction: same user, same day, three or "
+    "more pieces each under the $150.00 reporting line, summing over it "
+    "— the transfer-splitting pattern profile_structuring_screen infers "
+    "from band pile-up, reconstructed here as the actual same-day "
+    "groups. One (user, day) hash-agg over below-threshold cents; "
+    "integer cents end-to-end with the threshold multiple as the only "
+    "rounded ratio. At fleet scale the group-by is map-side combinable "
+    "and the output is bounded by flagged (user, day) pairs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# profile_amount_reuse — cross-account identical-amount screen
+# ---------------------------------------------------------------------------
+
+
+def _amount_reuse(d: str) -> str:
+    # Colluding accounts (or one operator behind many) reuse exact
+    # amounts; organic 2-dp values rarely collide across users. The
+    # cents-grid aggregate is the whole query — no joins.
+    return f"""
+    WITH sl AS (
+        SELECT user_id, {_day_idx(d)} AS di, {_EV_CENTS} AS s
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    g AS (
+        SELECT s, cast(count(*) as bigint) AS n_txns,
+            cast(count(DISTINCT user_id) as bigint) AS n_users,
+            min(di) AS first_day, max(di) AS last_day
+        FROM sl GROUP BY s
+    )
+    SELECT s AS amount_cents, n_users, n_txns,
+        last_day - first_day AS day_span,
+        {_r6u('cast(n_txns as double) / cast(n_users as double)')}
+            AS txns_per_user
+    FROM g
+    WHERE n_users >= 2 AND n_txns >= 2
+    ORDER BY n_users DESC, n_txns DESC, amount_cents
+    """
+
+
+_pair(
+    "profile_amount_reuse",
+    _amount_reuse,
+    tags=("profile", "forensics"),
+    doc="Cross-account amount-reuse screen: exact cent amounts appearing "
+    "under two or more distinct users — organic 2-dp values rarely "
+    "collide, colluding accounts (or one operator splitting across "
+    "mules) reuse them. The cents grid aggregate IS the query: one "
+    "map-side-combinable pass, distinct-user counts per amount, day "
+    "span from the same grid. Output bounded by colliding amounts, "
+    "deterministically ordered by spread.",
+)
+
+
+# ---------------------------------------------------------------------------
+# profile_card_testing_runs — consecutive same-band amount runs
+# ---------------------------------------------------------------------------
+
+
+def _card_testing(d: str) -> str:
+    # Card-testing bots probe with rapid bursts in the same $10 band
+    # (cents vary to dodge naive exact-match filters). Gaps-and-islands
+    # on the per-user event sequence: a new run starts when the band
+    # changes; run ids are one cumulative window, run stats one agg.
+    ep = S.epoch_s("ts", d)
+    return f"""
+    WITH sq AS (
+        SELECT user_id, {ep} AS e, event_id,
+            {S.idiv(_EV_CENTS, '1000', d)} AS band
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    mk AS (
+        SELECT user_id, e, event_id, band,
+            CASE WHEN lag(band) OVER (PARTITION BY user_id
+                    ORDER BY e, event_id) IS NULL THEN 1
+                WHEN band <> lag(band) OVER (PARTITION BY user_id
+                    ORDER BY e, event_id) THEN 1
+                ELSE 0 END AS new_run
+        FROM sq
+    ),
+    rid AS (
+        SELECT user_id, band,
+            cast(sum(new_run) OVER (PARTITION BY user_id
+                ORDER BY e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                as bigint) AS run_id
+        FROM mk
+    ),
+    runs AS (
+        SELECT user_id, run_id, band,
+            cast(count(*) as bigint) AS run_len
+        FROM rid GROUP BY user_id, run_id, band
+    ),
+    per_u AS (
+        SELECT user_id, max(run_len) AS max_run,
+            {S.isum('CASE WHEN run_len >= 2 THEN 1 ELSE 0 END', d)}
+                AS n_runs_ge2,
+            cast(count(*) as bigint) AS n_runs
+        FROM runs GROUP BY user_id
+    ),
+    band_of_max AS (
+        SELECT r.user_id, min(r.band) AS max_run_band
+        FROM runs r JOIN per_u p
+            ON p.user_id = r.user_id AND r.run_len = p.max_run
+        GROUP BY r.user_id
+    )
+    SELECT p.user_id, p.max_run AS longest_run, p.n_runs_ge2,
+        p.n_runs AS n_runs_total, b.max_run_band * 1000 AS run_band_cents
+    FROM per_u p JOIN band_of_max b ON b.user_id = p.user_id
+    WHERE p.max_run >= 2
+    ORDER BY p.max_run DESC, p.user_id
+    """
+
+
+_pair(
+    "profile_card_testing_runs",
+    _card_testing,
+    tags=("profile", "forensics"),
+    doc="Card-testing run screen: per user, the longest run of "
+    "CONSECUTIVE events in the same $10 amount band (testing bots burst "
+    "probes in a narrow band, varying cents to dodge exact-match "
+    "filters). Gaps-and-islands with a deterministic (epoch, event_id) "
+    "order: run boundaries from one lag window, run ids from one "
+    "cumulative sum, the longest run's band tie-broken to the smallest. "
+    "All windows partition by user — no global single-partition window "
+    "at any scale.",
+)
+
+
+# ---------------------------------------------------------------------------
+# profile_sequence_integrity — order-key gap/duplicate audit
+# ---------------------------------------------------------------------------
+
+
+def _seq_integrity(d: str) -> str:
+    # Invoice-sequence testing: within each priority class the order
+    # keys sample the global sequence; missing-range mass and duplicate
+    # counts localize ledger tampering (deleted or double-posted
+    # documents). Lag gaps ride a per-class window over DISTINCT keys.
+    return f"""
+    WITH k AS (
+        SELECT o_orderpriority AS pri, o_orderkey AS okey
+        FROM orders
+    ),
+    dk AS (
+        SELECT pri, okey, cast(count(*) as bigint) AS reps
+        FROM k GROUP BY pri, okey
+    ),
+    gaps AS (
+        SELECT pri, okey, reps,
+            okey - lag(okey) OVER (PARTITION BY pri ORDER BY okey) - 1
+                AS gap
+        FROM dk
+    )
+    SELECT pri AS priority_class,
+        {S.isum('reps', d)} AS n_rows,
+        cast(count(*) as bigint) AS n_distinct_keys,
+        {S.isum('reps', d)} - cast(count(*) as bigint) AS n_duplicates,
+        min(okey) AS min_key, max(okey) AS max_key,
+        {S.isum('CASE WHEN gap > 0 THEN gap ELSE 0 END', d)}
+            AS missing_in_range,
+        max(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS largest_gap,
+        {_r6u('cast(count(*) as double) '
+              '/ cast(max(okey) - min(okey) + 1 as double)')}
+            AS coverage_ratio
+    FROM gaps GROUP BY pri ORDER BY pri
+    """
+
+
+_pair(
+    "profile_sequence_integrity",
+    _seq_integrity,
+    tags=("profile", "forensics"),
+    doc="Sequence-integrity audit of order keys per priority class — the "
+    "invoice-numbering test auditors run for deleted or double-posted "
+    "documents: duplicates (rows minus distinct keys), missing-range "
+    "mass and the largest gap from one lag window over distinct keys, "
+    "coverage of the [min, max] span. Integer end-to-end; the per-class "
+    "window partitions on the class key so no global sort exists at "
+    "any scale.",
+)
+
+
+# ---------------------------------------------------------------------------
+# profile_velocity_screen — week-over-week activity acceleration
+# ---------------------------------------------------------------------------
+
+
+def _velocity(d: str) -> str:
+    # Fraud rings spin accounts up fast; the screen is the week-over-week
+    # count acceleration per user. The previous week resolves via lag
+    # PLUS a week-adjacency check, so a silent zero-activity week reads
+    # as prev = 0 WITHOUT materializing the dense user x week grid (at
+    # fleet scale users x calendar is a row-scale fan-out; the lag trick
+    # keeps the output bounded by ACTIVE (user, week) pairs).
+    wk = S.idiv(_day_idx(d), "7", d)
+    return f"""
+    WITH w AS (
+        SELECT user_id, {wk} AS wk, cast(count(*) as bigint) AS n
+        FROM events GROUP BY user_id, {wk}
+    ),
+    lagd AS (
+        SELECT user_id, wk, n,
+            CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                    = wk - 1
+                THEN lag(n) OVER (PARTITION BY user_id ORDER BY wk)
+                ELSE 0 END AS prev_n
+        FROM w
+    )
+    SELECT user_id, wk AS week_idx, prev_n, n,
+        {_r6u('cast(n as double) / nullif(cast(prev_n as double), '
+              'cast(0 as double))')} AS wow_ratio,
+        CASE WHEN n >= 5 AND n >= 2 * prev_n THEN 1 ELSE 0 END
+            AS velocity_flag
+    FROM lagd
+    ORDER BY user_id, week_idx
+    """
+
+
+_pair(
+    "profile_velocity_screen",
+    _velocity,
+    tags=("profile", "forensics"),
+    doc="Velocity screen: week-over-week event-count acceleration per "
+    "user, flagging weeks with >= 5 events at >= 2x the previous week — "
+    "the account-spin-up signature. The previous week resolves via lag "
+    "plus a week-adjacency check (a skipped week reads as prev = 0), so "
+    "the dense user x calendar grid never materializes — output stays "
+    "bounded by ACTIVE (user, week) pairs, which is what survives a "
+    "billion-user scale-up. One fact pass, one per-user window.",
+)
+
+
+# ---------------------------------------------------------------------------
+# window_page_hinkley — sequential drift detector on daily revenue
+# ---------------------------------------------------------------------------
+
+
+def _page_hinkley(d: str) -> str:
+    # Page-Hinkley with running mean: m_t = sum_{i<=t} (x_i - xbar_i),
+    # PH_t = m_t - min_{i<=t} m_i, alarm when PH_t > lambda ($500.00 =
+    # 50000 cents). Each term x_i - S_i/i is ONE fixed double expression
+    # (exact integer prefix sums, one division), 9-dp-quantized; the
+    # cumulative m and its running min are exact decimal window ops, so
+    # the detector state is bit-identical in both engines (a raw double
+    # cumulative would hit DuckDB's segment-tree summation order).
+    return f"""
+    WITH dd AS (
+        SELECT event_type, {_day_idx(d)} AS di,
+            {S.isum(_EV_CENTS, d)} AS v
+        FROM events WHERE value IS NOT NULL AND value >= 0
+        GROUP BY event_type, {_day_idx(d)}
+    ),
+    pre AS (
+        SELECT event_type, di, v,
+            cast(sum(v) OVER (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                as bigint) AS s,
+            cast(row_number() OVER (PARTITION BY event_type ORDER BY di)
+                as bigint) AS t
+        FROM dd
+    ),
+    terms AS (
+        SELECT event_type, di,
+            cast(cast(v as double) - cast(s as double) / cast(t as double)
+                as decimal(38,9)) AS term
+        FROM pre
+    ),
+    m AS (
+        SELECT event_type, di,
+            sum(term) OVER (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+        FROM terms
+    ),
+    ph AS (
+        SELECT event_type, di,
+            mt - min(mt) OVER (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phv
+        FROM m
+    )
+    SELECT event_type, cast(count(*) as bigint) AS n_days,
+        {_r6u('cast(max(phv) as double)')} AS max_ph_cents,
+        min(CASE WHEN phv = max_ph_over THEN di END) AS peak_day,
+        min(CASE WHEN phv > 50000 THEN di END) AS first_alarm_day,
+        {S.isum('CASE WHEN phv > 50000 THEN 1 ELSE 0 END', d)}
+            AS n_alarm_days
+    FROM (
+        SELECT event_type, di, phv,
+            max(phv) OVER (PARTITION BY event_type) AS max_ph_over
+        FROM ph
+    ) t
+    GROUP BY event_type ORDER BY event_type
+    """
+
+
+_pair(
+    "window_page_hinkley",
+    _page_hinkley,
+    tags=("window", "timeseries", "stats"),
+    doc="Page-Hinkley sequential drift detector on daily revenue per "
+    "event type — the upward-shift alarm (the CUSUM sibling "
+    "window_cusum_changepoint locates a single break; PH is the ONLINE "
+    "detector with a running mean and a $500 alarm threshold). Each "
+    "deviation term is a fixed double expression over exact integer "
+    "prefix sums, 9-dp-quantized; the detector state (cumulative m and "
+    "its running min) is exact decimal window arithmetic, immune to "
+    "engine summation-order differences. Output: peak PH mass, its day, "
+    "first alarm day, alarm-day count per type.",
+)
+
+
+# ---------------------------------------------------------------------------
+# window_amihud_illiquidity — |return| per unit turnover
+# ---------------------------------------------------------------------------
+
+
+def _amihud(d: str) -> str:
+    # Amihud (2002) ILLIQ on the daily type series: |revenue return| per
+    # transaction — thin streams move a lot per trade. Daily grid first;
+    # each day's ratio is exact-integer inputs in one double expression,
+    # 9-dp-quantized before the order-free mean.
+    return f"""
+    WITH dd AS (
+        SELECT event_type, {_day_idx(d)} AS di,
+            {S.isum(_EV_CENTS, d)} AS v, cast(count(*) as bigint) AS m
+        FROM events WHERE value IS NOT NULL AND value >= 0
+        GROUP BY event_type, {_day_idx(d)}
+    ),
+    lg AS (
+        SELECT event_type, di, v, m,
+            lag(v) OVER (PARTITION BY event_type ORDER BY di) AS pv
+        FROM dd
+    ),
+    r AS (
+        SELECT event_type, di,
+            abs(cast(v as double) - cast(pv as double))
+                / cast(pv as double) / cast(m as double) AS illiq
+        FROM lg WHERE pv IS NOT NULL AND pv > 0 AND m > 0
+    )
+    SELECT event_type, cast(count(*) as bigint) AS n_days,
+        {_r6u(f"{_d9('illiq')} / cast(count(*) as double)")}
+            AS amihud_illiq,
+        {_r6u('max(illiq)')} AS max_day_illiq
+    FROM r GROUP BY event_type ORDER BY event_type
+    """
+
+
+_pair(
+    "window_amihud_illiquidity",
+    _amihud,
+    tags=("window", "finance"),
+    doc="Amihud illiquidity on the daily per-type revenue series: "
+    "|day-over-day return| per transaction, averaged — the thinness "
+    "measure that flags streams where single trades move the tape (the "
+    "microstructure sibling of window_vpin_toxicity). Daily integer "
+    "grid first; per-day ratios are fixed double expressions "
+    "9-dp-quantized before the order-free mean; max-day ratio rides "
+    "the same pass.",
+)
+
+
+# ---------------------------------------------------------------------------
+# window_stochastic_k — %K/%D oscillator on the daily close
+# ---------------------------------------------------------------------------
+
+
+def _stochastic_k(d: str) -> str:
+    # %K = 100 (close - low14) / (high14 - low14) over a 14-day RANGE
+    # frame on the day index (calendar-correct across gaps); %D is the
+    # 3-observation decimal mean of quantized %K. The daily close is the
+    # last event of the day under the deterministic (epoch, event_id)
+    # order.
+    ep = S.epoch_s("ts", d)
+    return f"""
+    WITH sq AS (
+        SELECT event_type, {_day_idx(d)} AS di, {_EV_CENTS} AS s,
+            row_number() OVER (
+                PARTITION BY event_type, {_day_idx(d)}
+                ORDER BY {ep} DESC, event_id DESC) AS rn
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    closes AS (
+        SELECT event_type, di, s AS c FROM sq WHERE rn = 1
+    ),
+    hl AS (
+        SELECT event_type, di, c,
+            min(c) OVER (PARTITION BY event_type ORDER BY di
+                RANGE BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo14,
+            max(c) OVER (PARTITION BY event_type ORDER BY di
+                RANGE BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi14
+        FROM closes
+    ),
+    k AS (
+        SELECT event_type, di, c, lo14, hi14,
+            cast(CASE WHEN hi14 > lo14 THEN
+                cast(100 as double) * cast(c - lo14 as double)
+                    / cast(hi14 - lo14 as double)
+                ELSE cast(50 as double) END as decimal(38,9)) AS kq
+        FROM hl
+    ),
+    kd AS (
+        SELECT event_type, di, c, lo14, hi14, kq,
+            cast(sum(kq) OVER (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+            / cast(count(kq) OVER (PARTITION BY event_type ORDER BY di
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+                AS dv
+        FROM k
+    )
+    SELECT event_type, di AS day_idx, c AS close_cents,
+        lo14 AS low14_cents, hi14 AS high14_cents,
+        {_r6u('cast(kq as double)')} AS pct_k,
+        {_r6u('dv')} AS pct_d,
+        CASE WHEN cast(kq as double) > cast(80 as double)
+            THEN 1 ELSE 0 END AS overbought,
+        CASE WHEN cast(kq as double) < cast(20 as double)
+            THEN 1 ELSE 0 END AS oversold
+    FROM kd ORDER BY event_type, day_idx
+    """
+
+
+_pair(
+    "window_stochastic_k",
+    _stochastic_k,
+    tags=("window", "finance"),
+    doc="Stochastic %K/%D oscillator on the daily close of each event "
+    "type's value stream — the range-position momentum gauge (closes "
+    "near the 14-day high = overbought) completing the TA family with "
+    "window_rsi_14 and window_bollinger_bands. The close is the last "
+    "event per day under the (epoch, event_id) deterministic order; the "
+    "14-day extrema use a RANGE frame on the day index so calendar gaps "
+    "count; %K is one fixed double expression on integer cents "
+    "(flat-window midpoint 50), 9-dp-quantized so the 3-observation %D "
+    "mean is an exact decimal sum.",
+)
+
+
+# ---------------------------------------------------------------------------
+# graph_katz_power3 — truncated Katz centrality, dyadic beta
+# ---------------------------------------------------------------------------
+
+
+def _katz3(d: str, e_src: str | None = None) -> str:
+    # Katz with beta = 1/2 truncated at 3 hops: score(v) = sum_k beta^k
+    # * (# directed walks of length k ending at v). Walk counts fold by
+    # the recurrence c_k(v) = sum over in-edges (u, v) of c_{k-1}(u) —
+    # two equi-joins after the in-degree pass, decimal-widened (walk
+    # counts multiply by degree each hop). The dyadic beta makes the
+    # score an EXACT multiple of 1/8: (4 c1 + 2 c2 + c3) / 8.
+    return f"""
+    WITH de AS ({e_src if e_src is not None else _katz_edges(d)}),
+    c1 AS (
+        SELECT dst AS v, cast(count(*) as decimal(38,0)) AS w
+        FROM de GROUP BY dst
+    ),
+    c2 AS (
+        SELECT de.dst AS v, cast(sum(c1.w) as decimal(38,0)) AS w
+        FROM de JOIN c1 ON c1.v = de.src
+        GROUP BY de.dst
+    ),
+    c3 AS (
+        SELECT de.dst AS v, cast(sum(c2.w) as decimal(38,0)) AS w
+        FROM de JOIN c2 ON c2.v = de.src
+        GROUP BY de.dst
+    )
+    SELECT c1.v AS node,
+        cast(c1.w as bigint) AS walks1,
+        cast(coalesce(c2.w, 0) as bigint) AS walks2,
+        cast(coalesce(c3.w, 0) as bigint) AS walks3,
+        cast((4 * c1.w + 2 * coalesce(c2.w, 0) + coalesce(c3.w, 0))
+            / 8 as double) AS katz_score
+    FROM c1
+    LEFT JOIN c2 ON c2.v = c1.v
+    LEFT JOIN c3 ON c3.v = c1.v
+    ORDER BY katz_score DESC, node
+    """
+
+
+def _katz_edges(d: str) -> str:
+    # The DISTINCT directed followed-by edges of _reciprocity_core
+    # (graph_edge_reciprocity's table), unweighted for clean walk counts.
+    return """
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+            ON b.l_orderkey = a.l_orderkey
+            AND b.l_linenumber = a.l_linenumber + 1
+        WHERE a.l_partkey <> b.l_partkey
+    """
+
+
+@register(
+    "graph_katz_power3",
+    oracle=_katz3(DUCK),
+    tags=("graph",),
+    doc="Katz centrality truncated at 3 hops with dyadic beta = 1/2 on "
+    "the directed followed-by part graph (graph_edge_reciprocity's edge "
+    "set, deduplicated): score = (4 w1 + 2 w2 + w3) / 8 where w_k "
+    "counts directed k-walks ending at the node — an EXACT multiple of "
+    "1/8, so no libm pow and no rounding at all. Walk counts fold by "
+    "c_k(v) = sum_{(u,v)} c_{k-1}(u): one in-degree pass plus two "
+    "equi-joins on the checkpointed edge table, decimal-widened since "
+    "walk counts multiply by degree each hop. The attenuated sibling of "
+    "graph_pagerank_power3's normalized flow.",
+)
+def graph_katz_power3(spark, sf_dir):
+    e = spark.sql(_katz_edges(SPARK)).localCheckpoint()
+    e.createOrReplaceTempView("katz_edges_v")
+    return spark.sql(_katz3(SPARK, e_src="SELECT src, dst FROM katz_edges_v"))
+
+
+# ---------------------------------------------------------------------------
+# agg_atkinson_index — welfare-based inequality, eps = 1 and 2
+# ---------------------------------------------------------------------------
+
+
+def _atkinson(d: str) -> str:
+    # A(1) = 1 - geomean/mean, A(2) = 1 - harmonic/mean: the inequality
+    # trio closer (gini = rank-based, theil = entropy-based, atkinson =
+    # welfare-based). ln terms ride the _dsum9 discipline; reciprocals
+    # are scaled by 1e5 BEFORE quantization so a 9-dp decimal keeps full
+    # precision on cent amounts up to $10^5 (1/s alone would leave 4
+    # significant digits at the top of the range).
+    return f"""
+    WITH sl AS (
+        SELECT event_type, {_EV_CENTS} AS s
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    agg AS (
+        SELECT event_type, cast(count(*) as bigint) AS n,
+            {S.isum('s', d)} AS tot,
+            {_d9('ln(cast(s as double))')} AS sln,
+            {_d9('cast(100000 as double) / cast(s as double)')} AS sinv
+        FROM sl GROUP BY event_type
+    )
+    SELECT event_type, n AS n_values,
+        {_r6u('cast(tot as double) / cast(n as double)')} AS mean_cents,
+        {_r6u('cast(1 as double) - exp(sln / cast(n as double)) '
+              '/ (cast(tot as double) / cast(n as double))')}
+            AS atkinson_eps1,
+        {_r6u('cast(1 as double) - (cast(n as double) '
+              '* cast(100000 as double) / sinv) '
+              '/ (cast(tot as double) / cast(n as double))')}
+            AS atkinson_eps2
+    FROM agg ORDER BY event_type
+    """
+
+
+_pair(
+    "agg_atkinson_index",
+    _atkinson,
+    tags=("agg", "stats"),
+    doc="Atkinson inequality index per event type at inequality aversion "
+    "eps = 1 (1 - geometric/arithmetic mean) and eps = 2 (1 - "
+    "harmonic/arithmetic) — the welfare-based closer of the inequality "
+    "family (agg_gini_value ranks, agg_theil_inequality entropies, "
+    "agg_lorenz_deciles curves). ln terms are 9-dp-quantized decimal "
+    "sums (the _dsum9 discipline); reciprocals are scaled 1e5 before "
+    "quantization to keep full precision across the cent range; means "
+    "are exact integer ratios. One fact pass, four aggregates.",
+)
+
+
+# ---------------------------------------------------------------------------
+# text_code_prose_detect — code-vs-prose heuristic gate
+# ---------------------------------------------------------------------------
+
+
+def _code_detect(d: str) -> str:
+    # LLM corpus curation needs a cheap code gate before routing to
+    # code-specific cleaning. Symbol density via length-after-translate
+    # (exact integer char counts, no regex), classified per doc, then
+    # profiled per source. translate deletes chars with no counterpart
+    # in both engines (PostgreSQL semantics).
+    sym = "length(text) - length(translate(text, '{}();=<>[]#', ''))"
+    sem = "length(text) - length(replace(text, ';', ''))"
+    dig = "length(text) - length(translate(text, '0123456789', ''))"
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+            cast(length(text) as bigint) AS len,
+            cast({sym} as bigint) AS n_sym,
+            cast({sem} as bigint) AS n_semi,
+            cast({dig} as bigint) AS n_dig
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    cls AS (
+        SELECT doc_id, source, len, n_sym, n_dig,
+            CASE WHEN 100 * n_sym >= 3 * len
+                OR 100 * n_semi >= 1 * len THEN 1 ELSE 0 END AS is_code
+        FROM per_doc
+    )
+    SELECT source, cast(count(*) as bigint) AS n_docs,
+        {S.isum('is_code', d)} AS n_code,
+        {_r6u('cast(sum(is_code) as double) / cast(count(*) as double)')}
+            AS code_ratio,
+        {_r6u(f"{_d9('cast(n_sym as double) / cast(len as double)')}"
+              ' / cast(count(*) as double)')} AS avg_symbol_density,
+        {_r6u(f"{_d9('cast(n_dig as double) / cast(len as double)')}"
+              ' / cast(count(*) as double)')} AS avg_digit_density
+    FROM cls GROUP BY source ORDER BY source
+    """
+
+
+_pair(
+    "text_code_prose_detect",
+    _code_detect,
+    tags=("text", "llm"),
+    doc="Code-vs-prose heuristic gate per source: a doc classifies as "
+    "code when structural symbols ({}();=<>[]#) reach 3% of characters "
+    "or semicolons reach 1% — the cheap router an LLM-corpus pipeline "
+    "runs before code-specific cleaning (the curation sibling of "
+    "text_filter_gate's prose-quality gate). Char counts are exact "
+    "integers via length-after-translate (no regex, no tokenizer); the "
+    "classification inequality is cross-multiplied so no division "
+    "enters the decision; per-source densities are 9-dp-quantized "
+    "decimal means. One fact pass.",
+)
+
+
+# ---------------------------------------------------------------------------
+# mlprep_chi2_feature_select — chi-square relevance in ONE grouping-sets pass
+# ---------------------------------------------------------------------------
+
+
+def _chi2_select(d: str) -> str:
+    # Three candidate features (hour-of-day, weekday, $30 value band)
+    # scored against the purchase label with ONE fact pass: GROUPING
+    # SETS builds all three (bin, label) contingency grids in a single
+    # map-side-combinable aggregate; marginals and expectations ride
+    # window sums over the bounded grids. Output: chi2, Cramer's V and
+    # rank per feature — the model-free feature-selection step before
+    # mlprep_decision_stump / mlprep_naive_bayes.
+    ep = S.epoch_s("ts", d)
+    hb = S.idiv(f"({ep}) % 86400", "3600", d)
+    wd = f"({_day_idx(d)}) % 7"
+    vb = f"least(9, {S.idiv(_EV_CENTS, '3000', d)})"
+    return f"""
+    WITH base AS (
+        SELECT {hb} AS hb, {wd} AS wd, {vb} AS vb,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    ),
+    cells AS (
+        SELECT
+            CASE WHEN grouping(hb) = 0 THEN 'hour_of_day'
+                 WHEN grouping(wd) = 0 THEN 'weekday'
+                 ELSE 'value_band' END AS feature,
+            coalesce(CASE WHEN grouping(hb) = 0 THEN hb
+                 WHEN grouping(wd) = 0 THEN wd ELSE vb END, -1) AS bin,
+            lbl, cast(count(*) as bigint) AS o
+        FROM base
+        GROUP BY GROUPING SETS ((hb, lbl), (wd, lbl), (vb, lbl)), lbl
+    ),
+    marg AS (
+        SELECT feature, bin, lbl, o,
+            cast(sum(o) OVER (PARTITION BY feature, bin) as bigint)
+                AS row_tot,
+            cast(sum(o) OVER (PARTITION BY feature, lbl) as bigint)
+                AS col_tot,
+            cast(sum(o) OVER (PARTITION BY feature) as bigint) AS n
+        FROM cells
+    ),
+    chi AS (
+        SELECT feature, max(n) AS n,
+            cast(count(DISTINCT bin) as bigint) AS n_bins,
+            {_r6u(_d9(
+                '(cast(o as double) - cast(row_tot as double) '
+                '* cast(col_tot as double) / cast(n as double)) '
+                '* (cast(o as double) - cast(row_tot as double) '
+                '* cast(col_tot as double) / cast(n as double)) '
+                '/ (cast(row_tot as double) * cast(col_tot as double) '
+                '/ cast(n as double))'))} AS chi2
+        FROM marg GROUP BY feature
+    )
+    SELECT feature, n AS n_rows, n_bins, n_bins - 1 AS dof,
+        chi2 AS chi2_stat,
+        {_r6u('sqrt(chi2 / cast(n as double))')} AS cramers_v,
+        row_number() OVER (ORDER BY chi2 DESC, feature) AS relevance_rank
+    FROM chi ORDER BY relevance_rank
+    """
+
+
+_pair(
+    "mlprep_chi2_feature_select",
+    _chi2_select,
+    tags=("mlprep", "stats"),
+    doc="Chi-square feature selection: hour-of-day, weekday and $30 "
+    "value band scored against the purchase label in ONE fact pass — "
+    "GROUPING SETS materializes all three contingency grids in a single "
+    "map-side-combinable aggregate (the agg_grouping_sets machinery "
+    "applied to feature selection), marginals ride window sums over the "
+    "bounded grids, and (O-E)^2/E terms are 9-dp-quantized decimal "
+    "sums. Cramer's V normalizes across differing bin counts; the rank "
+    "orders the features for mlprep_decision_stump / naive_bayes "
+    "downstream. Cells with zero observed mass contribute their "
+    "expected mass through the marginal windows exactly as the textbook "
+    "formula requires only when present — absent (bin, label) cells "
+    "carry zero expectation here, documented as the sparse-grid "
+    "convention (identical in both engines).",
+)
