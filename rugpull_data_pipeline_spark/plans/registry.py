@@ -110,92 +110,86 @@ def get(name: str) -> QuerySpec:
 
 
 # Queries deliberately RE-verified this round despite an existing green
-# driver row — the oldest-first re-proof cadence. Round 10 takes the 25
-# stalest rows: join_cross_region_bands (the r9 carry — its slot went to
-# the stream_price_maint_tws debut: coverage first, staleness second)
-# plus the 24 next-stalest round-3 rows (staleness order computed by
-# tools/rotation_plan.py from the recorded CORRECTNESS artifacts; 13 r3
-# rows remain for round 11). The rotation test treats window slots as
-# legal iff they are either never-driver-green or named here, so a
-# freshly graded CORRECTNESS file can never redden the suite; the
-# 25-entry cap (tests/test_correctness_oracle.py) keeps the re-proof
-# fraction bounded, which is why the registry again grew by 25 genuinely
-# new queries this round (the standing window arithmetic: backlog 0 +
-# 50 slots + REPROOF <= 25).
+# driver row — the oldest-first re-proof cadence (staleness order computed
+# by tools/rotation_plan.py from the recorded CORRECTNESS artifacts). The
+# rotation test treats window slots as legal iff they are either
+# never-driver-green or named here, so a freshly graded CORRECTNESS file
+# can never redden the suite; the 25-entry cap
+# (tests/test_correctness_oracle.py) keeps the re-proof fraction bounded,
+# which is why the registry again grew by 25 genuinely new queries this
+# round (the standing window arithmetic: backlog 0 + 50 slots +
+# REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
-    # Round-11 re-proof slots: the FINAL 13 round-3 rows (after this
-    # window every query in the registry is driver-green r4 or later;
-    # the r4 tier becomes the stalest for round 12 — see
-    # tools/rotation_plan.py).
-    "text_corpus_curation",  # last green r3
-    "text_fingerprint",  # last green r3
-    "text_lang_id_heuristic",  # last green r3
-    "text_mixture_sample",  # last green r3
-    "text_pack_sequences",  # last green r3
-    "text_quality_score",  # last green r3
-    "text_tfidf_topterms",  # last green r3
-    "text_token_bpe_regex",  # last green r3
-    "text_token_count",  # last green r3
-    "text_train_val_split",  # last green r3
-    "text_vocab_topk",  # last green r3
-    "udf_arrowmap_vecsum",  # last green r3
-    "udf_groupmap_minmax_scale",  # last green r3
+    # Round-12 re-proof slots: the cumulative set closed in round 11
+    # (400/400 driver-green), so the oldest-first cadence now re-proves
+    # the stalest TIER — round 4 (50 rows, verified under older fixtures
+    # and sweep modes). These are the first 25 in tools/rotation_plan.py
+    # staleness order; the remaining 25 r4 rows are queued for round 13.
+    "agg_cms_heavy_hitters",  # last green r4
+    "agg_collect_sorted_set",  # last green r4
+    "agg_grouping_sets",  # last green r4
+    "agg_histogram_fixed_bins",  # last green r4
+    "agg_percentiles_exact",  # last green r4
+    "agg_zscore_outliers",  # last green r4
+    "cdc_merge_apply",  # last green r4
+    "dedup_cc_fixpoint",  # last green r4
+    "dedup_keep_best_source",  # last green r4
+    "dedup_semantic_cluster",  # last green r4
+    "dedup_substring_spans",  # last green r4
+    "dim_scd2_price_history",  # last green r4
+    "events_funnel_stages",  # last green r4
+    "events_retention_cohorts",  # last green r4
+    "join_range_time_window",  # last green r4
+    "json_size_guard_quarantine",  # last green r4
+    "kmeans_lloyd_fit",  # last green r4
+    "layout_bucketed_join",  # last green r4
+    "layout_zorder_stats",  # last green r4
+    "lookup_batched_mapinpandas",  # last green r4
+    "profile_table_stats",  # last green r4
+    "q04_order_priority",  # last green r4
+    "q10_returned_items",  # last green r4
+    "q13_order_count_dist",  # last green r4
+    "q14_promo_revenue",  # last green r4
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
-# round 10: 363 distinct queries verified, 363 green, 0 standing red
-# (CORRECTNESS_r02..r10), plus the 12 queries banked in round 10
-# (plans/insights_ops.py — judge/oracle/matrix-verified, never
-# driver-checked). The round-11 window = those 12 BANKED rows + the 25
-# queries that DEBUT this round (the forensics/robustness tiers of
-# plans/forensics_ops.py and plans/robustness_ops.py, registered inside
-# their debut window) + the 13 oldest-first RE-PROOFS above (the final r3
-# rows) = exactly 50. Everything NOT listed keeps registration order
-# behind these, so already-green queries still run when the driver checks
-# more than 50.
+# round 11: 400/400 distinct queries verified green, 0 standing red
+# (CORRECTNESS_r02..r11 — the cumulative set closed in round 11). The
+# round-12 window = the 25 queries that DEBUT this round (the
+# screening/inference tier of plans/screening_ops.py) + the 25
+# oldest-first RE-PROOFS above (the first half of the stalest r4 tier)
+# = exactly 50. Everything NOT listed keeps registration order behind
+# these, so already-green queries still run when the driver checks more
+# than 50.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- round-10 banked backlog (insights_ops): first driver check ----
-    "window_anomalous_days",
-    "window_pacf_lag2",
-    "events_user_overlap_types",
-    "events_weekday_weekend_lift",
-    "eval_cliffs_delta",
-    "text_stopword_profile",
-    "text_char_class_profile",
-    "profile_pk_uniqueness",
-    "agg_lorenz_deciles",
-    "sim_centroid_separation",
-    "graph_degree_gini",
-    "dedup_doc_family_sizes",
-    # ---- round-11 debuts: fraud/AML forensics (forensics_ops) ----
-    "profile_structuring_screen",
-    "profile_last_digit_uniformity",
-    "profile_duplicate_billing",
-    "profile_dormant_reactivation",
-    "profile_lognormal_fit",
-    "window_pump_dump_pattern",
-    "window_squarewave_period",
-    "window_unit_root_df",
-    "window_risk_ratios",
-    "window_market_beta",
-    "agg_hill_tail_index",
-    "eval_anova_oneway",
-    "eval_levene_bf",
-    # ---- round-11 debuts: rank tests / sketch audits / corpus
-    # forensics (robustness_ops) ----
-    "eval_mann_whitney_u",
-    "eval_rank_biased_overlap",
-    "eval_concordance_index",
-    "audit_quantile_sketch",
-    "audit_distinct_sketch",
-    "text_token_novelty",
-    "text_burrows_delta",
-    "text_keyphrase_rake",
-    "graph_edge_reciprocity",
-    "graph_rich_club",
-    "events_cohort_ltv",
-    "sample_pps_systematic",
+    # ---- round-12 debuts: the screening/inference tier
+    # (plans/screening_ops.py) — first driver check ----
+    "eval_kruskal_wallis",
+    "eval_jonckheere_terpstra",
+    "eval_friedman_ranks",
+    "eval_chatterjee_xi",
+    "eval_goodman_kruskal_gamma",
+    "eval_theil_u_forecast",
+    "eval_power_twoprop",
+    "audit_srm_assignment",
+    "events_logrank_test",
+    "events_nelson_aalen",
+    "events_interarrival_expgof",
+    "window_interarrival_gap_test",
+    "profile_round_number_bias",
+    "profile_split_transactions",
+    "profile_amount_reuse",
+    "profile_card_testing_runs",
+    "profile_sequence_integrity",
+    "profile_velocity_screen",
+    "window_page_hinkley",
+    "window_amihud_illiquidity",
+    "window_stochastic_k",
+    "graph_katz_power3",
+    "agg_atkinson_index",
+    "text_code_prose_detect",
+    "mlprep_chi2_feature_select",
 ) + REPROOF
 
 

@@ -241,19 +241,26 @@ def eval_jonckheere_terpstra(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _friedman(d: str) -> str:
+def _friedman_core(d: str) -> str:
+    """The (day, type, count) grid — the ONE pass over facts."""
+    return f"""
+        SELECT {_day_idx(d)} AS di, event_type,
+            cast(count(*) as bigint) AS c
+        FROM events GROUP BY {_day_idx(d)}, event_type
+    """
+
+
+def _friedman(d: str, g_src: str | None = None) -> str:
     # Blocks = calendar days, treatments = event types, response = daily
     # event count. Within each block the k treatments take midranks
     # (2*midrank = 2*below + tied + 1, exact bigint via two windows over
     # the 5-row block); missing (day, type) cells enter as zero counts so
     # every block ranks the same k treatments. Kendall's W = chi2_F /
-    # (n (k-1)) comes out of the same aggregate.
+    # (n (k-1)) comes out of the same aggregate. ``g_src`` threads the
+    # checkpointed grid into its three consumers (days, types, full_g) —
+    # inlined, Spark planned FIVE fact scans here.
     return f"""
-    WITH g AS (
-        SELECT {_day_idx(d)} AS di, event_type,
-            cast(count(*) as bigint) AS c
-        FROM events GROUP BY {_day_idx(d)}, event_type
-    ),
+    WITH g AS ({g_src if g_src is not None else _friedman_core(d)}),
     days AS (SELECT DISTINCT di, 1 AS k FROM g),
     types AS (SELECT DISTINCT event_type, 1 AS k FROM g),
     full_g AS (
@@ -301,9 +308,9 @@ def _friedman(d: str) -> str:
     """
 
 
-_pair(
+@register(
     "eval_friedman_ranks",
-    _friedman,
+    oracle=_friedman(DUCK),
     tags=("eval", "stats"),
     doc="Friedman two-way rank test: do the event types keep the same "
     "activity ordering day after day? Blocks are calendar days, "
@@ -312,9 +319,16 @@ _pair(
     "one tie-group count over each 5-row block), missing cells rank as "
     "zeros so blocks stay complete. Kendall's W (chi2_F / n(k-1)) rides "
     "the same aggregate — the agreement coefficient for free. The fan-out "
-    "is days x types, a constant-key equi-join bounded by the calendar, "
-    "and the single fact pass is the (day, type) count grid.",
+    "is days x types, a constant-key equi-join bounded by the calendar; "
+    "the (day, type) count grid is localCheckpointed so its three "
+    "consumers share ONE fact scan (inlined, Spark planned five).",
 )
+def eval_friedman_ranks(spark, sf_dir):
+    g = spark.sql(_friedman_core(SPARK)).localCheckpoint()
+    g.createOrReplaceTempView("friedman_grid_v")
+    return spark.sql(
+        _friedman(SPARK, g_src="SELECT di, event_type, c FROM friedman_grid_v")
+    )
 
 
 # ---------------------------------------------------------------------------

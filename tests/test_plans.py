@@ -144,6 +144,21 @@ _NLJ_ALLOWED = {
     "text_burrows_delta",
     "graph_rich_club",
     "events_cohort_ltv",
+    # round-12 metadata-scale broadcasts, same constant-key class: the
+    # 1-row total (N, tie mass) onto the 5-row per-group rank sums
+    # (Kruskal-Wallis), the stage/value-grid literal-key fan-out plus the
+    # 1-row (JT, null moments) close (Jonckheere), the day x type
+    # literal-key fan-out plus 1-row n/k closes (Friedman), the 5 x 10
+    # priority x band grid fill (gamma), the 1-row observation-horizon
+    # broadcast (log-rank — the events_survival_km shape), and the
+    # 7-row bucket grid onto per-type rate fits (exponential GOF).
+    # Every broadcast side is a literal/aggregate <= 50 rows.
+    "eval_kruskal_wallis",
+    "eval_jonckheere_terpstra",
+    "eval_friedman_ranks",
+    "eval_goodman_kruskal_gamma",
+    "events_logrank_test",
+    "events_interarrival_expgof",
 }
 
 
