@@ -300,7 +300,8 @@ def _friedman(d: str, g_src: str | None = None) -> str:
     )
     SELECT n AS n_blocks, k AS k_treatments, k - 1 AS df,
         {_r6u('chi2_f')} AS chi2_friedman,
-        {_r6u('chi2_f / (cast(n as double) * cast(k - 1 as double))')}
+        {_r6u('chi2_f / nullif(cast(n as double) '
+              '* cast(k - 1 as double), cast(0 as double))')}
             AS kendalls_w,
         CASE WHEN chi2_f > cast(9.487729 as double) THEN 1 ELSE 0 END
             AS reject_95
@@ -911,18 +912,20 @@ def _expgof(d: str) -> str:
             coalesce(ob.o, 0) AS o,
             cast(bg.n as double)
                 * (exp(-cast(({lo.replace('b ', 'bg.b ')}) as double)
-                        / bg.m)
+                        / nullif(bg.m, cast(0 as double)))
                    - CASE WHEN ({hi.replace('b ', 'bg.b ')}) = -1
                         THEN cast(0 as double)
                         ELSE exp(-cast(({hi.replace('b ', 'bg.b ')})
-                            as double) / bg.m) END) AS e
+                            as double)
+                            / nullif(bg.m, cast(0 as double))) END) AS e
         FROM bg LEFT JOIN ob
             ON ob.event_type = bg.event_type AND ob.b = bg.b
     )
     SELECT event_type, max(n) AS n_gaps,
         {_r6u('max(m)')} AS mean_gap_s,
-        {_r6u(_d9('CASE WHEN e > 0 THEN (cast(o as double) - e) '
-                  '* (cast(o as double) - e) / e ELSE 0 END'))}
+        {_r6u('least(' + _d9('CASE WHEN e > 0 THEN (cast(o as double) - e) '
+                             '* (cast(o as double) - e) / e ELSE 0 END')
+              + ', cast(1000000000 as double))')}
             AS chi2_expfit,
         CASE WHEN {_d9('CASE WHEN e > 0 THEN (cast(o as double) - e) '
                        '* (cast(o as double) - e) / e ELSE 0 END')}
@@ -947,8 +950,14 @@ _pair(
     "fitted from the mean gap; (O-E)^2/E terms are 9-dp-quantized before "
     "the order-free decimal sum, df = 5 with the 95th percentile at "
     "11.070498. The bucket fan-out is types x 7 — a constant-key "
-    "equi-join. Reference: RECEIVER/stage2_processing.cpp's pool-age "
-    "heuristics, upgraded to a proper arrival-process test.",
+    "equi-join. Degenerate guards: an all-tied-timestamp stream (mean "
+    "gap 0) nullifs the rate so chi2 reads 0, and the reported chi2 is "
+    "clamped to 1e9 — far beyond any decision threshold — because an "
+    "astronomic chi2 (duplicate-storm surface) otherwise crosses the "
+    "range where Spark's bigint floor() in the 6-dp rounding saturates "
+    "while DuckDB's double floor does not. Reference: "
+    "RECEIVER/stage2_processing.cpp's pool-age heuristics, upgraded to "
+    "a proper arrival-process test.",
 )
 
 
@@ -1735,12 +1744,16 @@ def _code_detect(d: str) -> str:
         {S.isum('is_code', d)} AS n_code,
         {_r6u('cast(sum(is_code) as double) / cast(count(*) as double)')}
             AS code_ratio,
-        {_r6u(f"{_d9('cast(n_sym as double) / cast(len as double)')}"
+        {_r6u(f"{_d9('cast(n_sym as double) / nullif(cast(len as double), cast(0 as double))')}"
               ' / cast(count(*) as double)')} AS avg_symbol_density,
-        {_r6u(f"{_d9('cast(n_dig as double) / cast(len as double)')}"
+        {_r6u(f"{_d9('cast(n_dig as double) / nullif(cast(len as double), cast(0 as double))')}"
               ' / cast(count(*) as double)')} AS avg_digit_density
     FROM cls GROUP BY source ORDER BY source
     """
+    # len is filtered > 0, but the nullif guard must stay: when every
+    # text constant-folds to '' (the --empty-text surface) Catalyst's
+    # ConstantFolding evaluates the division at PLAN time — before the
+    # filter exists — and ANSI throws DIVIDE_BY_ZERO during optimization.
 
 
 _pair(
