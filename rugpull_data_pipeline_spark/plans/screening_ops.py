@@ -1721,7 +1721,12 @@ def _code_detect(d: str) -> str:
     # code-specific cleaning. Symbol density via length-after-translate
     # (exact integer char counts, no regex), classified per doc, then
     # profiled per source. translate deletes chars with no counterpart
-    # in both engines (PostgreSQL semantics).
+    # in both engines (PostgreSQL semantics). len is filtered > 0, but
+    # the nullif guards on the density denominators must stay: when
+    # every text constant-folds to a literal '' (the --empty-text
+    # surface) Catalyst's ConstantFolding evaluates the division at
+    # PLAN time — before the filter exists — and ANSI throws
+    # DIVIDE_BY_ZERO during optimization.
     sym = "length(text) - length(translate(text, '{}();=<>[]#', ''))"
     sem = "length(text) - length(replace(text, ';', ''))"
     dig = "length(text) - length(translate(text, '0123456789', ''))"
@@ -1750,10 +1755,6 @@ def _code_detect(d: str) -> str:
               ' / cast(count(*) as double)')} AS avg_digit_density
     FROM cls GROUP BY source ORDER BY source
     """
-    # len is filtered > 0, but the nullif guard must stay: when every
-    # text constant-folds to '' (the --empty-text surface) Catalyst's
-    # ConstantFolding evaluates the division at PLAN time — before the
-    # filter exists — and ANSI throws DIVIDE_BY_ZERO during optimization.
 
 
 _pair(
