@@ -923,12 +923,16 @@ def _expgof(d: str) -> str:
     )
     SELECT event_type, max(n) AS n_gaps,
         {_r6u('max(m)')} AS mean_gap_s,
-        {_r6u('least(' + _d9('CASE WHEN e > 0 THEN (cast(o as double) - e) '
-                             '* (cast(o as double) - e) / e ELSE 0 END')
+        {_r6u('least(' + _d9('least(CASE WHEN e > 0 THEN '
+                             '(cast(o as double) - e) '
+                             '* (cast(o as double) - e) / e ELSE 0 END, '
+                             'cast(1000000000 as double))')
               + ', cast(1000000000 as double))')}
             AS chi2_expfit,
-        CASE WHEN {_d9('CASE WHEN e > 0 THEN (cast(o as double) - e) '
-                       '* (cast(o as double) - e) / e ELSE 0 END')}
+        CASE WHEN {_d9('least(CASE WHEN e > 0 THEN '
+                       '(cast(o as double) - e) '
+                       '* (cast(o as double) - e) / e ELSE 0 END, '
+                       'cast(1000000000 as double))')}
             > cast(11.070498 as double) THEN 1 ELSE 0 END
             AS reject_95
     FROM cells
@@ -955,7 +959,11 @@ _pair(
     "clamped to 1e9 — far beyond any decision threshold — because an "
     "astronomic chi2 (duplicate-storm surface) otherwise crosses the "
     "range where Spark's bigint floor() in the 6-dp rounding saturates "
-    "while DuckDB's double floor does not. Reference: "
+    "while DuckDB's double floor does not; the clamp applies PER TERM "
+    "before the 9-dp decimal quantization too, since a near-zero "
+    "expected mass (16x replication collapses the rate) drives "
+    "(O-E)^2/E past what decimal(38,9) represents — both engines "
+    "overflow there, Spark by throwing. Reference: "
     "RECEIVER/stage2_processing.cpp's pool-age heuristics, upgraded to "
     "a proper arrival-process test.",
 )
@@ -1053,7 +1061,12 @@ _pair(
     "lower median is exact (first gap value whose cumulative grid count "
     "reaches half); the sequence order (epoch, event_id) is a "
     "deterministic tiebreak; runs/expectation/variance all integer "
-    "until the final z.",
+    "until the final z. Scale note: the sign/run windows partition by "
+    "event_type ONLY — the operator's semantics are a per-type ordered "
+    "sequence, so parallelism is bounded by the type count (16x stress "
+    "ratio ~7x, the per-partition sort). At fleet scale run it per "
+    "(type, shard-day) and stitch runs at shard boundaries; the global "
+    "form here is the exact-statistic reference.",
 )
 
 
