@@ -26,18 +26,71 @@ one whole-stage-codegen span per stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import SOLANA_BLOCK
 
 
 def parse_blocks(raw: DataFrame, payload_col: str = "value") -> DataFrame:
     """Raw JSON payload strings → typed block rows (tight, nested-pruned
-    schema: only the five arrays the reference materializes are declared)."""
+    schema: only the five arrays the reference materializes are declared).
+
+    For payloads that are already a DataFrame column (streaming micro-batches,
+    the custom DataSource) this is the only option. For block FILES prefer
+    ``read_blocks``: ``from_json`` is a scalar expression, so every optimizer
+    rule that collapses projections or infers generator filters duplicates
+    the full parse per consumer expression (measured: 2-4 Jackson passes per
+    row on the extraction chain), while the JSON datasource parses each line
+    exactly once at the scan."""
     return raw.select(
         F.from_json(F.col(payload_col), SOLANA_BLOCK).alias("block")
     ).select("block.result.*")
+
+
+def _drop_tx_meta_field(name: str) -> T.StructType:
+    """SOLANA_BLOCK with ``transactions[].meta.<name>`` removed — a manually
+    pruned scan schema. The JSON datasource only prunes TOP-LEVEL columns
+    (nested-schema pruning is parquet/ORC-level), so consumers that never
+    touch a heavy nested field must not declare it to the scan."""
+    tx_struct: T.StructType = SOLANA_BLOCK["result"].dataType["transactions"].dataType.elementType
+    meta: T.StructType = tx_struct["meta"].dataType
+    meta_pruned = T.StructType([f for f in meta.fields if f.name != name])
+    tx_pruned = T.StructType(
+        [f if f.name != "meta" else T.StructField("meta", meta_pruned) for f in tx_struct.fields]
+    )
+    result: T.StructType = SOLANA_BLOCK["result"].dataType
+    result_pruned = T.StructType(
+        [
+            f
+            if f.name != "transactions"
+            else T.StructField("transactions", T.ArrayType(tx_pruned))
+            for f in result.fields
+        ]
+    )
+    return T.StructType([T.StructField("result", result_pruned)])
+
+
+# The balance-extraction chain never reads logMessages; keeping it out of the
+# declared scan schema saves materializing the two log strings per tx.
+_BALANCE_BLOCK = _drop_tx_meta_field("logMessages")
+
+
+def read_blocks(
+    spark: SparkSession, path_glob: str, with_logs: bool = False
+) -> DataFrame:
+    """Block FILES → typed block rows via the JSON datasource: one Jackson
+    pass per line materializes the (manually pruned) schema at the scan.
+
+    The previous ``spark.read.text + from_json`` shape re-evaluated the parse
+    in every expression the optimizer collapsed it into — the inferred
+    generator filter (``size(transactions) > 0 AND isnotnull``) plus the
+    collapsed projection each carried their own ``from_json``, so the chain
+    paid 2-4 full parses per row. ``with_logs=True`` keeps logMessages for
+    the instruction-log consumers (P8)."""
+    schema = SOLANA_BLOCK if with_logs else _BALANCE_BLOCK
+    return spark.read.schema(schema).json(path_glob).select("result.*")
 
 
 def extract_balance_changes(
@@ -87,18 +140,38 @@ def extract_balance_changes(
         tx = tx.crossJoin(watch_arr)
 
     # Explode pre and post balance arrays with a phase tag (the two passes of
-    # stage2_processing.cpp:391-403).
-    def _phase(col: str, tag: str) -> DataFrame:
-        return tx.select(
+    # stage2_processing.cpp:391-403) — fused into ONE generator: tag each
+    # array element with its phase, concatenate, explode once. The earlier
+    # union-of-two-explodes planned the whole scan+parse+semi-join subtree
+    # TWICE (Spark plans each union branch independently), doubling the input
+    # read — row set is identical (order differs; the groupBy below is
+    # order-insensitive).
+    def _tagged(col: str, tag: str):
+        return F.transform(
+            F.coalesce(F.col(col), F.array()),
+            lambda b: F.struct(F.lit(tag).alias("phase"), b.alias("b")),
+        )
+
+    entries = (
+        tx.select(
             "ts",
             "signature",
             "all_keys",
             "watch",
-            F.lit(tag).alias("phase"),
-            F.explode_outer(F.col(col)).alias("b"),
-        ).where(F.col("b").isNotNull())
-
-    entries = _phase("pre", "pre").unionByName(_phase("post", "post"))
+            F.explode(
+                F.concat(_tagged("pre", "pre"), _tagged("post", "post"))
+            ).alias("e"),
+        )
+        .where(F.col("e.b").isNotNull())
+        .select(
+            "ts",
+            "signature",
+            "all_keys",
+            "watch",
+            F.col("e.phase").alias("phase"),
+            F.col("e.b").alias("b"),
+        )
+    )
 
     # J2: owner replacement — if the address at this entry's accountIndex
     # (within the concatenated sequence) is watchlisted, it is the pool vault

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import DUCK, SPARK
-from ..operators.balance import extract_balance_changes, parse_blocks
+from ..operators.balance import extract_balance_changes, parse_blocks, read_blocks
 from ..sources.solana import hot_addresses, write_blocks_json
 from ..tmpdirs import scratch_dir
 from .registry import register
@@ -47,9 +47,11 @@ def _hot_literal(d: str) -> str:
     return f"[{addrs}]" if d == DUCK else f"array({addrs})"
 
 
-def _read_blocks(spark: SparkSession) -> DataFrame:
+def _read_blocks(spark: SparkSession, with_logs: bool = False) -> DataFrame:
     path = _ensure_blocks()
-    return parse_blocks(spark.read.text(f"{path}/blocks_*.json"), "value")
+    # JSON datasource, not text+from_json: one parse per line at the scan
+    # (the from_json form re-parsed per collapsed consumer expression).
+    return read_blocks(spark, f"{path}/blocks_*.json", with_logs=with_logs)
 
 
 def _duck_tx_cte(path: str | None = None) -> str:
@@ -236,7 +238,7 @@ def _ensure_xl_blocks() -> str:
 )
 def solana_balance_extract_xl(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_xl_blocks()
-    blocks = parse_blocks(spark.read.text(f"{path}/blocks_*.json"), "value")
+    blocks = read_blocks(spark, f"{path}/blocks_*.json")
     watch = spark.createDataFrame(
         [(a,) for a in hot_addresses()], "address string"
     )
@@ -488,7 +490,7 @@ def _pool_oracle() -> str:
     "projection for the Raydium lookup (S8, mocked).",
 )
 def solana_pool_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blocks = _read_blocks(spark)
+    blocks = _read_blocks(spark, with_logs=True)
     min_bt = 1_700_000_000 + (_N_BLOCKS - 8) * 400
     hot_arr = F.expr(_hot_literal(SPARK))
     tx = blocks.select(

@@ -466,34 +466,56 @@ def _dedup_ngram_jaccard(d: str) -> str:
     "recomputations of the explode.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # Stop-shingle cap before the self-join — see _dedup_ngram_jaccard.
-    sh = (
-        spark.sql(
-            f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
-            f"FROM ({_ngram_shingles(SPARK)}) raw"
-        )
-        .withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shh"))
-        )
-        .where(F.col("df") <= _JACCARD_DF_CAP)
-        .drop("df")
+    # Inverted-index pair generation, one shuffle of the shingle table.
+    # The earlier shape shuffled the full (doc_id, shh) table three times
+    # (count-over-window + both sides of the self-join) and paid the
+    # window's sort; this shape moves it ONCE — into a groupBy(shh) whose
+    # per-shingle sorted doc list (≤ _JACCARD_DF_CAP after the hot filter)
+    # generates the candidate pairs in-row (guide §8: decide with small
+    # rows). Pair multiset is provably identical to the self-join: pairs
+    # (i<j positions, strict value order) reproduce per-occurrence
+    # multiplicity, including same-hash collisions.
+    hashed = spark.sql(
+        f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
+        f"FROM ({_ngram_shingles(SPARK)}) raw"
+    ).localCheckpoint()
+
+    # Stop-shingle cap — two-phase (count, then anti-join) rather than
+    # collect-then-filter so a web-scale hot shingle never materializes a
+    # giant doc array: the count agg combines map-side, the hot set is
+    # tiny by construction (df > cap), and the anti-join is a broadcast.
+    hot = (
+        hashed.groupBy("shh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _JACCARD_DF_CAP)
+        .select("shh")
+    )
+    grouped = (
+        hashed.join(F.broadcast(hot), "shh", "left_anti")
+        .groupBy("shh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .localCheckpoint()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     pair_inter = (
-        a.join(
-            b,
-            (F.col("a.shh") == F.col("b.shh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b)))), "
+                    "p -> p.doc_a < p.doc_b)"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(
@@ -1077,9 +1099,9 @@ def _sim_lsh_hyperplane(d: str, buckets_src: str | None = None) -> str:
     "index) so the hash pipeline runs once, not per probe-side consumer.",
 )
 def sim_lsh_hyperplane_ann(spark, sf_dir):
-    from .stats_eval import _lsh_buckets
+    from .stats_eval import _lsh_buckets_df
 
-    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b = _lsh_buckets_df(spark, sf_dir).localCheckpoint()
     b.createOrReplaceTempView("lshann_buckets_v")
     return spark.sql(
         _sim_lsh_hyperplane(

@@ -1168,21 +1168,24 @@ def graph_hits_power3(spark, sf_dir):
             contrib, nodes.node == F.col(group_key), "left"
         ).select(
             "node", F.coalesce(F.col("c"), F.lit(0.0)).alias(val_col)
-        ).localCheckpoint()
-        norm = unnorm.agg(dsum(F.col(val_col)).alias("s")).first()[0]
-        if not norm:
-            # edgeless graph: every contribution is 0 — the oracle's
-            # `val / nullif(norm, 0)` yields NULL scores, so mirror that
-            # exactly (returning the unnormalized zeros diverged; ADVICE r6)
-            return unnorm.select(
-                "node", F.lit(None).cast("double").alias(val_col)
-            )
-        # no second checkpoint: the normalization is a node-count-sized
-        # projection over the ALREADY-checkpointed unnorm, so lineage
-        # stays flat and re-evaluation costs one 1-column divide — the
-        # checkpoint here was 6 extra no-op Spark jobs per query
+        )
+        # The L1 norm stays IN the plan as an unpartitioned window sum over
+        # the node-count-sized frame (same decimal-quantized expression the
+        # collected form used, so the double is bit-identical), and the
+        # edgeless-graph NULL contract rides on nullif(norm, 0) exactly like
+        # the oracle. The previous shape collected the norm per half-step
+        # (`.first()`), which cost 2 driver round-trip jobs per half-step —
+        # 12 jobs of pure scheduling latency for 6 tiny normalizations; the
+        # whole 6-half-step chain now plans as ONE job over the two
+        # checkpointed leaf tables (guide §5: no driver work in query paths).
+        total = (
+            F.sum(F.col(val_col).cast("decimal(38,18)"))
+            .over(Window.partitionBy())
+            .cast("double")
+        )
         return unnorm.select(
-            "node", (F.col(val_col) / F.lit(norm)).alias(val_col)
+            "node",
+            (F.col(val_col) / F.nullif(total, F.lit(0.0))).alias(val_col),
         )
 
     h = nodes.withColumn("h", F.lit(1.0 / n))

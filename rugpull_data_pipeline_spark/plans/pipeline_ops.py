@@ -1559,18 +1559,25 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = seeds[0]
     out = []
     cur = iv.select("vec_id", "v", d2(F.col("v"), seed.v).alias("dist"))
-    cur = cur.localCheckpoint()
-    out.append((1, int(seed.vec_id), int(cur.agg(F.max("dist")).collect()[0][0])))
+    prev_id = int(seed.vec_id)
     for rank in range(2, 5):
+        # ONE ordered-limit-1 job yields BOTH numbers the round needs: the
+        # farthest row IS the next center, and its dist IS the previous
+        # round's coverage radius (max over the same frame, ties broken the
+        # same way). The earlier shape paid 3 jobs per round (argmax +
+        # re-checkpoint + 1-row max agg); the per-round checkpoints are gone
+        # too — the least(d2(...)) chain is at most 4 deep over the ONE
+        # checkpointed quantized table, so re-evaluation per action is a
+        # single in-memory scan, cheaper than 3 extra checkpoint jobs.
         far = cur.orderBy(F.desc("dist"), "vec_id").limit(1).collect()[0]
+        out.append((rank - 1, prev_id, int(far.dist)))
+        prev_id = int(far.vec_id)
         cur = cur.select(
             "vec_id",
             "v",
             F.least(F.col("dist"), d2(F.col("v"), far.v)).alias("dist"),
-        ).localCheckpoint()
-        out.append(
-            (rank, int(far.vec_id), int(cur.agg(F.max("dist")).collect()[0][0]))
         )
+    out.append((4, prev_id, int(cur.agg(F.max("dist")).collect()[0][0])))
     return spark.createDataFrame(
         out, "center_rank int, vec_id long, coverage_radius_sq long"
     ).orderBy("center_rank")

@@ -725,7 +725,7 @@ def _ann_recall(d: str, buckets_src: str | None = None) -> str:
     "pipeline runs once.",
 )
 def audit_ann_recall(spark, sf_dir):
-    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b = _lsh_buckets_df(spark, sf_dir).localCheckpoint()
     b.createOrReplaceTempView("annrec_buckets_v")
     return spark.sql(
         _ann_recall(
@@ -1139,6 +1139,68 @@ def graph_label_prop2(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _lsh_buckets_df(spark, sf_dir):
+    """(vec_id, bucket) as a one-agg DataFrame — the Spark-side twin of
+    ``_lsh_buckets``.
+
+    The hyperplane signs are pure md5 arithmetic over (plane, dim) with no
+    data dependency, so the builder evaluates the SAME portable_hash64
+    (hashlib twin) driver-side and folds the sign vectors in as array
+    literals: each plane's projection becomes a conditional column of ONE
+    groupBy(vec_id) — the same ``sum(cast(v * s as decimal(38,9)))``
+    aggregate the oracle runs (null elements skipped, all-null → NULL →
+    bit 0, empty embedding absent), so buckets are bit-identical. The SQL
+    form paid a dim-keyed JOIN that fanned every exploded element ×4 and a
+    SECOND per-(vec, plane) aggregation; both are gone — at 100 TB the join
+    fan-out alone multiplied the shuffle input by the plane count. The one
+    ``first()`` is the oracle's own ``max(size(embedding))`` scalar
+    subquery."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from .llm_ops import _N_PLANES
+    from .registry import static_table
+
+    emb = static_table(spark, sf_dir, "embeddings")
+    ndims = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
+    if ndims <= 0:
+        return emb.where(F.lit(False)).select(
+            "vec_id", F.lit(None).cast("bigint").alias("bucket")
+        )
+
+    def sign(j: int, dim: int) -> float:
+        h = int(hashlib.md5(f"hp-{j}:{dim}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    # same fan-out parallelization as the SQL form's /*+ REPARTITION */
+    dims = emb.hint("repartition").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "el")
+    )
+    v = F.col("el").cast("double")
+    sums = dims.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                (
+                    v
+                    * F.element_at(
+                        F.lit([sign(j, dim) for dim in range(1, ndims + 1)]),
+                        F.col("pos") + F.lit(1),
+                    )
+                ).cast("decimal(38,9)")
+            ).alias(f"s{j}")
+            for j in range(_N_PLANES)
+        ]
+    )
+    bucket = F.lit(0).cast("bigint")
+    for j in range(_N_PLANES):
+        bit = (
+            F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint")
+        bucket = bucket + bit * F.lit(1 << j).cast("bigint")
+    return sums.select("vec_id", bucket.alias("bucket"))
+
+
 def _lsh_buckets(d: str) -> str:
     """(vec_id, bucket) — identical construction to sim_lsh_hyperplane_ann
     (llm_ops), so this audits exactly that operator's bucketing."""
@@ -1277,7 +1339,7 @@ def _multiprobe_recall(
     "so the hyperplane-hash pipeline runs once.",
 )
 def audit_multiprobe_recall(spark, sf_dir):
-    b = spark.sql(_lsh_buckets(SPARK)).localCheckpoint()
+    b = _lsh_buckets_df(spark, sf_dir).localCheckpoint()
     b.createOrReplaceTempView("mprobe_buckets_v")
     q = spark.sql(
         f"WITH buckets AS (SELECT vec_id, bucket FROM mprobe_buckets_v)"

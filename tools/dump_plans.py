@@ -1,0 +1,50 @@
+"""Dump .explain("formatted") for registered queries to plans/r12/.
+
+Usage: python tools/dump_plans.py <suffix> [name1 name2 ...]
+With no names: dumps every bench.py HEADLINE query. Suffix is 'before' or
+'after' — files land at plans/r12/<name>_<suffix>.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    if not names:
+        import bench
+
+        names = list(bench.HEADLINE)
+
+    from rugpull_data_pipeline_spark.plans import registry
+    from rugpull_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="dump-plans")
+    qs = registry.all_queries()
+    out_dir = os.path.join(REPO, "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001 - keep dumping the rest
+            txt = f"ERROR building/explaining: {type(exc).__name__}: {exc}"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
