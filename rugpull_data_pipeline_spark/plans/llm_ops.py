@@ -466,56 +466,40 @@ def _dedup_ngram_jaccard(d: str) -> str:
     "recomputations of the explode.",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # Inverted-index pair generation, one shuffle of the shingle table.
-    # The earlier shape shuffled the full (doc_id, shh) table three times
-    # (count-over-window + both sides of the self-join) and paid the
-    # window's sort; this shape moves it ONCE — into a groupBy(shh) whose
-    # per-shingle sorted doc list (≤ _JACCARD_DF_CAP after the hot filter)
-    # generates the candidate pairs in-row (guide §8: decide with small
-    # rows). Pair multiset is provably identical to the self-join: pairs
-    # (i<j positions, strict value order) reproduce per-occurrence
-    # multiplicity, including same-hash collisions.
-    hashed = spark.sql(
-        f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
-        f"FROM ({_ngram_shingles(SPARK)}) raw"
-    ).localCheckpoint()
-
-    # Stop-shingle cap — two-phase (count, then anti-join) rather than
-    # collect-then-filter so a web-scale hot shingle never materializes a
-    # giant doc array: the count agg combines map-side, the hot set is
-    # tiny by construction (df > cap), and the anti-join is a broadcast.
-    hot = (
-        hashed.groupBy("shh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _JACCARD_DF_CAP)
-        .select("shh")
-    )
-    grouped = (
-        hashed.join(F.broadcast(hot), "shh", "left_anti")
-        .groupBy("shh")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    # Stop-shingle cap before the self-join — see _dedup_ngram_jaccard.
+    # Round-12 note: an inverted-index rewrite (two-phase hot filter +
+    # per-shingle sorted doc lists + in-row combination explode) was built,
+    # oracle-verified and interleaved-benchmarked — it shuffles the shingle
+    # table once instead of three times, but the nested array slicing of the
+    # in-row pair generator cost ~2x the self-join's wall at bench scale
+    # (median 4.9 s vs 3.9 s interleaved), so the measured shape stays.
+    sh = (
+        spark.sql(
+            f"SELECT doc_id, {S.portable_hash64('sh', SPARK)} AS shh "
+            f"FROM ({_ngram_shingles(SPARK)}) raw"
+        )
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shh"))
+        )
+        .where(F.col("df") <= _JACCARD_DF_CAP)
+        .drop("df")
         .localCheckpoint()
     )
 
-    sizes = (
-        grouped.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
     pair_inter = (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(docs, (x, i) -> "
-                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b)))), "
-                    "p -> p.doc_a < p.doc_b)"
-                )
-            ).alias("p")
+        a.join(
+            b,
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(
@@ -723,14 +707,98 @@ def _dedup_minhash_lsh(d: str) -> str:
     """
 
 
-_pair(
+def _mh_lsh_pieces(d: str) -> dict[str, str]:
+    """The _dedup_minhash_lsh CTE bodies as standalone statements, so the
+    Spark builder can materialize the shared cores (round-11 checkpoint
+    contract) while the oracle keeps the single WITH-chain text."""
+    shh = S.portable_hash64("sh", d)
+    min_cols = ",\n            ".join(
+        f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{4 * band + r}" for r in range(_BAND_SIZE))
+        + "))"
+        for band in range(_N_HASHES // _BAND_SIZE)
+    )
+    return {
+        "sh_hashed": (
+            f"SELECT doc_id, {shh} AS shh FROM ({_ngram_shingles(d)}) raw"
+        ),
+        "bands_capped": f"""
+            SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, band, band_key,
+                    count(*) OVER (PARTITION BY band, band_key) AS bsz
+                FROM (
+                    SELECT doc_id, band, band_key
+                    FROM (
+                        SELECT doc_id, {min_cols}
+                        FROM (SELECT doc_id, shh % {_MINHASH_P} AS m
+                              FROM {{sh}}) t
+                        GROUP BY doc_id
+                    ) sigs
+                    LATERAL VIEW posexplode(array({band_keys}))
+                        AS band, band_key
+                ) bands
+            ) f WHERE bsz <= {_LSH_BUCKET_CAP}
+        """,
+        "doc_sets": (
+            "SELECT doc_id, collect_set(shh) AS shs FROM {sh} GROUP BY doc_id"
+        ),
+        "final": """
+            WITH candidates AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM {bc} a
+                JOIN {bc} b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b, round({jacc}, 6) AS jaccard
+            FROM candidates c
+            JOIN {ds} sa ON sa.doc_id = c.doc_a
+            JOIN {ds} sb ON sb.doc_id = c.doc_b
+            WHERE {jacc} >= 0.1
+            ORDER BY c.doc_a, c.doc_b
+        """.replace(
+            "{jacc}",
+            "cast(size(array_intersect(sa.shs, sb.shs)) as double) / "
+            "(size(sa.shs) + size(sb.shs) - "
+            "size(array_intersect(sa.shs, sb.shs)))",
+        ),
+    }
+
+
+@register(
     "dedup_minhash_lsh",
-    _dedup_minhash_lsh,
+    oracle=_dedup_minhash_lsh(DUCK),
     tags=("dedup",),
     doc="MinHash (16 portable hash fns) + LSH banding (4×4): candidate pairs "
     "only inside band buckets, then exact-Jaccard verification. The band "
-    "bucket is the shuffle key — no cross join at any scale.",
+    "bucket is the shuffle key — no cross join at any scale. The hashed "
+    "shingle table, the capped band table and the per-doc shingle sets are "
+    "localCheckpointed: the inlined WITH-chain planned the full "
+    "explode+md5 pipeline FOUR times (both self-join sides + both doc_sets "
+    "probes — Spark inlines CTEs per consumer); now documents is scanned "
+    "once (round-11 checkpoint contract, same trade as "
+    "dedup_minhash_incremental).",
 )
+def dedup_minhash_lsh(spark, sf_dir):
+    pieces = _mh_lsh_pieces(SPARK)
+    sh = spark.sql(pieces["sh_hashed"]).localCheckpoint()
+    sh.createOrReplaceTempView("mhlsh_sh_v")
+    bc = spark.sql(
+        pieces["bands_capped"].replace("{sh}", "mhlsh_sh_v")
+    ).localCheckpoint()
+    bc.createOrReplaceTempView("mhlsh_bands_v")
+    ds = spark.sql(
+        pieces["doc_sets"].replace("{sh}", "mhlsh_sh_v")
+    ).localCheckpoint()
+    ds.createOrReplaceTempView("mhlsh_sets_v")
+    return spark.sql(
+        pieces["final"]
+        .replace("{bc}", "mhlsh_bands_v")
+        .replace("{ds}", "mhlsh_sets_v")
+    )
 
 
 def _dedup_simhash(d: str) -> str:

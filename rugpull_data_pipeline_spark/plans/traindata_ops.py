@@ -556,6 +556,7 @@ def _minhash_incremental(
     d: str,
     sh_src: str | None = None,
     sigs_src: str | None = None,
+    bands_src: str | None = None,
 ) -> str:
     # Same signature/banding machinery as dedup_minhash_lsh (16 portable
     # minhashes over word-3-gram shingles, 4x4 banding, bucket cap), but the
@@ -631,13 +632,13 @@ def _minhash_incremental(
     bands AS (
         {bands}
     ),
-    bands_capped AS (
+    bands_capped AS ({bands_src if bands_src is not None else f'''
         SELECT doc_id, side, band, band_key FROM (
             SELECT doc_id, side, band, band_key,
                 count(*) OVER (PARTITION BY band, band_key) AS bsz
             FROM bands
         ) f WHERE bsz <= {_LSH_BUCKET_CAP}
-    ),
+    '''}),
     candidates AS (
         SELECT DISTINCT a.doc_id AS inc_doc, b.doc_id AS base_doc
         FROM bands_capped a
@@ -694,11 +695,38 @@ def dedup_minhash_incremental(spark, sf_dir):
     ).localCheckpoint()
     sigs.createOrReplaceTempView("mhinc_sigs_v")
     hcols = ", ".join(f"h{j}" for j in range(len(_MINHASH_AB)))
+    from .llm_ops import _BAND_SIZE, _LSH_BUCKET_CAP, _N_HASHES
+
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{_BAND_SIZE * band + r}" for r in range(_BAND_SIZE))
+        + "))"
+        for band in range(_N_HASHES // _BAND_SIZE)
+    )
+    # bands_capped materialized once too: inlined, BOTH candidate probe
+    # sides re-ran the posexplode + count-over-window bucket cap over the
+    # signature table (round-12 optimization pass, same trade as
+    # dedup_minhash_lsh).
+    bc = spark.sql(
+        f"""
+        SELECT doc_id, side, band, band_key FROM (
+            SELECT doc_id, side, band, band_key,
+                count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM (
+                SELECT doc_id, side, band, band_key
+                FROM mhinc_sigs_v
+                LATERAL VIEW posexplode(array({band_keys})) AS band, band_key
+            ) bands
+        ) f WHERE bsz <= {_LSH_BUCKET_CAP}
+        """
+    ).localCheckpoint()
+    bc.createOrReplaceTempView("mhinc_bands_v")
     return spark.sql(
         _minhash_incremental(
             SPARK,
             sh_src="SELECT doc_id, shh FROM mhinc_sh_v",
             sigs_src=f"SELECT doc_id, side, {hcols} FROM mhinc_sigs_v",
+            bands_src="SELECT doc_id, side, band, band_key FROM mhinc_bands_v",
         )
     )
 
