@@ -1144,61 +1144,68 @@ def _lsh_buckets_df(spark, sf_dir):
     ``_lsh_buckets``.
 
     The hyperplane signs are pure md5 arithmetic over (plane, dim) with no
-    data dependency, so the builder evaluates the SAME portable_hash64
-    (hashlib twin) driver-side and folds the sign vectors in as array
-    literals: each plane's projection becomes a conditional column of ONE
-    groupBy(vec_id) — the same ``sum(cast(v * s as decimal(38,9)))``
-    aggregate the oracle runs (null elements skipped, all-null → NULL →
-    bit 0, empty embedding absent), so buckets are bit-identical. The SQL
-    form paid a dim-keyed JOIN that fanned every exploded element ×4 and a
-    SECOND per-(vec, plane) aggregation; both are gone — at 100 TB the join
-    fan-out alone multiplied the shuffle input by the plane count. The one
-    ``first()`` is the oracle's own ``max(size(embedding))`` scalar
-    subquery."""
-    import hashlib
-
-    from pyspark.sql import functions as F
-
+    data dependency, so they are generated as a tiny ndims-row side table
+    (one row per dim, one sign COLUMN per plane — no (plane, dim) fan-out)
+    and broadcast-hash-joined onto the exploded elements; the bucket build
+    stays ONE groupBy(vec_id) with the same
+    ``sum(cast(v * s as decimal(38,9)))`` aggregate the oracle runs (null
+    elements skipped, all-null → NULL → bit 0, empty embedding absent), so
+    buckets are bit-identical. ndims rides in-plan as the oracle's own
+    ``max(size(embedding))`` scalar subquery — the r12 form computed it
+    with a SEPARATE driver ``first()`` pre-job (an extra full embeddings
+    scan + a driver round-trip before the consumers' checkpoint), the one
+    >10% driver-measured regression of that round (audit_ann_recall
+    1.36→1.99 s). Measured interleaved at sf0.1: build+checkpoint
+    1.063 s → 0.865 s median, pre-job (0.08 s) gone; a per-element
+    in-plan md5 sign variant was measured too and REJECTED (1.68 s —
+    4 md5s per element cost more than the join probe). The r12 literal
+    ``element_at`` fold stays out: this form beats it while keeping the
+    same single shuffle, and adds back no per-(vec, plane) second agg."""
     from .llm_ops import _N_PLANES
     from .registry import static_table
 
     emb = static_table(spark, sf_dir, "embeddings")
-    ndims = emb.agg(F.max(F.size("embedding"))).first()[0] or 0
-    if ndims <= 0:
-        return emb.where(F.lit(False)).select(
-            "vec_id", F.lit(None).cast("bigint").alias("bucket")
+    # View-gated source for the SQL form (direct test callers may hold
+    # views for a different sf_dir — the static_table contract).
+    emb.createOrReplaceTempView("lshb_emb_v")
+
+    def psign(j: int) -> str:
+        h = (
+            f"cast(conv(substring(md5(concat('hp-{j}:', "
+            "cast(dim as string))), 1, 15), 16, 10) as bigint)"
+        )
+        return (
+            f"CASE WHEN {h} % 2 = 1 THEN cast(1.0 as double)"
+            f" ELSE cast(-1.0 as double) END AS s{j}"
         )
 
-    def sign(j: int, dim: int) -> float:
-        h = int(hashlib.md5(f"hp-{j}:{dim}".encode()).hexdigest()[:15], 16)
-        return 1.0 if h % 2 == 1 else -1.0
-
-    # same fan-out parallelization as the SQL form's /*+ REPARTITION */
-    dims = emb.hint("repartition").select(
-        "vec_id", F.posexplode("embedding").alias("pos", "el")
+    scols = ",\n            ".join(psign(j) for j in range(_N_PLANES))
+    sums = ",\n            ".join(
+        f"sum(cast(e.v * p.s{j} as decimal(38,9))) AS s{j}"
+        for j in range(_N_PLANES)
     )
-    v = F.col("el").cast("double")
-    sums = dims.groupBy("vec_id").agg(
-        *[
-            F.sum(
-                (
-                    v
-                    * F.element_at(
-                        F.lit([sign(j, dim) for dim in range(1, ndims + 1)]),
-                        F.col("pos") + F.lit(1),
-                    )
-                ).cast("decimal(38,9)")
-            ).alias(f"s{j}")
-            for j in range(_N_PLANES)
-        ]
+    bits = " + ".join(
+        f"(case when s{j} >= 0 then 1 else 0 end) * {1 << j}"
+        for j in range(_N_PLANES)
     )
-    bucket = F.lit(0).cast("bigint")
-    for j in range(_N_PLANES):
-        bit = (
-            F.when(F.col(f"s{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
-        ).cast("bigint")
-        bucket = bucket + bit * F.lit(1 << j).cast("bigint")
-    return sums.select("vec_id", bucket.alias("bucket"))
+    return spark.sql(f"""
+    WITH planes AS (
+        SELECT dim, {scols}
+        FROM (SELECT explode(sequence(1,
+            (SELECT max(size(embedding)) FROM lshb_emb_v))) AS dim)
+    ),
+    ed AS (
+        SELECT vec_id, pos + 1 AS dim, cast(col as double) AS v
+        FROM (SELECT /*+ REPARTITION */ vec_id, embedding FROM lshb_emb_v) e
+        LATERAL VIEW posexplode(embedding) t AS pos, col
+    ),
+    sums AS (
+        SELECT /*+ BROADCAST(p) */ e.vec_id, {sums}
+        FROM ed e JOIN planes p ON e.dim = p.dim
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, cast({bits} as bigint) AS bucket FROM sums
+    """)
 
 
 def _lsh_buckets(d: str) -> str:

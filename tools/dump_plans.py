@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for registered queries to plans/r12/.
+"""Dump .explain("formatted") for registered queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [name1 name2 ...]
 With no names: dumps every bench.py HEADLINE query. Suffix is 'before' or
-'after' — files land at plans/r12/<name>_<suffix>.txt.
+'after' — files land at plans/$PLANS_ROUND/<name>_<suffix>.txt
+(PLANS_ROUND defaults to r13).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ def main() -> int:
 
     spark = get_spark(app_name="dump-plans")
     qs = registry.all_queries()
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for name in names:
