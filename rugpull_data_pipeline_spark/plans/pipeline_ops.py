@@ -1535,7 +1535,15 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = static_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", f"{S.int_vec('embedding', SPARK)} AS v"
     )
-    iv = iv.localCheckpoint()
+    # eager=False: every consumer is a SEQUENTIAL driver action (seed
+    # ordered-limit, k argmax rounds, final agg), so the first action
+    # materializes+persists the quantized table and the rest reuse it —
+    # same guaranteed-once semantics as the eager form minus one driver
+    # round-trip job. Interleaved A/B at sf0.1: 1.86 -> 1.64 s median.
+    # (Checkpoints whose consumers are CONCURRENT stages of one action —
+    # the minhash probe sides, the LSH bucket consumers — stay eager:
+    # lazy materialization there can race and duplicate the build.)
+    iv = iv.localCheckpoint(eager=False)
 
     def lit_vec(vals):
         # ONE array-literal node (see corpus_ops.kmeans_lloyd_fit): the
