@@ -120,51 +120,53 @@ def get(name: str) -> QuerySpec:
 # round (the standing window arithmetic: backlog 0 + 50 slots +
 # REPROOF <= 25).
 REPROOF: tuple[str, ...] = (
-    # Round-12 re-proof slots: the cumulative set closed in round 11
-    # (400/400 driver-green), so the oldest-first cadence now re-proves
-    # the stalest TIER — round 4 (50 rows, verified under older fixtures
-    # and sweep modes). These are the first 25 in tools/rotation_plan.py
-    # staleness order; the remaining 25 r4 rows are queued for round 13.
-    "agg_cms_heavy_hitters",  # last green r4
-    "agg_collect_sorted_set",  # last green r4
-    "agg_grouping_sets",  # last green r4
-    "agg_histogram_fixed_bins",  # last green r4
-    "agg_percentiles_exact",  # last green r4
-    "agg_zscore_outliers",  # last green r4
-    "cdc_merge_apply",  # last green r4
-    "dedup_cc_fixpoint",  # last green r4
-    "dedup_keep_best_source",  # last green r4
-    "dedup_semantic_cluster",  # last green r4
-    "dedup_substring_spans",  # last green r4
-    "dim_scd2_price_history",  # last green r4
-    "events_funnel_stages",  # last green r4
-    "events_retention_cohorts",  # last green r4
-    "join_range_time_window",  # last green r4
-    "json_size_guard_quarantine",  # last green r4
-    "kmeans_lloyd_fit",  # last green r4
-    "layout_bucketed_join",  # last green r4
-    "layout_zorder_stats",  # last green r4
-    "lookup_batched_mapinpandas",  # last green r4
-    "profile_table_stats",  # last green r4
-    "q04_order_priority",  # last green r4
-    "q10_returned_items",  # last green r4
-    "q13_order_count_dist",  # last green r4
-    "q14_promo_revenue",  # last green r4
+    # Round-13 re-proof slots. Priority 1 (r12 VERDICT "Next round" item
+    # 2a): the 16 queries whose SEMANTICS PATH was touched by the r12/r13
+    # optimization passes — none of them was in the r12 driver window, so
+    # their oracle status rests on builder-side pytest only. Front-loaded
+    # so the driver independently re-verifies every changed path.
+    "solana_balance_extract",  # r12 fused explode + pruned JSON scan
+    "solana_balance_extract_xl",  # same shared operator
+    "solana_rugpull_score",  # same shared operator
+    "solana_enriched_report",  # same shared operator
+    "solana_hot_tx_count",  # same shared operator
+    "solana_pool_detection",  # same shared operator
+    "solana_balance_stream",  # streaming consumer of the shared operator
+    "solana_balance_from_datasource",  # datasource consumer of same
+    "graph_hits_power3",  # r12 in-plan norm -> r13 broadcast 1-row aggs
+    "sample_kcenter_coreset",  # r12 fused argmax job; r13 lazy checkpoint
+    "sim_lsh_hyperplane_ann",  # r12 literal signs -> r13 in-plan sign table
+    "audit_ann_recall",  # same bucket operator (r12 driver regression)
+    "audit_multiprobe_recall",  # same bucket operator
+    "dedup_minhash_lsh",  # r12 checkpointed shingle/band pipeline
+    "dedup_minhash_incremental",  # r12 materialized bands_capped
+    "q01_pricing_summary",  # r13 decimal(27,6) aggregate narrowing
+    # Priority 2: the oldest-first staleness cadence continues — the next
+    # 9 of the remaining r4 tier (tools/rotation_plan.py order); the other
+    # 16 r4 rows carry to a future rotation.
+    "q15_top_supplier",  # last green r4
+    "sample_reservoir_per_key",  # last green r4
+    "scalar_higher_order_funcs",  # last green r4
+    "scalar_null_safe_ops",  # last green r4
+    "setop_except_all",  # last green r4
+    "setop_intersect_all",  # last green r4
+    "sim_pq_encode",  # last green r4
+    "stream_backpressure_paced",  # last green r4
+    "stream_checkpoint_restart",  # last green r4
 )
 
 # The grading driver verifies the FIRST 50 queries in `queries()` iteration
 # order against their DuckDB oracles each round. Cumulative record through
-# round 11: 400/400 distinct queries verified green, 0 standing red
-# (CORRECTNESS_r02..r11 — the cumulative set closed in round 11). The
-# round-12 window = the 25 queries that DEBUT this round (the
-# screening/inference tier of plans/screening_ops.py) + the 25
-# oldest-first RE-PROOFS above (the first half of the stalest r4 tier)
-# = exactly 50. Everything NOT listed keeps registration order behind
-# these, so already-green queries still run when the driver checks more
-# than 50.
-DRIVER_PRIORITY: tuple[str, ...] = (
+# round 12: 425/425 distinct queries verified green, 0 standing red
+# (CORRECTNESS_r02..r12). The round-13 window = the 25 RE-PROOFS above
+# (16 optimization-touched + 9 stalest r4) + the 25 round-12 screening
+# debuts (green only at the latest grade, so they legally re-occupy
+# window slots without a REPROOF entry) = exactly 50. Everything NOT
+# listed keeps registration order behind these, so already-green queries
+# still run when the driver checks more than 50.
+DRIVER_PRIORITY: tuple[str, ...] = REPROOF + (
     # ---- round-12 debuts: the screening/inference tier
-    # (plans/screening_ops.py) — first driver check ----
+    # (plans/screening_ops.py) — green only at the latest grade ----
     "eval_kruskal_wallis",
     "eval_jonckheere_terpstra",
     "eval_friedman_ranks",
@@ -190,7 +192,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_atkinson_index",
     "text_code_prose_detect",
     "mlprep_chi2_feature_select",
-) + REPROOF
+)
 
 
 def _ordered() -> list[tuple[str, QuerySpec]]:

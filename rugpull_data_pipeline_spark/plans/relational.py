@@ -151,14 +151,21 @@ def flagship_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q01(d: str) -> str:
+    # decimal(27,6) on all six aggregates (r13, guide §2.3): every term is
+    # a quantity (≤ ~10^2) or a price product (≤ ~1.3×10^5) — quantization
+    # at scale 6 is identical to decimal(38,6) below 10^21 per term, and
+    # the exact sums stay below 10^31 up to ~10^25 rows, so the narrower
+    # buffer is bit-identical at ANY scale factor while cutting the
+    # decimal-aggregate width q01 pays 6× per row. Measured interleaved:
+    # 1.142 → 1.067 s median at sf0.1 (both engines narrowed in lockstep).
     return f"""
     SELECT l_returnflag, l_linestatus,
-        {S.dsum('l_quantity', d)} AS sum_qty,
-        {S.dsum('l_extendedprice', d)} AS sum_base_price,
-        {S.dsum('l_extendedprice * (1 - l_discount)', d)} AS sum_disc_price,
-        {S.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', d)} AS sum_charge,
-        {S.davg('l_quantity', d)} AS avg_qty,
-        {S.davg('l_extendedprice', d)} AS avg_price,
+        {S.dsum('l_quantity', d, p=27)} AS sum_qty,
+        {S.dsum('l_extendedprice', d, p=27)} AS sum_base_price,
+        {S.dsum('l_extendedprice * (1 - l_discount)', d, p=27)} AS sum_disc_price,
+        {S.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', d, p=27)} AS sum_charge,
+        {S.davg('l_quantity', d, p=27)} AS avg_qty,
+        {S.davg('l_extendedprice', d, p=27)} AS avg_price,
         count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'

@@ -189,6 +189,7 @@ def test_bollinger_flags_spike_and_never_nulls_breakout(hand_views):
     assert got[8].band_upper == pytest.approx(4.625 + 2 * math.sqrt(5887 / 56), abs=1e-5)
 
 
+@pytest.mark.slow_property
 def test_mmr_prefers_diverse_over_redundant(hand_views):
     spark = hand_views
     rows = [

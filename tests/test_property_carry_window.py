@@ -263,6 +263,7 @@ def test_ks_drift_matches_bruteforce(hand_views, pts):
         max_size=20,
     )
 )
+@pytest.mark.slow_property
 def test_rfm_segments_matches_bruteforce(hand_views, evts):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.feature_ops import _rfm

@@ -391,6 +391,7 @@ def test_zipf_fit_matches_bruteforce(hand_views, counts):
         max_size=4,
     )
 )
+@pytest.mark.slow_property
 def test_bigram_kneser_ney_matches_bruteforce(hand_views, docs):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.corpus_ops import _bigram_kn

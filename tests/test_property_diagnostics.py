@@ -95,6 +95,7 @@ def _q4_brute(sorted_vals: list[int], q4: int) -> int:
         max_size=40,
     )
 )
+@pytest.mark.slow_property
 def test_mad_screen_matches_bruteforce(hand_views, rows):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.diagnostics_ops import _mad_screen
@@ -148,6 +149,7 @@ def test_mad_screen_matches_bruteforce(hand_views, rows):
         max_size=25,
     )
 )
+@pytest.mark.slow_property
 def test_kendall_tau_matches_bruteforce(hand_views, xy):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.diagnostics_ops import _kendall_tau

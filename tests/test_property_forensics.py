@@ -147,6 +147,7 @@ def test_hill_tail_matches_bruteforce(hand_views, vals):
         max_size=25,
     ).filter(lambda subs: any(ev for ev, _, _ in subs))
 )
+@pytest.mark.slow_property
 def test_concordance_index_matches_bruteforce(hand_views, subs):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.robustness_ops import _cindex
@@ -347,6 +348,7 @@ def test_pps_matches_bruteforce(hand_views, weights):
         max_size=24,
     )
 )
+@pytest.mark.slow_property
 def test_token_novelty_matches_bruteforce(hand_views, docs):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.robustness_ops import (

@@ -126,6 +126,7 @@ def test_assortativity_matches_bruteforce(hand_views, pairs):
     ),
     st.sets(st.integers(0, 9), min_size=0, max_size=4),  # seed part keys
 )
+@pytest.mark.slow_property
 def test_bfs_frontier_matches_bruteforce(hand_views, pairs, seeds):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.mining_ops import graph_bfs_frontier3

@@ -48,6 +48,7 @@ def _q(x: float, scale: str) -> Decimal:
         max_size=12,
     )
 )
+@pytest.mark.slow_property
 def test_range_search_matches_bruteforce(hand_views, vecs):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.mining_ops import (

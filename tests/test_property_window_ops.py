@@ -313,6 +313,7 @@ def test_ridge_closed_form_matches_bruteforce(hand_views, docs):
         max_size=16,
     )
 )
+@pytest.mark.slow_property
 def test_pagerank_matches_bruteforce(hand_views, seq):
     spark = hand_views
     from rugpull_data_pipeline_spark.plans.mlprep_ops import (

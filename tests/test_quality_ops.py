@@ -66,6 +66,7 @@ def test_bpe_top_pair_handcrafted(spark, crafted_views):
     assert counts["b|a"] == 1 and counts["c|d"] == 1
 
 
+@pytest.mark.slow_property
 def test_semantic_dedup_handcrafted(spark, crafted_views):
     _, set_embs = crafted_views
     dim = 8
