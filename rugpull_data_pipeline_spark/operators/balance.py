@@ -56,6 +56,9 @@ def _drop_tx_meta_field(name: str) -> T.StructType:
     touch a heavy nested field must not declare it to the scan."""
     tx_struct: T.StructType = SOLANA_BLOCK["result"].dataType["transactions"].dataType.elementType
     meta: T.StructType = tx_struct["meta"].dataType
+    # A renamed field must fail loudly: silently keeping the heavy field
+    # would quietly regress the pruned-scan optimization (round-12 ADVICE).
+    assert name in meta.fieldNames(), f"{name!r} not in meta: {meta.fieldNames()}"
     meta_pruned = T.StructType([f for f in meta.fields if f.name != name])
     tx_pruned = T.StructType(
         [f if f.name != "meta" else T.StructField("meta", meta_pruned) for f in tx_struct.fields]

@@ -5,6 +5,14 @@ here as a named query: a builder ``(spark, sf_dir) -> DataFrame`` and, when
 SQL-expressible, a DuckDB oracle string over the same parquet tables.
 ``__spark_entry__.py`` re-exports this registry as ``queries()`` /
 ``oracle_sql()``.
+
+Contract note: builders that stage intermediates behind fixed temp-view
+names (``mhlsh_*``, ``mhinc_*``, ``lpa_edges``, ``ivfpq_*``, ...) assume at
+most ONE in-flight build of that query per SparkSession — the driver, the
+bench, and the tests all build sequentially within a session. Two
+concurrent builds of the same query in one session would clobber each
+other's views; suffix the view names with a per-build token if that ever
+becomes a supported pattern (round-12 ADVICE).
 """
 
 from __future__ import annotations

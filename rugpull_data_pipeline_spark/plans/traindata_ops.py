@@ -72,12 +72,39 @@ def _boilerplate(d: str) -> str:
         nseg = f"ceil({S.arr_len('toks', d)} / {_SEG}.0)"
         lateral = f"LATERAL VIEW explode(sequence(1, cast({nseg} as int))) t_i AS i"
         tok_src = f"SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks FROM documents"
-        segs = f"""segs AS (
+        # Single-pass shape (r13, guide §2.4): Spark inlines the segs CTE
+        # into BOTH consumers (the df aggregate and the join back), so the
+        # two-consumer form scanned + tokenized + hashed documents TWICE.
+        # Pre-aggregating to one (doc_id, sh) row with its multiplicity n,
+        # then attaching df = count(*) over (partition by sh) — one row per
+        # distinct doc per segment, so the window count IS the distinct-doc
+        # frequency — plans the tokenize pipeline once: 2 documents scans ->
+        # 1, 7 exchanges -> 5 (plans/r13/text_boilerplate_ccnet_*.txt);
+        # interleaved median 1.650 -> 1.240 s at sf0.1. Skew note: the
+        # window funnels df rows per hot segment into one partition, but
+        # the old join funneled every OCCURRENCE of that segment, so the
+        # exposure strictly shrinks.
+        return f"""
+    WITH segs AS (
         SELECT doc_id, i AS sidx,
             {S.portable_hash64(stext, d)} AS sh
         FROM ({tok_src}) t
         {lateral}
-    )"""
+    ),
+    g AS (
+        SELECT doc_id, sh, count(*) AS n FROM segs GROUP BY doc_id, sh
+    ),
+    w AS (
+        SELECT doc_id, n, count(*) OVER (PARTITION BY sh) AS df FROM g
+    )
+    SELECT doc_id,
+        {S.isum('n', d)} AS n_segments,
+        {S.isum(f'CASE WHEN df >= {_BOILER_DF} THEN n ELSE 0 END', d)}
+            AS n_boilerplate,
+        round({S.isum(f'CASE WHEN df >= {_BOILER_DF} THEN n ELSE 0 END', d)}
+            / cast({S.isum('n', d)} as double), 6) AS boiler_frac
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """
     else:
         # Grouped zipped unnest, not arr_slice in a lateral fan-out (the
         # slice paid O(len(list)) per segment and copied the token list
@@ -125,8 +152,10 @@ _pair(
     "segment count, boilerplate segment count, boilerplate fraction — the "
     "removal gate a curation pipeline applies before dedup so shared "
     "chrome does not glue unrelated documents into one near-dup cluster. "
-    "One explode, one hash-agg on the segment hash, one co-partitioned "
-    "equi-join back on that hash; segments travel as 8-byte hashes only.",
+    "One explode, one (doc, hash) pre-aggregation, and an in-plan window "
+    "count over the hash attaches each segment's distinct-document "
+    "frequency — the corpus is tokenized once and segments travel as "
+    "8-byte hashes only.",
 )
 
 

@@ -38,8 +38,9 @@ def main() -> int:
 
     spark = get_spark(app_name="ab-time")
     qs = registry.all_queries()
-    # warm: session one-offs
-    qs["q01_pricing_summary"](spark, args.sf_dir).write.format("noop").mode(
+    # warm: session one-offs (use the first requested query so a rename of
+    # any specific query can't KeyError the tool — round-12 ADVICE)
+    qs[args.names[0]](spark, args.sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
@@ -55,7 +56,7 @@ def main() -> int:
             times[n].append(time.perf_counter() - t0)
     s1 = _stat()
     d = [b - a for a, b in zip(s0, s1)]
-    steal_pct = 100.0 * d[7] / max(sum(d), 1)
+    steal_pct = 100.0 * (d[7] if len(d) > 7 else 0) / max(sum(d), 1)
     for n in args.names:
         ts = times[n]
         print(
