@@ -386,7 +386,13 @@ def _ngram_shingles(d: str) -> str:
         return f"""
         SELECT doc_id, explode(array_distinct(transform(
             sequence(1, size(toks) - 2),
-            i -> concat_ws(' ', slice(toks, i, 3))
+            -- element access, not slice(toks, i, 3): the slice allocates a
+            -- 3-element array per position; concat over element_at builds
+            -- the same string with zero per-position allocation (r13,
+            -- isolated shingle stage 0.606 -> 0.512 s median at sf0.1; the
+            -- DuckDB twin below has used element access since round 9)
+            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                        ' ', element_at(toks, i + 2))
         ))) AS sh
         FROM (SELECT /*+ REPARTITION */ doc_id, {_toks(d)} AS toks FROM documents) t
         WHERE size(toks) >= 3

@@ -641,16 +641,10 @@ def _minhash_incremental(
     # signatures the doc itself promises): inlined, sigs/doc_sets and the
     # two band-probe sides re-ran the shingle explode (6 fact scans
     # planned - the round-11 registry-wide plan audit).
-    return f"""
-    WITH tagged AS (
-        SELECT doc_id, text,
-            CASE WHEN length(source) = 4 THEN 'base' ELSE 'inc' END AS side
-        FROM documents
-    ),
-    sh_hashed AS ({sh_src if sh_src is not None else f'''
-        SELECT doc_id, {shh} AS shh
-        FROM ({_ngram_shingles(d).replace('documents', 'tagged')}) raw
-    '''}),
+    # When the builder supplies a pre-materialized bands_src, the sigs and
+    # bands CTEs would be dead text (Spark prunes unused CTEs, but there is
+    # no reason to emit them); only the default path derives them here.
+    sigs_and_bands = f"""
     sigs AS ({sigs_src if sigs_src is not None else f'''
         SELECT s.doc_id, max(t.side) AS side,
             {min_cols}
@@ -660,7 +654,17 @@ def _minhash_incremental(
     '''}),
     bands AS (
         {bands}
+    ),""" if bands_src is None else ""
+    return f"""
+    WITH tagged AS (
+        SELECT doc_id, text,
+            CASE WHEN length(source) = 4 THEN 'base' ELSE 'inc' END AS side
+        FROM documents
     ),
+    sh_hashed AS ({sh_src if sh_src is not None else f'''
+        SELECT doc_id, {shh} AS shh
+        FROM ({_ngram_shingles(d).replace('documents', 'tagged')}) raw
+    '''}),{sigs_and_bands}
     bands_capped AS ({bands_src if bands_src is not None else f'''
         SELECT doc_id, side, band, band_key FROM (
             SELECT doc_id, side, band, band_key,
@@ -701,29 +705,34 @@ def _minhash_incremental(
     "same materialization, in-query - so the explode runs once.",
 )
 def dedup_minhash_incremental(spark, sf_dir):
-    from .llm_ops import _MINHASH_AB, _MINHASH_P, _ngram_shingles
+    from .llm_ops import _MINHASH_AB, _MINHASH_P
 
+    # ``side`` rides through the shingle explode (one tiny string per
+    # shingle row) instead of re-scanning documents for a join back onto
+    # the signature aggregate — the join cost a second fact scan plus a
+    # broadcast probe per signature row (r13; guide §2.2 shuffle fewer
+    # bytes beats re-deriving them).
     shh = S.portable_hash64("sh", SPARK)
-    tagged = ("(SELECT doc_id, text, CASE WHEN length(source) = 4"
-              " THEN 'base' ELSE 'inc' END AS side FROM documents) tagged")
     sh = spark.sql(
-        f"SELECT doc_id, {shh} AS shh"
-        f" FROM ({_ngram_shingles(SPARK).replace('documents', tagged)}) raw"
+        f"""
+        SELECT doc_id, side, {shh} AS shh FROM (
+            SELECT doc_id, side, explode(array_distinct(transform(
+                sequence(1, size(toks) - 2),
+                i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+                            ' ', element_at(toks, i + 2))
+            ))) AS sh
+            FROM (SELECT /*+ REPARTITION */ doc_id,
+                  CASE WHEN length(source) = 4 THEN 'base' ELSE 'inc' END AS side,
+                  {_toks(SPARK)} AS toks FROM documents) t
+            WHERE size(toks) >= 3
+        ) raw
+        """
     ).localCheckpoint()
     sh.createOrReplaceTempView("mhinc_sh_v")
     min_cols = ", ".join(
         f"min(({a} * m + {b}) % {_MINHASH_P}) AS h{j}"
         for j, (a, b) in enumerate(_MINHASH_AB)
     )
-    sigs = spark.sql(
-        f"SELECT s.doc_id, max(t.side) AS side, {min_cols}"
-        f" FROM (SELECT doc_id, shh % {_MINHASH_P} AS m FROM mhinc_sh_v) s"
-        " JOIN (SELECT doc_id, CASE WHEN length(source) = 4 THEN 'base'"
-        " ELSE 'inc' END AS side FROM documents) t ON t.doc_id = s.doc_id"
-        " GROUP BY s.doc_id"
-    ).localCheckpoint()
-    sigs.createOrReplaceTempView("mhinc_sigs_v")
-    hcols = ", ".join(f"h{j}" for j in range(len(_MINHASH_AB)))
     from .llm_ops import _BAND_SIZE, _LSH_BUCKET_CAP, _N_HASHES
 
     band_keys = ", ".join(
@@ -732,10 +741,12 @@ def dedup_minhash_incremental(spark, sf_dir):
         + "))"
         for band in range(_N_HASHES // _BAND_SIZE)
     )
-    # bands_capped materialized once too: inlined, BOTH candidate probe
-    # sides re-ran the posexplode + count-over-window bucket cap over the
-    # signature table (round-12 optimization pass, same trade as
-    # dedup_minhash_lsh).
+    # bands_capped materialized once: inlined, BOTH candidate probe sides
+    # re-ran the posexplode + count-over-window bucket cap (round-12 pass,
+    # same trade as dedup_minhash_lsh). The signature aggregate is NOT
+    # separately checkpointed — its only consumer is this bands build, so
+    # the r12 sigs checkpoint was a pure extra materialization job
+    # (r13 interleaved: 1.780 -> 1.468 s median with it folded in here).
     bc = spark.sql(
         f"""
         SELECT doc_id, side, band, band_key FROM (
@@ -743,7 +754,12 @@ def dedup_minhash_incremental(spark, sf_dir):
                 count(*) OVER (PARTITION BY band, band_key) AS bsz
             FROM (
                 SELECT doc_id, side, band, band_key
-                FROM mhinc_sigs_v
+                FROM (
+                    SELECT doc_id, max(side) AS side, {min_cols}
+                    FROM (SELECT doc_id, side, shh % {_MINHASH_P} AS m
+                          FROM mhinc_sh_v) s
+                    GROUP BY doc_id
+                ) sigs
                 LATERAL VIEW posexplode(array({band_keys})) AS band, band_key
             ) bands
         ) f WHERE bsz <= {_LSH_BUCKET_CAP}
@@ -754,7 +770,6 @@ def dedup_minhash_incremental(spark, sf_dir):
         _minhash_incremental(
             SPARK,
             sh_src="SELECT doc_id, shh FROM mhinc_sh_v",
-            sigs_src=f"SELECT doc_id, side, {hcols} FROM mhinc_sigs_v",
             bands_src="SELECT doc_id, side, band, band_key FROM mhinc_bands_v",
         )
     )
