@@ -230,3 +230,25 @@ def explode_seq(var: str, lo: str, hi: str, d: str = SPARK) -> str:
     if d == SPARK:
         return f"LATERAL VIEW explode(sequence({lo}, {hi})) t_{var} AS {var}"
     return f", unnest(range(({lo}), ({hi}) + 1)) AS t_{var}({var})"
+
+
+def gram_concat(arr: str, idx: str, k: int, d: str = SPARK) -> str:
+    """Space-joined k-gram starting at 1-based ``idx``: the element-access
+    form of ``concat_ws(' ', slice(arr, idx, k))``.
+
+    The slice allocates a k-element array per position before joining;
+    direct element access builds the same string with no per-position
+    allocation (r13: isolated shingle stage 0.606 -> 0.512 s at sf0.1).
+    Caller must guarantee idx + k - 1 <= size(arr): under ANSI mode an
+    out-of-bounds element_at raises where slice would clamp, and concat
+    (unlike concat_ws) propagates NULLs instead of skipping them.
+    """
+    if d == SPARK:
+        parts = ", ' ', ".join(
+            f"element_at({arr}, {idx} + {j})" if j else f"element_at({arr}, {idx})"
+            for j in range(k)
+        )
+        return f"concat({parts})"
+    return " || ' ' || ".join(
+        f"{arr}[{idx} + {j}]" if j else f"{arr}[{idx}]" for j in range(k)
+    )

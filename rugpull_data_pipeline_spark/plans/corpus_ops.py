@@ -62,7 +62,7 @@ def _windows(d: str) -> str:
     and the shuffle moves compact documents, not exploded windows.
     """
     if d == SPARK:
-        win = f"concat_ws(' ', slice(toks, i, {_WIN}))"
+        win = S.gram_concat("toks", "i", _WIN, d)  # element access, no per-i slice alloc (r13)
         # CASE guard: sequence(1, negative) throws, so short docs must map
         # to an empty array BEFORE explode, not be filtered after it.
         seq = (
@@ -136,7 +136,7 @@ _pair(
 
 def _grams(d: str) -> str:
     """(doc_id, source, gh) distinct word-5-gram hashes per doc."""
-    gram_sp = "concat_ws(' ', slice(toks, i, 5))"
+    gram_sp = S.gram_concat("toks", "i", 5)  # element access, no per-i slice alloc (r13)
     gram_dk = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]"
     if d == SPARK:
         seq = "CASE WHEN size(toks) >= 5 THEN sequence(1, size(toks) - 4) ELSE array() END"

@@ -231,7 +231,8 @@ def _lev_shingles(d: str) -> str:
         return f"""
         SELECT doc_id, explode(array_distinct(transform(
             sequence(1, size(toks) - 2),
-            i -> concat_ws(' ', slice(toks, i, 3))
+            -- element access, no per-i slice alloc (r13)
+            i -> {S.gram_concat('toks', 'i', 3)}
         ))) AS sh
         FROM (SELECT doc_id, {S.split_ws('text', d)} AS toks FROM documents) t
         WHERE size(toks) >= 3

@@ -752,8 +752,8 @@ def _filter_gate(d: str) -> str:
         dstc = "size(array_distinct(toks))"
         g3 = (
             "transform(sequence(1, size(toks) - 2), "
-            "i -> concat_ws(' ', slice(toks, i, 3)))"
-        )
+            f"i -> {S.gram_concat('toks', 'i', 3)})"
+        )  # element access, no per-i slice alloc (r13)
         g3d = f"size(array_distinct({g3}))"
     else:
         toks = S.split_ws("text", d)

@@ -444,8 +444,14 @@ def _ivfpq_topk(
     "once, not per consumer.",
 )
 def sim_ivfpq_topk(spark, sf_dir):
-    from .llm_ops import _emb_dims
-
+    # One checkpoint, not three (r13): the codebook is 32 rows
+    # (_PQ_K x _PQ_M) and derives from the checkpointed subvector table by
+    # filter — its own embeddings re-scan + explode + checkpoint job were
+    # pure overhead; the coarse centroids have a single consumer (the
+    # coarse-routing join), so checkpointing them bought nothing and cost a
+    # materialization job (the same single-consumer class as the r13
+    # minhash-incremental sigs fix). Interleaved median 1.421 -> 0.982 s
+    # at sf0.1, byte-identical output.
     iv = S.int_vec("embedding", SPARK)
     sub = f"slice(v, s * {_PQ_DSUB} + 1, {_PQ_DSUB})"
     lateral = f"LATERAL VIEW explode(sequence(0, {_PQ_M - 1})) t AS s"
@@ -454,23 +460,15 @@ def sim_ivfpq_topk(spark, sf_dir):
         f"SELECT vec_id, label, s, {sub} AS pv FROM {base} {lateral}"
     ).localCheckpoint()
     pv.createOrReplaceTempView("ivfpq_pv_v")
-    cb = spark.sql(
-        f"SELECT vec_id AS cid, s, {sub} AS cv FROM {base} {lateral}"
-        f" WHERE vec_id BETWEEN 1 AND {_PQ_K}"
-    ).localCheckpoint()
-    cb.createOrReplaceTempView("ivfpq_cb_v")
-    cents = spark.sql(
-        "SELECT label, dim,"
-        " cast(sum(cast(v as decimal(38,9))) as double) / count(*) AS c"
-        f" FROM ({_emb_dims(SPARK)}) emb_dims GROUP BY label, dim"
-    ).localCheckpoint()
-    cents.createOrReplaceTempView("ivfpq_cents_v")
     return spark.sql(
         _ivfpq_topk(
             SPARK,
             pv_src="SELECT vec_id, label, s, pv FROM ivfpq_pv_v",
-            cb_src="SELECT cid, s, cv FROM ivfpq_cb_v",
-            cents_src="SELECT label, dim, c FROM ivfpq_cents_v",
+            cb_src=(
+                "SELECT vec_id AS cid, s, pv AS cv FROM ivfpq_pv_v"
+                f" WHERE vec_id BETWEEN 1 AND {_PQ_K}"
+            ),
+            cents_src=None,
         )
     )
 

@@ -55,7 +55,7 @@ def _toks(d: str) -> str:
 def _rep_grams(d: str) -> str:
     """(doc_id, gh) — ALL word-3-gram hashes per doc, duplicates kept
     (the whole point is counting repeats)."""
-    gram_sp = "concat_ws(' ', slice(toks, i, 3))"
+    gram_sp = S.gram_concat("toks", "i", 3)  # element access, no per-i slice alloc (r13)
     # element access, not toks[i:i+2] slicing: DuckDB list slices cost
     # O(len(list)) each -> O(tokens^2) per row on the giant-payload
     # surface's 150k-token doc (r9 sweep)
