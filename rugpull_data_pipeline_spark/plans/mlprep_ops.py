@@ -231,10 +231,21 @@ def _word_entropy(d: str) -> str:
     # perturbs the final entropy by ~1e-12 — invisible at round-6.
     ssum = "cast(sum(cast(c * ln(c) as decimal(38,12))) as double)"
     if d == SPARK:
+        # REPARTITION(doc_id) on the COMPACT documents, before the explode
+        # (r13): the old hint sat on the exploding select, so Spark planned
+        # Scan -> Generate -> round-robin Exchange — a serial explode
+        # followed by a shuffle of every token STRING. Hashing by doc_id
+        # instead satisfies both downstream groupBys (doc_id is a subset of
+        # (doc_id, tok)), so the only data exchange left is the compact
+        # documents themselves: 4 exchanges -> 2, interleaved median
+        # 0.883 -> 0.701 s at sf0.1. (A round-robin doc shuffle + map-side
+        # partial aggs measured 0.625 s locally but pays TWO shuffles of
+        # exploded (doc, tok) partials at scale where this form pays one
+        # shuffle of the smallest possible data — guide §2.1/§2.2.)
         toks = f"""
-        SELECT /*+ REPARTITION */ doc_id,
-            explode({S.split_ws('text', d)}) AS tok
-        FROM documents
+        SELECT doc_id, explode({S.split_ws('text', d)}) AS tok
+        FROM (SELECT /*+ REPARTITION(doc_id) */ doc_id, text
+              FROM documents) d
         """
     else:
         toks = f"""
@@ -310,10 +321,13 @@ _pair(
 def _feature_hash(d: str) -> str:
     bucket = f"cast({S.portable_hash64('tok', d)} % 16 as int)"
     if d == SPARK:
+        # Same shape as _word_entropy (r13): hash the compact documents by
+        # doc_id BEFORE the explode so the groupBy(doc_id, bucket) needs no
+        # further exchange and the explode runs partition-parallel.
         toks = f"""
-        SELECT /*+ REPARTITION */ doc_id,
-            explode({S.split_ws('text', d)}) AS tok
-        FROM documents
+        SELECT doc_id, explode({S.split_ws('text', d)}) AS tok
+        FROM (SELECT /*+ REPARTITION(doc_id) */ doc_id, text
+              FROM documents) d
         """
     else:
         toks = f"""

@@ -1478,8 +1478,43 @@ def sample_dsir_selection(spark, sf_dir):
         f" explode({_toks(SPARK)}) AS tok FROM documents) occ"
     ).localCheckpoint()
     hashed.createOrReplaceTempView("dsir_hashed_v")
-    return spark.sql(
-        _dsir_selection(
-            SPARK, hashed_src="SELECT doc_id, lang, bkt FROM dsir_hashed_v"
-        )
+    # Folded bucket stats (r13, guide §2.2): the oracle's tgt/src/tots/
+    # distinct-bkt CTEs are four separate full passes over the token-bucket
+    # table; one conditional-sum groupBy(bkt) yields all of them (ct=0 rows
+    # reproduce the oracle's coalesce(tgt.c, 0) LEFT JOIN exactly, and
+    # sum(ct)/sum(cs) over the 128-row grid ARE the totals). Checkpoint
+    # reads 5 -> 2; at 100 TB the hashed table is the persisted DSIR
+    # estimator input, so three saved passes are three saved table scans.
+    # Interleaved median 1.405 -> 1.348 s at sf0.1, byte-identical top-k.
+    return spark.sql(f"""
+    WITH g AS (
+        SELECT bkt,
+            cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS ct,
+            cast(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) as bigint) AS cs
+        FROM dsir_hashed_v GROUP BY bkt
+    ),
+    tots AS (
+        SELECT cast(sum(ct) as bigint) AS nt, cast(sum(cs) as bigint) AS ns
+        FROM g
+    ),
+    w AS (
+        SELECT g.bkt,
+            round(ln(cast(g.ct + 1 as double)
+                     / cast(tots.nt + {_DSIR_BUCKETS} as double))
+                - ln(cast(g.cs + 1 as double)
+                     / cast(tots.ns + {_DSIR_BUCKETS} as double)), 9) AS lw
+        FROM g CROSS JOIN tots
+    ),
+    scored AS (
+        SELECT h.doc_id, max(h.lang) AS lang,
+            {S.dsum('w.lw', SPARK)} AS importance
+        FROM dsir_hashed_v h JOIN w ON w.bkt = h.bkt
+        WHERE h.lang <> 'en'
+        GROUP BY h.doc_id
+    )
+    SELECT doc_id, lang, round(importance, 6) AS importance
+    FROM scored
+    ORDER BY importance DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """
     )
